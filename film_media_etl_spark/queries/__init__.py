@@ -1,0 +1,18 @@
+"""Query inventory: every operator from SURVEY §2 (op01..op41), the star
+ETL + report workload, and the LLM-pipeline extensions — each registered as
+an (spark, sf_dir) -> DataFrame callable with (where SQL-expressible) a
+matching DuckDB oracle.
+
+Importing this package populates the registry.
+"""
+
+from .registry import EngineQuery, all_oracles, all_queries, get, register
+
+# Registration side effects — order groups the inventory logically.
+from . import reference_ops  # noqa: E402,F401  ops 01-41
+from . import star_etl  # noqa: E402,F401  star-schema pipeline
+from . import reports  # noqa: E402,F401  rmd report workload
+from . import extensions  # noqa: E402,F401  dedup/similarity/text
+from . import events_windows  # noqa: E402,F401  §2.J batch-window surface
+
+__all__ = ["EngineQuery", "register", "get", "all_queries", "all_oracles"]

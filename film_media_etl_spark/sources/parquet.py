@@ -1,0 +1,51 @@
+"""Parquet source layer.
+
+The reference extracts from two SQLite OLTP databases with full-table SQL
+scans (reference ` loadAnalyticsDB.PractII.SavithriAnbarasuH.R`:44-53) and
+materializes every extract in driver memory. Here a source is a columnar
+Parquet scan: Catalyst pushes filters into the scan (row-group skipping via
+min/max stats) and prunes columns, so "extract" never materializes more than
+the query needs — the property that makes the same code viable at 100 TB.
+
+Live-database extraction (the reference's SQLite/MySQL role) maps to
+``spark.read.jdbc`` — see ``sources.jdbc``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+# Driver-generated test tables (TESTDATA.md). One parquet file per table.
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one table. Lazy — nothing is read until an action runs."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every table as a temp view (for the SQL entry points).
+
+    View names match the DuckDB oracle's pre-registered views so the same
+    SQL text is portable between the two engines.
+    """
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

@@ -1,0 +1,399 @@
+"""Star-schema ETL pipeline — the engine's re-expression of the reference's
+warehouse load (` loadAnalyticsDB...R`:532-558 main()).
+
+Mapping of the driver testdata onto the reference's two-source star schema
+(FIXTURES.md §A):
+
+- "film" customer source  = customer ⋈ nation ⋈ region (geo chain like
+  customer ⋈ address ⋈ city ⋈ country, ` loadAnalyticsDB...R`:229-232)
+- "music" customer source = supplier ⋈ nation ⋈ region, IDs offset +10000
+  (cross-source key-space collision fix, ` loadAnalyticsDB...R`:256)
+- products = part (film side; substr-truncated names, ` load...R`:358)
+- fact grain = one row per lineitem (one row per transaction, README:129)
+
+Design decisions vs the reference:
+
+- Surrogate keys are deterministic ``row_number()`` over a canonical sort
+  (reference: MySQL AUTO_INCREMENT). NOT monotonically_increasing_id —
+  that is partition-dependent and breaks reproducible oracle checks.
+  SCALE NOTE: a global row_number is a single-partition window; at 100 TB
+  replace the *fact* key with a collision-free composite/hash key and keep
+  row_number only for the (small) dimensions. The testdata's lineitem has
+  no unique natural key (verified: (l_orderkey, l_linenumber) has dups),
+  so the fact key here orders by every column — deterministic even under
+  full-row duplicates.
+- The per-row R which() lookups (` loadAnalyticsDB...R`:469-480, the O(n·m)
+  hot path) become broadcast hash joins with COALESCE fallbacks:
+  location/product fall back to key 1, customer to NULL (` load...R`:
+  472,476,480).
+- The NULL-tolerant location match keeps the reference's asymmetry: the
+  DIMENSION side carries the NULL wildcard (dl.city = f.city OR dl.city IS
+  NULL; same for state), ` loadAnalyticsDB...R`:469-472.
+- revenue_ytd/qtd/mtd + units_ytd/qtd/mtd are POPULATED (the reference
+  declares them, createStarSchema...R:153-158, but never fills them).
+  Cumulative windows partition by year[/quarter/month] ordered by
+  (date_key, fact_key). SCALE NOTE: partition-by-year is a skewed window
+  at 100 TB — the scalable variant pre-aggregates per (year, month, day)
+  then prefix-sums the daily totals (documented, not needed at test SF).
+- Dedup-on-load for dim_location via union+distinct (INSERT IGNORE
+  semantics, createStarSchema...R:97).
+
+Every builder returns a lazy DataFrame; ``STAR_CTES`` is the DuckDB-SQL
+twin of the whole pipeline so any star query is oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.dates import month_name, smart_date_key, week_of_year_noniso
+from ..functions.money import AGG_DECIMAL, ROW_DECIMAL, dec
+from ..sources import load_table
+
+# ---------------------------------------------------------------------------
+# Spark builders
+# ---------------------------------------------------------------------------
+
+
+def _geo_chain(spark: SparkSession, sf_dir: str, entity: str) -> DataFrame:
+    """customer/supplier ⋈ nation ⋈ region -> (id, name, city, country)."""
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    if entity == "film":
+        e = load_table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("customer_id"),
+            F.col("c_name").alias("name"),
+            F.col("c_nationkey").alias("nationkey"),
+        )
+    else:  # music source: suppliers, +10000 ID offset
+        e = load_table(spark, sf_dir, "supplier").select(
+            (F.col("s_suppkey") + F.lit(10000)).alias("customer_id"),
+            F.col("s_name").alias("name"),
+            F.col("s_nationkey").alias("nationkey"),
+        )
+    return (
+        e.join(F.broadcast(n), e.nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            "customer_id",
+            "name",
+            F.lit(entity).alias("customer_type"),
+            F.col("n_name").alias("city"),
+            F.col("r_name").alias("country"),
+            F.lit(None).cast("string").alias("state"),
+        )
+    )
+
+
+def build_dim_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dim_date: spine over [min(o_orderdate)-30, max+30] with the full
+    attribute set incl. smart key and NON-ISO week (createStarSchema...R:
+    59-71; ` loadAnalyticsDB...R`:56-137)."""
+    o = load_table(spark, sf_dir, "orders")
+    b = o.agg(F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi")).first()
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.date_sub(F.lit(b["lo"]).cast("date"), 30),
+                F.date_add(F.lit(b["hi"]).cast("date"), 30),
+                F.expr("interval 1 day"),
+            )
+        ).alias("date")
+    )
+    d = F.col("date")
+    return spine.select(
+        smart_date_key(d).alias("date_key"),
+        d,
+        F.year(d).alias("year"),
+        F.quarter(d).alias("quarter"),
+        F.month(d).alias("month"),
+        month_name(d).alias("month_name"),
+        F.dayofmonth(d).alias("day"),
+        week_of_year_noniso(d).alias("week"),
+    )
+
+
+def build_dim_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dim_customer: film ∪ music customers with surrogate keys in source
+    load order (film block first, like the reference's sequential load,
+    ` loadAnalyticsDB...R`:215-302)."""
+    both = _geo_chain(spark, sf_dir, "film").unionByName(_geo_chain(spark, sf_dir, "music"))
+    w = Window.orderBy("customer_type", "customer_id")
+    return both.select(
+        F.row_number().over(w).alias("customer_key"),
+        "customer_id",
+        "name",
+        "country",
+        "city",
+        "state",
+        "customer_type",
+    )
+
+
+def build_dim_location(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dim_location: union+distinct of both sources' (country, city, state)
+    — dedup-on-load (INSERT IGNORE vs unique_location, createStarSchema...R:
+    97) — plus the fallback 'Unknown' row at location_key 1
+    (` loadAnalyticsDB...R`:472)."""
+    both = _geo_chain(spark, sf_dir, "film").unionByName(_geo_chain(spark, sf_dir, "music"))
+    locs = both.select("country", "city", "state").distinct()
+    w = Window.orderBy("country", "city")
+    ranked = locs.select(
+        (F.row_number().over(w) + F.lit(1)).alias("location_key"),
+        "country",
+        "city",
+        "state",
+    )
+    unknown = spark.range(1).select(
+        F.lit(1).alias("location_key"),
+        F.lit("Unknown").alias("country"),
+        F.lit(None).cast("string").alias("city"),
+        F.lit(None).cast("string").alias("state"),
+    )
+    return unknown.unionByName(ranked)
+
+
+def build_dim_product(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dim_product from part: truncated names (substr 1..255,
+    ` loadAnalyticsDB...R`:358), brand as category, genre NULL (film side
+    of createStarSchema...R:102-112)."""
+    p = load_table(spark, sf_dir, "part")
+    w = Window.orderBy("p_partkey")
+    return p.select(
+        F.row_number().over(w).alias("product_key"),
+        F.col("p_partkey").alias("product_id"),
+        F.substring("p_name", 1, 255).alias("product_name"),
+        F.col("p_type").alias("product_type"),
+        F.col("p_brand").alias("category"),
+        F.lit(None).cast("string").alias("genre"),
+    )
+
+
+# Canonical total order for the fact surrogate key: every lineitem column,
+# so row_number is deterministic even under full-row duplicates (the
+# testdata has duplicate (l_orderkey, l_linenumber) pairs — verified).
+_FACT_ORDER = [
+    "l_orderkey",
+    "l_linenumber",
+    "l_partkey",
+    "l_suppkey",
+    "l_shipdate",
+    "l_quantity",
+    "l_extendedprice",
+    "l_discount",
+    "l_tax",
+    "l_returnflag",
+    "l_linestatus",
+]
+
+
+def build_fact_sales(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    dim_customer: DataFrame | None = None,
+    dim_location: DataFrame | None = None,
+    dim_product: DataFrame | None = None,
+) -> DataFrame:
+    """fact_sales: one row per lineitem with resolved dimension keys,
+    denormalized pruning columns (year/quarter/month/product_type/country,
+    createStarSchema...R:149-161 + README:130-134) and populated
+    YTD/QTD/MTD cumulative measures (SURVEY op 27)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    dc = (dim_customer or build_dim_customer(spark, sf_dir)).alias("dc")
+    dl = (dim_location or build_dim_location(spark, sf_dir)).alias("dl")
+    dp = (dim_product or build_dim_product(spark, sf_dir)).alias("dp")
+
+    base = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .withColumn("fact_key", F.row_number().over(Window.orderBy(*_FACT_ORDER)).cast("long"))
+        .select(
+            "fact_key",
+            smart_date_key("o_orderdate").alias("date_key"),
+            F.col("o_custkey").alias("customer_id"),
+            F.col("l_partkey").alias("product_id"),
+            F.col("l_quantity").cast("int").alias("units_sold"),
+            dec(
+                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")), ROW_DECIMAL
+            ).alias("revenue"),
+            F.year("o_orderdate").alias("year"),
+            F.quarter("o_orderdate").alias("quarter"),
+            F.month("o_orderdate").alias("month"),
+        )
+        .alias("f")
+    )
+
+    # Dimension-key resolution: broadcast hash joins replacing the
+    # reference's per-row which() scans (` loadAnalyticsDB...R`:469-480).
+    resolved = (
+        base.join(
+            F.broadcast(dc),
+            (F.col("f.customer_id") == F.col("dc.customer_id"))
+            & (F.col("dc.customer_type") == "film"),
+            "left",
+        )
+        .join(
+            F.broadcast(dl),
+            (F.col("dl.country") == F.col("dc.country"))
+            & ((F.col("dl.city") == F.col("dc.city")) | F.col("dl.city").isNull())
+            & ((F.col("dl.state") == F.col("dc.state")) | F.col("dl.state").isNull()),
+            "left",
+        )
+        .join(F.broadcast(dp), F.col("f.product_id") == F.col("dp.product_id"), "left")
+        .select(
+            "f.fact_key",
+            "f.date_key",
+            F.col("dc.customer_key").alias("customer_key"),
+            F.coalesce(F.col("dl.location_key"), F.lit(1)).alias("location_key"),
+            F.coalesce(F.col("dp.product_key"), F.lit(1)).alias("product_key"),
+            "f.units_sold",
+            "f.revenue",
+            "f.year",
+            "f.quarter",
+            "f.month",
+            F.col("dp.product_type").alias("product_type"),
+            F.col("dc.country").alias("country"),
+        )
+    )
+
+    frame = (Window.unboundedPreceding, Window.currentRow)
+    w_y = Window.partitionBy("year").orderBy("date_key", "fact_key").rowsBetween(*frame)
+    w_q = (
+        Window.partitionBy("year", "quarter").orderBy("date_key", "fact_key").rowsBetween(*frame)
+    )
+    w_m = Window.partitionBy("year", "month").orderBy("date_key", "fact_key").rowsBetween(*frame)
+    return (
+        resolved.withColumn("revenue_ytd", F.sum("revenue").over(w_y).cast(AGG_DECIMAL))
+        .withColumn("revenue_qtd", F.sum("revenue").over(w_q).cast(AGG_DECIMAL))
+        .withColumn("revenue_mtd", F.sum("revenue").over(w_m).cast(AGG_DECIMAL))
+        .withColumn("units_ytd", F.sum("units_sold").over(w_y).cast("long"))
+        .withColumn("units_qtd", F.sum("units_sold").over(w_q).cast("long"))
+        .withColumn("units_mtd", F.sum("units_sold").over(w_m).cast("long"))
+    )
+
+
+_STAR_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
+
+
+def build_star(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Build (lazily) every star table; memoized per (session, sf_dir) so
+    the 15 report queries share one set of plans."""
+    key = (id(spark), sf_dir.rstrip("/"))
+    if key not in _STAR_CACHE:
+        dc = build_dim_customer(spark, sf_dir)
+        dl = build_dim_location(spark, sf_dir)
+        dp = build_dim_product(spark, sf_dir)
+        _STAR_CACHE[key] = {
+            "dim_date": build_dim_date(spark, sf_dir),
+            "dim_customer": dc,
+            "dim_location": dl,
+            "dim_product": dp,
+            "fact_sales": build_fact_sales(
+                spark, sf_dir, dim_customer=dc, dim_location=dl, dim_product=dp
+            ),
+        }
+    return _STAR_CACHE[key]
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle twin: the same pipeline as a WITH-clause prefix
+# ---------------------------------------------------------------------------
+
+_FACT_ORDER_SQL = ", ".join(_FACT_ORDER)
+
+STAR_CTES = f"""
+film_cust AS (
+  SELECT c.c_custkey AS customer_id, c.c_name AS name, 'film' AS customer_type,
+         n.n_name AS city, r.r_name AS country, CAST(NULL AS VARCHAR) AS state
+  FROM customer c
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+),
+music_cust AS (
+  SELECT s.s_suppkey + 10000 AS customer_id, s.s_name AS name, 'music' AS customer_type,
+         n.n_name AS city, r.r_name AS country, CAST(NULL AS VARCHAR) AS state
+  FROM supplier s
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+),
+all_cust AS (
+  SELECT * FROM film_cust UNION ALL SELECT * FROM music_cust
+),
+dim_customer AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY customer_type, customer_id) AS INT) AS customer_key,
+         customer_id, name, country, city, state, customer_type
+  FROM all_cust
+),
+dim_location AS (
+  SELECT 1 AS location_key, 'Unknown' AS country,
+         CAST(NULL AS VARCHAR) AS city, CAST(NULL AS VARCHAR) AS state
+  UNION ALL
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY country, city) + 1 AS INT) AS location_key,
+         country, city, state
+  FROM (SELECT DISTINCT country, city, state FROM all_cust)
+),
+dim_product AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY p_partkey) AS INT) AS product_key,
+         p_partkey AS product_id, substr(p_name, 1, 255) AS product_name,
+         p_type AS product_type, p_brand AS category, CAST(NULL AS VARCHAR) AS genre
+  FROM part
+),
+dim_date AS (
+  SELECT CAST(strftime(date, '%Y%m%d') AS INT) AS date_key, date,
+         CAST(year(date) AS INT) AS year, CAST(quarter(date) AS INT) AS quarter,
+         CAST(month(date) AS INT) AS month, monthname(date) AS month_name,
+         CAST(dayofmonth(date) AS INT) AS day,
+         CAST(((dayofyear(date) - 1) // 7) + 1 AS INT) AS week
+  FROM (
+    SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS date
+    FROM (SELECT CAST(MIN(o_orderdate) AS DATE) - 30 AS lo,
+                 CAST(MAX(o_orderdate) AS DATE) + 30 AS hi FROM orders)
+  )
+),
+fact_base AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY {_FACT_ORDER_SQL}) AS BIGINT) AS fact_key,
+         CAST(strftime(o.o_orderdate, '%Y%m%d') AS INT) AS date_key,
+         o.o_custkey AS customer_id,
+         l.l_partkey AS product_id,
+         CAST(l.l_quantity AS INT) AS units_sold,
+         CAST((l.l_extendedprice * (1 - l.l_discount)) AS DECIMAL(18,4)) AS revenue,
+         CAST(year(o.o_orderdate) AS INT) AS year,
+         CAST(quarter(o.o_orderdate) AS INT) AS quarter,
+         CAST(month(o.o_orderdate) AS INT) AS month
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+fact_resolved AS (
+  SELECT f.fact_key, f.date_key,
+         dc.customer_key,
+         COALESCE(dl.location_key, 1) AS location_key,
+         COALESCE(dp.product_key, 1) AS product_key,
+         f.units_sold, f.revenue, f.year, f.quarter, f.month,
+         dp.product_type, dc.country
+  FROM fact_base f
+  LEFT JOIN dim_customer dc
+    ON f.customer_id = dc.customer_id AND dc.customer_type = 'film'
+  LEFT JOIN dim_location dl
+    ON dl.country = dc.country
+   AND (dl.city = dc.city OR dl.city IS NULL)
+   AND (dl.state = dc.state OR dl.state IS NULL)
+  LEFT JOIN dim_product dp ON f.product_id = dp.product_id
+),
+fact_sales AS (
+  SELECT *,
+    CAST(SUM(revenue) OVER (PARTITION BY year ORDER BY date_key, fact_key
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,4)) AS revenue_ytd,
+    CAST(SUM(revenue) OVER (PARTITION BY year, quarter ORDER BY date_key, fact_key
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,4)) AS revenue_qtd,
+    CAST(SUM(revenue) OVER (PARTITION BY year, month ORDER BY date_key, fact_key
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,4)) AS revenue_mtd,
+    CAST(SUM(units_sold) OVER (PARTITION BY year ORDER BY date_key, fact_key
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS units_ytd,
+    CAST(SUM(units_sold) OVER (PARTITION BY year, quarter ORDER BY date_key, fact_key
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS units_qtd,
+    CAST(SUM(units_sold) OVER (PARTITION BY year, month ORDER BY date_key, fact_key
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS units_mtd
+  FROM fact_resolved
+)
+"""

@@ -1,0 +1,211 @@
+"""Deduplication operators for LLM-training-data pipelines (SURVEY §2.K).
+
+Four tiers, trading exactness against scale:
+
+1. ``exact_dedup`` — hash group-by on the dedup key. One shuffle; at
+   100 TB this is the always-correct baseline (pre-partition by a key
+   prefix / bucket the table to make the shuffle map-side).
+2. ``token_jaccard_pairs`` — exact set-similarity join within blocking
+   keys. Quadratic *inside a block*; correct choice when a natural
+   blocking key (source, language, shard) bounds block size.
+3. ``minhash_lsh_pairs`` — MinHash signatures + banded LSH: candidate
+   generation is linear in corpus size (explode bands -> equi-join on
+   band hash), candidates verified with exact Jaccard. The 100 TB path:
+   every stage is a plain shuffle-on-key, no pairwise blowup outside
+   hash buckets.
+4. ``simhash_near_dup_pairs`` — 64-bit SimHash with banded blocking +
+   Hamming-distance verification (bit_count(xor) <= k). Cheapest
+   signatures; near-dup semantics coarser than MinHash.
+
+All pure DataFrame ops — signatures via xxhash64 (JVM), no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Keep one deterministic survivor (min id) per duplicate group —
+    reproducible under any partitioning, unlike dropDuplicates."""
+    return df.groupBy(*key_cols).agg(
+        F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups")
+    )
+
+
+def _token_set(text: Column) -> Column:
+    return F.array_distinct(F.split(F.lower(text), " "))
+
+
+def token_jaccard_pairs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_cols: tuple[str, ...] = ("source", "lang"),
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Exact token-set Jaccard similarity join within blocks.
+
+    jaccard = |A ∩ B| / (|A| + |B| - |A ∩ B|) — integer set sizes, one
+    double division: bit-identical in any engine.
+    """
+    t = docs.select(
+        F.col(id_col).alias("doc_id"), *block_cols, _token_set(F.col(text_col)).alias("toks")
+    )
+    a, b = t.alias("a"), t.alias("b")
+    cond = (F.col(f"a.{block_cols[0]}") == F.col(f"b.{block_cols[0]}"))
+    for c in block_cols[1:]:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    cond = cond & (F.col("a.doc_id") < F.col("b.doc_id"))
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+    union = F.size(F.col("a.toks")) + F.size(F.col("b.toks")) - inter
+    jac = inter.cast("double") / union.cast("double")
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            jac.alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + banded LSH near-dup join, verified with exact Jaccard.
+
+    Pipeline (each stage one narrow map or one shuffle-on-key):
+      tokens -> explode -> per-doc min of xxhash64(token, seed_i)  [shuffle 1]
+      signatures -> band hashes -> explode bands                   [narrow]
+      self-equi-join on (band, band_hash), id< id                  [shuffle 2]
+      distinct candidates -> exact-Jaccard verify                  [shuffle 3]
+
+    At 100 TB nothing here is quadratic: candidate volume is bounded by
+    real collisions, and each join is a plain hash shuffle AQE can skew-
+    split. Rows-only correctness check (hash seeds are engine-specific).
+    """
+    rows = num_hashes // bands
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(_token_set(F.col(text_col))).alias("tok")
+    )
+    sig = toks.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.col("tok"), F.lit(i))).alias(f"mh{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.lit(b), *[F.col(f"mh{b * rows + r}") for r in range(rows)]
+                ).alias("bhash"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bhash").alias("bhash")
+    )
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bhash") == F.col("b.bhash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
+        .distinct()
+    )
+    tsets = docs.select(F.col(id_col).alias("doc_id"), _token_set(F.col(text_col)).alias("toks"))
+    j = (
+        cand.join(tsets.withColumnRenamed("doc_id", "doc_id_a").withColumnRenamed("toks", "ta"), "doc_id_a")
+        .join(tsets.withColumnRenamed("doc_id", "doc_id_b").withColumnRenamed("toks", "tb"), "doc_id_b")
+    )
+    inter = F.size(F.array_intersect(F.col("ta"), F.col("tb")))
+    union = F.size("ta") + F.size("tb") - inter
+    return (
+        j.select(
+            "doc_id_a",
+            "doc_id_b",
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_bits(text: Column, *, nbits: int = 64) -> Column:
+    """64-bit SimHash of the token set: bit j of the signature is the sign
+    of sum over tokens of (+1 if bit j of xxhash64(token) else -1)."""
+    toks = _token_set(text)
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    # bit masks as signed-64 literals (bit 63 is the sign bit in two's complement)
+    masks = [(1 << j) if j < 63 else -(1 << 63) for j in range(nbits)]
+    def _merge_for(m: int):
+        return lambda acc, h: acc + F.when(
+            h.bitwiseAND(F.lit(m).cast("long")) != 0, 1
+        ).otherwise(-1)
+
+    bit_sums = [F.aggregate(hashes, F.lit(0), _merge_for(masks[j])) for j in range(nbits)]
+    sig = F.lit(0).cast("long")
+    for j, s in enumerate(bit_sums):
+        sig = sig + F.when(s > 0, F.lit(masks[j]).cast("long")).otherwise(F.lit(0).cast("long"))
+    return sig
+
+
+def simhash_near_dup_pairs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 6,
+    bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dup: block on exact match of one of 4 16-bit bands
+    (any pair within Hamming<=3 of the 64-bit sig must agree on >=1 band;
+    wider max_hamming trades recall), verify bit_count(xor) <= k."""
+    sig = docs.select(
+        F.col(id_col).alias("doc_id"), simhash_bits(F.col(text_col)).alias("sig")
+    )
+    width = 64 // bands
+    mask = (1 << width) - 1
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("sig"), b * width).bitwiseAND(F.lit(mask)).alias("bval"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select("doc_id", "sig", F.explode(band_arr).alias("bb")).select(
+        "doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval")
+    )
+    pairs = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.where(F.col("hamming") <= max_hamming)

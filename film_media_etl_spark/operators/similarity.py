@@ -1,0 +1,145 @@
+"""Similarity search over embedding columns (SURVEY §2.K; PAPERS.md top-k
+similarity-search line of work).
+
+- ``cosine_knn_bruteforce``: exact top-k — broadcast the (small) query set
+  against the full corpus, TakeOrdered per query. The correctness
+  baseline; at 100 TB the corpus side stays partitioned and is scanned
+  once, queries ride along broadcast — no corpus shuffle at all.
+- ``cosine_knn_lsh``: random-hyperplane LSH bucketing — sign-pattern
+  signature restricts candidates to matching buckets, then exact cosine +
+  top-k inside. The scale path: bucket join is a plain equi-join.
+- ``embedding_near_dup_pairs``: pairwise cosine >= threshold within a
+  blocking key (label) — embedding-space near-dup dedup.
+
+Cosine is the deterministic left-fold of functions.vectors — Spark and
+the DuckDB oracle agree bitwise, so rankings compare exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine, to_double_vec
+
+
+def cosine_knn_bruteforce(
+    embeddings: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_ids_below: int = 8,
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector (here: ids below
+    ``query_ids_below``), excluding self. Deterministic ranking: score
+    DESC, neighbor id ASC."""
+    base = embeddings.select(
+        F.col(id_col).alias("nbr_id"), to_double_vec(F.col(vec_col)).alias("nvec")
+    )
+    q = embeddings.where(F.col(id_col) < query_ids_below).select(
+        F.col(id_col).alias("query_id"), to_double_vec(F.col(vec_col)).alias("qvec")
+    )
+    scored = (
+        base.join(F.broadcast(q), F.col("nbr_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "nbr_id",
+            cosine(F.col("qvec"), F.col("nvec")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("nbr_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "score", "rank")
+    )
+
+
+def _hyperplane_bucket(vec, *, nplanes: int = 8, dim: int = 64):
+    """Deterministic random-hyperplane signature: plane p has ±1 entries
+    derived from xxhash64(p, i); bucket = integer of sign bits. Pure
+    expressions — planes never materialize."""
+    def _signed_term(p: int):
+        # dot(vec, plane_p) with plane entries sign(hash(p, i))
+        return lambda x, i: x * F.when(
+            F.xxhash64(F.lit(p), i) % 2 == 0, F.lit(1.0)
+        ).otherwise(F.lit(-1.0))
+
+    bucket = F.lit(0)
+    for p in range(nplanes):
+        proj = F.aggregate(
+            F.zip_with(vec, F.sequence(F.lit(0), F.lit(dim - 1)), _signed_term(p)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
+
+
+def cosine_knn_lsh(
+    embeddings: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_ids_below: int = 8,
+    k: int = 5,
+    nplanes: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's hyperplane
+    bucket (equi-join on bucket), exact cosine + rank inside. Recall is
+    approximate by construction -> rows-only correctness check."""
+    with_bucket = embeddings.select(
+        F.col(id_col).alias("nbr_id"),
+        to_double_vec(F.col(vec_col)).alias("nvec"),
+    ).withColumn("bucket", _hyperplane_bucket(F.col("nvec"), nplanes=nplanes, dim=dim))
+    q = (
+        with_bucket.where(F.col("nbr_id") < query_ids_below)
+        .select(
+            F.col("nbr_id").alias("query_id"),
+            F.col("nvec").alias("qvec"),
+            F.col("bucket").alias("qbucket"),
+        )
+    )
+    scored = (
+        with_bucket.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("qbucket")) & (F.col("nbr_id") != F.col("query_id")),
+        )
+        .select("query_id", "nbr_id", cosine(F.col("qvec"), F.col("nvec")).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("nbr_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "score", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs within a blocking key."""
+    t = embeddings.select(
+        F.col(id_col).alias("vid"), F.col(block_col).alias("blk"), to_double_vec(F.col(vec_col)).alias("v")
+    )
+    return (
+        t.alias("a")
+        .join(
+            t.alias("b"),
+            (F.col("a.blk") == F.col("b.blk")) & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .select(
+            F.col("a.vid").alias("vec_id_a"),
+            F.col("b.vid").alias("vec_id_b"),
+            F.col("a.blk").alias("label"),
+            cosine(F.col("a.v"), F.col("b.v")).alias("score"),
+        )
+        .where(F.col("score") >= threshold)
+    )

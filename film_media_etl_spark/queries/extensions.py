@@ -1,2 +1,269 @@
-"""LLM-data-pipeline extension queries (dedup, similarity search, text
-analysis, multimodal). Populated in the extensions milestone."""
+"""LLM-data-pipeline extension queries (SURVEY §2.K): dedup family,
+similarity search, text analysis, multimodal plumbing — each over the
+documents/embeddings testdata, oracle-checked wherever the computation is
+engine-portable (hash-seeded ops are rows-only by nature).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from ..functions.vectors import oracle_cosine
+from ..operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    simhash_near_dup_pairs,
+    token_jaccard_pairs,
+)
+from ..operators.multimodal import attach_binary_payload, extract_fake_features
+from ..operators.similarity import (
+    cosine_knn_bruteforce,
+    cosine_knn_lsh,
+    embedding_near_dup_pairs,
+)
+from ..sources import load_table
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ext_dedup_exact",
+    oracle="""
+    SELECT text, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+    FROM documents GROUP BY text
+    """,
+)
+def ext_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash group-by on text, deterministic survivor."""
+    return exact_dedup(load_table(spark, sf_dir, "documents"), ["text"], "doc_id")
+
+
+@register(
+    "ext_dedup_jaccard",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, source, lang,
+             list_distinct(string_split(lower(text), ' ')) AS toks
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+             / CAST(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+             AS jaccard
+    FROM tok a
+    JOIN tok b ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+            / CAST(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+          >= 0.9
+    """,
+)
+def ext_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard near-dup pairs, blocked on (source, lang)."""
+    return token_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), block_cols=("source", "lang"), threshold=0.9
+    )
+
+
+@register("ext_dedup_minhash")  # hash-seeded -> rows-only check
+def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs with exact-Jaccard verification (the
+    100 TB path: banded candidate join, nothing quadratic)."""
+    return minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), num_hashes=16, bands=4, threshold=0.5
+    )
+
+
+@register("ext_dedup_simhash")  # hash-seeded -> rows-only check
+def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash banded near-dup pairs (Hamming <= 6)."""
+    return simhash_near_dup_pairs(load_table(spark, sf_dir, "documents"), max_hamming=6)
+
+
+_EMB_COS = oracle_cosine("a.embedding", "b.embedding")
+
+
+@register(
+    "ext_dedup_embedding",
+    oracle=f"""
+    SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b, a.label AS label,
+           {_EMB_COS} AS score
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_EMB_COS} >= 0.3
+    """,
+)
+def ext_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs within label blocks (exact fold —
+    bitwise-identical to the oracle)."""
+    return embedding_near_dup_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.3)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_KNN_COS = oracle_cosine("q.qe", "v.embedding")
+
+
+@register(
+    "ext_knn_bruteforce",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8
+    ), scored AS (
+      SELECT q.query_id, v.vec_id AS nbr_id, {_KNN_COS} AS score
+      FROM embeddings v JOIN q ON v.vec_id <> q.query_id
+    )
+    SELECT query_id, nbr_id, score, rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY score DESC, nbr_id ASC) AS INT) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def ext_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for query vectors (id < 8): broadcast
+    queries over the corpus scan, per-query TakeOrdered."""
+    return cosine_knn_bruteforce(
+        load_table(spark, sf_dir, "embeddings"), query_ids_below=8, k=5
+    )
+
+
+@register("ext_knn_lsh")  # approximate recall -> rows-only check
+def ext_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 neighbors via random-hyperplane bucketing."""
+    return cosine_knn_lsh(load_table(spark, sf_dir, "embeddings"), query_ids_below=8, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ext_text_stats",
+    oracle="""
+    SELECT lang, source, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(len(string_split(lower(text), ' '))) AS BIGINT) AS total_tokens,
+           CAST(SUM(len(string_split(lower(text), ' '))) AS DOUBLE) / COUNT(*) AS avg_tokens
+    FROM documents GROUP BY lang, source
+    """,
+)
+def ext_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus statistics per (lang, source): doc/char/token totals."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = TX.token_count(F.col("text")).cast("long")
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(tok).alias("total_tokens"),
+        (F.sum(tok).cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+    )
+
+
+@register(
+    "ext_langid",
+    oracle=f"""
+    SELECT doc_id, lang AS actual_lang,
+           {TX.oracle_predicted_lang("text")} AS predicted_lang,
+           CASE WHEN {TX.oracle_predicted_lang("text")} = lang THEN 1 ELSE 0 END AS agree
+    FROM documents
+    """,
+)
+def ext_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-lexicon language-ID heuristic with deterministic argmax."""
+    d = load_table(spark, sf_dir, "documents")
+    pred = TX.predicted_lang(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("actual_lang"),
+        pred.alias("predicted_lang"),
+        F.when(pred == F.col("lang"), 1).otherwise(0).alias("agree"),
+    )
+
+
+@register(
+    "ext_quality",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(string_split(lower(text), ' ')) AS INT) AS n_tokens,
+           {TX.oracle_quality_score("text")} AS quality
+    FROM documents
+    """,
+)
+def ext_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic [0,1] quality heuristic (length/punct/stopwords)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.token_count(F.col("text")).alias("n_tokens"),
+        TX.quality_score(F.col("text")).alias("quality"),
+    )
+
+
+@register(
+    "ext_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_tokens_ws,
+           CAST(len(regexp_extract_all(text, '{TX.TOKEN_REGEX}')) AS INT) AS n_tokens_regex
+    FROM documents
+    """,
+)
+def ext_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace and BPE-ish-regex token counts."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens_ws"),
+        TX.regex_token_count(F.col("text")).alias("n_tokens_regex"),
+    )
+
+
+@register(
+    "ext_fingerprint",
+    oracle=f"""
+    SELECT doc_id, {TX.oracle_fingerprint("text")} AS fingerprint
+    FROM documents
+    """,
+)
+def ext_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling-hash document fingerprint (exact int64 fold)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.fingerprint(F.col("text")).alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ext_multimodal_features",
+    oracle=f"""
+    SELECT doc_id AS media_id,
+           CAST(length(text) AS INT) AS n_bytes,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(string_split(text, ''), ch -> CAST(ascii(ch) AS BIGINT))),
+             (acc, x) -> acc + x) % 2147483647 AS checksum,
+           list_transform(range(0, {8}), j ->
+             CAST((((list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(text, ''), ch -> CAST(ascii(ch) AS BIGINT))),
+               (acc, x) -> acc + x) % 2147483647) * 31 + j) % 997) AS DOUBLE) / 997.0
+           ) AS fake_embedding
+    FROM documents
+    """,
+)
+def ext_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload media pipeline: documents -> opaque binary + metadata
+    -> Arrow-batched mapInPandas feature extraction (decode stage stubbed,
+    see operators.multimodal). Oracle-checkable because the fake decode is
+    byte arithmetic over ASCII payloads."""
+    media = attach_binary_payload(load_table(spark, sf_dir, "documents"))
+    return extract_fake_features(media)

@@ -14,6 +14,7 @@ Live-database extraction (the reference's SQLite/MySQL role) maps to
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 # Driver-generated test tables (TESTDATA.md). One parquet file per table.
 TABLES = (
@@ -31,7 +32,21 @@ TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Scan one table. Lazy — nothing is read until an action runs."""
+    """Scan one table. Lazy — nothing is read until an action runs.
+
+    The events table stores ``ts`` as parquet TIMESTAMP(NANOS), which
+    Spark's vectorized reader rejects outright. Read it as raw int64
+    nanoseconds (legacy conf) and convert with exact integer division —
+    NOT float division: epoch-nanos exceed 2^53, doubles would corrupt
+    timestamps. DuckDB truncates nanos->micros the same way, so the
+    oracle agrees.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -1,0 +1,141 @@
+"""Structured Streaming operators (SURVEY §2.J extension surface).
+
+The reference is a one-shot batch ETL; 'Real-time Updates: Incremental ETL'
+is listed as future work only (README:177). This module supplies that
+future work Spark-natively: the SAME windowed aggregations as the batch
+queries in queries.events_windows, expressed over an unbounded source with
+watermarks for late data, plus streaming dedup and a custom stateful
+operator (applyInPandasWithState).
+
+Correctness strategy: streams have no SQL oracle, so pytest runs each
+stream with trigger(availableNow) against the static events table and
+compares to the batch twin (tests/test_streaming.py).
+
+Scale notes: watermark horizon bounds state size; session windows merge
+state per key (user) — a skewed user becomes a hot key, mitigable by
+pre-bucketing user_id. File sources at 100 TB should be replaced by a
+replayable log (Kafka) with maxFilesPerTrigger/maxOffsetsPerTrigger
+backpressure.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Raw schema as stored: ts is parquet TIMESTAMP(NANOS) read as int64
+# (see sources.parquet.load_table for the batch-side handling).
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.LongType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (schema pinned — no
+    inference on streams), nanos converted by exact integer division."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # File-stream sources need a directory basePath; the testdata ships one
+    # flat file per table, so stream the directory with a glob filter.
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def stream_tumbling_agg(events: DataFrame, *, watermark: str = "1 hour") -> DataFrame:
+    """Tumbling 10-minute windows per event type with late-data handling:
+    events older than the watermark horizon are dropped, windows finalize
+    once the watermark passes window_end (append mode)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def stream_session_agg(events: DataFrame, *, gap: str = "30 minutes", watermark: str = "1 hour") -> DataFrame:
+    """Per-user session windows (30-min inactivity gap) on a stream —
+    sessions merge as events arrive and close when the watermark passes."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def stream_dedup(events: DataFrame, *, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup on event_id with bounded state:
+    dropDuplicatesWithinWatermark keeps keys only inside the horizon."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+_USER_TOTALS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("n_events", T.LongType(), False),
+        T.StructField("total_value", T.DoubleType(), False),
+    ]
+)
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType(), False),
+        T.StructField("total", T.DoubleType(), False),
+    ]
+)
+
+
+def stream_stateful_user_totals(events: DataFrame, *, watermark: str = "1 hour") -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: running
+    per-user event counts and value totals across micro-batches (the
+    escape hatch for operators no built-in window expresses)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs: Iterator, state: GroupState):
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=_USER_TOTALS_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,96 @@
+"""Streaming operators vs their batch twins: run each stream with
+trigger(availableNow) over the static events table, land in a memory
+sink, compare to the batch computation (streams have no SQL oracle)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import PARITY_SF_DIR
+
+from film_media_etl_spark.sources import load_table
+from film_media_etl_spark.streaming import (
+    read_events_stream,
+    stream_dedup,
+    stream_session_agg,
+    stream_stateful_user_totals,
+    stream_tumbling_agg,
+)
+
+
+def _run_to_memory(stream_df, name: str, *, output_mode: str) -> None:
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+
+
+@pytest.fixture(scope="module")
+def batch_events(spark):
+    return load_table(spark, PARITY_SF_DIR, "events")
+
+
+def test_stream_tumbling_matches_batch(spark, batch_events):
+    s = stream_tumbling_agg(read_events_stream(spark, PARITY_SF_DIR))
+    _run_to_memory(s, "t_tumbling", output_mode="append")
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.table("t_tumbling").collect()
+    }
+    expected = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in (
+            batch_events.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+            .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+        ).collect()
+    }
+    # availableNow + watermark: every window is final once the source drains
+    # except those within the final watermark horizon; all-but-horizon must
+    # match the batch result exactly.
+    assert got, "stream produced no windows"
+    for k, v in got.items():
+        assert expected[k][0] == v[0]
+        assert abs(expected[k][1] - v[1]) < 1e-6
+
+
+def test_stream_session_runs(spark):
+    s = stream_session_agg(read_events_stream(spark, PARITY_SF_DIR))
+    _run_to_memory(s, "t_session", output_mode="append")
+    rows = spark.table("t_session").collect()
+    # sessions inside the final watermark horizon stay open; emitted ones
+    # must be well-formed
+    for r in rows:
+        assert r["session_end"] > r["session_start"]
+        assert r["n_events"] >= 1
+
+
+def test_stream_dedup_counts(spark, batch_events):
+    s = stream_dedup(read_events_stream(spark, PARITY_SF_DIR))
+    _run_to_memory(s, "t_dedup", output_mode="append")
+    assert spark.table("t_dedup").count() == batch_events.select("event_id").distinct().count()
+
+
+def test_stream_stateful_user_totals(spark, batch_events):
+    s = stream_stateful_user_totals(read_events_stream(spark, PARITY_SF_DIR))
+    _run_to_memory(s, "t_state", output_mode="update")
+    # last update per user must equal the batch totals
+    final = {}
+    for r in spark.table("t_state").collect():
+        final[r["user_id"]] = (r["n_events"], r["total_value"])
+    expected = {
+        r["user_id"]: (r["n"], r["tv"])
+        for r in batch_events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("tv"))
+        .collect()
+    }
+    assert set(final) == set(expected)
+    for u, (n, tv) in expected.items():
+        assert final[u][0] == n
+        assert abs(final[u][1] - tv) < 1e-6

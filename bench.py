@@ -1,0 +1,79 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {"q": sec}, "sf": ...}
+
+Execution is forced with a noop sink (full computation, no driver collect)
+so timings measure the distributed plan, not result serialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from film_media_etl_spark.queries import all_queries  # noqa: E402
+from film_media_etl_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "flagship_revenue_by_year",
+    "star_fact_sales",            # full star-ETL fact build (joins + windows)
+    "report_r03_top_countries_quarters",
+    "report_r08_quarterly_product",
+    "op24_conditional_pivot",
+    "op26_rollup",
+    "ext_dedup_minhash",
+    "ext_dedup_exact",
+    "ext_knn_bruteforce",
+    "ext_window_sliding",
+    "ext_text_stats",
+    "ext_langid",
+]
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = all_queries()
+
+    # JVM/codegen warm-up outside the timed region.
+    qs["flagship_revenue_by_year"](spark, sf_dir).write.mode("overwrite").format(
+        "noop"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_from_dir(sf_dir),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

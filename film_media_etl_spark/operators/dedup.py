@@ -78,9 +78,9 @@ def minhash_lsh_pairs(
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
-    num_hashes: int = 16,
-    bands: int = 4,
-    threshold: float = 0.5,
+    num_hashes: int = 30,
+    bands: int = 3,
+    threshold: float = 0.9,
 ) -> DataFrame:
     """MinHash + banded LSH near-dup join, verified with exact Jaccard.
 
@@ -88,11 +88,21 @@ def minhash_lsh_pairs(
       tokens -> explode -> per-doc min of xxhash64(token, seed_i)  [shuffle 1]
       signatures -> band hashes -> explode bands                   [narrow]
       self-equi-join on (band, band_hash), id< id                  [shuffle 2]
-      distinct candidates -> exact-Jaccard verify                  [shuffle 3]
+      distinct candidates -> size-ratio prune -> exact-Jaccard     [shuffle 3]
+
+    Parameter choice is the scale lever: the LSH s-curve midpoint is
+    (1/bands)^(1/rows) — defaults put it at (1/3)^(1/10) ~= 0.896, i.e.
+    at the 0.9 near-dup threshold. On a corpus whose *base* pairwise
+    similarity is high (this testdata averages ~0.63), short bands (4
+    rows) collide at J^4 ~= 16% of ALL pairs — candidate volume goes
+    quadratic. Ten-row bands collide at J^10 ~= 1%, keeping candidates
+    linear while recall at 0.9 stays ~0.72 (1-(1-0.9^10)^3).
 
     At 100 TB nothing here is quadratic: candidate volume is bounded by
     real collisions, and each join is a plain hash shuffle AQE can skew-
-    split. Rows-only correctness check (hash seeds are engine-specific).
+    split. A size-ratio prune (|A|/|B| >= t is necessary for J >= t)
+    drops candidates before the array-intersect verify. Rows-only
+    correctness check (hash seeds are engine-specific).
     """
     rows = num_hashes // bands
     toks = docs.select(
@@ -133,6 +143,13 @@ def minhash_lsh_pairs(
     j = (
         cand.join(tsets.withColumnRenamed("doc_id", "doc_id_a").withColumnRenamed("toks", "ta"), "doc_id_a")
         .join(tsets.withColumnRenamed("doc_id", "doc_id_b").withColumnRenamed("toks", "tb"), "doc_id_b")
+        # |A ∩ B| <= min(|A|,|B|), so J >= t requires min/max >= t: prune
+        # before the O(|A|+|B|) array_intersect.
+        .where(
+            F.least(F.size("ta"), F.size("tb")).cast("double")
+            / F.greatest(F.size("ta"), F.size("tb")).cast("double")
+            >= F.lit(threshold)
+        )
     )
     inter = F.size(F.array_intersect(F.col("ta"), F.col("tb")))
     union = F.size("ta") + F.size("tb") - inter

@@ -74,7 +74,7 @@ def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs with exact-Jaccard verification (the
     100 TB path: banded candidate join, nothing quadratic)."""
     return minhash_lsh_pairs(
-        load_table(spark, sf_dir, "documents"), num_hashes=16, bands=4, threshold=0.5
+        load_table(spark, sf_dir, "documents"), num_hashes=30, bands=3, threshold=0.9
     )
 
 

@@ -16,11 +16,12 @@ Design decisions vs the reference:
 - Surrogate keys are deterministic ``row_number()`` over a canonical sort
   (reference: MySQL AUTO_INCREMENT). NOT monotonically_increasing_id —
   that is partition-dependent and breaks reproducible oracle checks.
-  SCALE NOTE: a global row_number is a single-partition window; at 100 TB
-  replace the *fact* key with a collision-free composite/hash key and keep
-  row_number only for the (small) dimensions. The testdata's lineitem has
+  Dimensions (small) use a plain global window; the FACT key uses
+  ``_global_index`` — a bucketed two-pass global row number that sorts on
+  nbuckets partitions in parallel instead of collapsing the fact to a
+  single partition (see its docstring). The testdata's lineitem has
   no unique natural key (verified: (l_orderkey, l_linenumber) has dups),
-  so the fact key here orders by every column — deterministic even under
+  so the fact key orders by every column — deterministic even under
   full-row duplicates.
 - The per-row R which() lookups (` loadAnalyticsDB...R`:469-480, the O(n·m)
   hot path) become broadcast hash joins with COALESCE fallbacks:
@@ -170,6 +171,46 @@ def build_dim_product(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _global_index(
+    df: DataFrame,
+    order_cols: list[str],
+    leading_key: str,
+    *,
+    nbuckets: int = 64,
+    out_col: str = "_idx",
+) -> DataFrame:
+    """Deterministic global row_number over ``order_cols``, computed in
+    parallel — the scale-safe replacement for a global (single-partition)
+    window.
+
+    Because ``leading_key`` is the first column of the canonical order,
+    ``bucket = floor((key - min) / span)`` is monotone in that order and
+    ties (equal keys) always land in the same bucket. The global index is
+    then  offset(bucket) + row_number within bucket  — bit-identical to
+    ``ROW_NUMBER() OVER (ORDER BY order_cols)`` but the sort runs on
+    ``nbuckets`` partitions instead of one. The offsets come from a tiny
+    count-per-bucket aggregate (<= nbuckets rows to the driver), the same
+    two-pass shape as the reference's date-range detection
+    (` loadAnalyticsDB...R`:59-92). At cluster scale raise ``nbuckets``
+    to ~2-3x total cores."""
+    lo, hi = df.agg(F.min(leading_key), F.max(leading_key)).first()
+    span = max(1, ((int(hi) - int(lo)) // nbuckets) + 1)
+    dfb = df.withColumn(
+        "_bucket", F.floor((F.col(leading_key) - F.lit(int(lo))) / F.lit(span)).cast("int")
+    )
+    counts = dfb.groupBy("_bucket").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    offsets: dict[int, int] = {}
+    acc = 0
+    for row in sorted(counts, key=lambda r: r["_bucket"]):
+        offsets[row["_bucket"]] = acc
+        acc += row["cnt"]
+    omap = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    w = Window.partitionBy("_bucket").orderBy(*order_cols)
+    return dfb.withColumn(
+        out_col, (omap[F.col("_bucket")] + F.row_number().over(w)).cast("long")
+    ).drop("_bucket")
+
+
 # Canonical total order for the fact surrogate key: every lineitem column,
 # so row_number is deterministic even under full-row duplicates (the
 # testdata has duplicate (l_orderkey, l_linenumber) pairs — verified).
@@ -207,8 +248,12 @@ def build_fact_sales(
     dp = (dim_product or build_dim_product(spark, sf_dir)).alias("dp")
 
     base = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .withColumn("fact_key", F.row_number().over(Window.orderBy(*_FACT_ORDER)).cast("long"))
+        _global_index(
+            li.join(o, li.l_orderkey == o.o_orderkey),
+            _FACT_ORDER,
+            "l_orderkey",
+            out_col="fact_key",
+        )
         .select(
             "fact_key",
             smart_date_key("o_orderdate").alias("date_key"),
@@ -264,13 +309,37 @@ def build_fact_sales(
         Window.partitionBy("year", "quarter").orderBy("date_key", "fact_key").rowsBetween(*frame)
     )
     w_m = Window.partitionBy("year", "month").orderBy("date_key", "fact_key").rowsBetween(*frame)
+    # Same-spec columns adjacent -> one Window node per spec; coarsest
+    # partitioning (year) first -> a single exchange on year, after which
+    # the (year,quarter)/(year,month) clustered requirements are satisfied
+    # by the subset rule and only add a re-sort, not a reshuffle.
     return (
         resolved.withColumn("revenue_ytd", F.sum("revenue").over(w_y).cast(AGG_DECIMAL))
-        .withColumn("revenue_qtd", F.sum("revenue").over(w_q).cast(AGG_DECIMAL))
-        .withColumn("revenue_mtd", F.sum("revenue").over(w_m).cast(AGG_DECIMAL))
         .withColumn("units_ytd", F.sum("units_sold").over(w_y).cast("long"))
+        .withColumn("revenue_qtd", F.sum("revenue").over(w_q).cast(AGG_DECIMAL))
         .withColumn("units_qtd", F.sum("units_sold").over(w_q).cast("long"))
+        .withColumn("revenue_mtd", F.sum("revenue").over(w_m).cast(AGG_DECIMAL))
         .withColumn("units_mtd", F.sum("units_sold").over(w_m).cast("long"))
+        .select(
+            "fact_key",
+            "date_key",
+            "customer_key",
+            "location_key",
+            "product_key",
+            "units_sold",
+            "revenue",
+            "year",
+            "quarter",
+            "month",
+            "product_type",
+            "country",
+            "revenue_ytd",
+            "revenue_qtd",
+            "revenue_mtd",
+            "units_ytd",
+            "units_qtd",
+            "units_mtd",
+        )
     )
 
 

@@ -139,25 +139,42 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
         .distinct()
     )
-    tsets = docs.select(F.col(id_col).alias("doc_id"), _token_set(F.col(text_col)).alias("toks"))
-    j = (
-        cand.join(tsets.withColumnRenamed("doc_id", "doc_id_a").withColumnRenamed("toks", "ta"), "doc_id_a")
-        .join(tsets.withColumnRenamed("doc_id", "doc_id_b").withColumnRenamed("toks", "tb"), "doc_id_b")
-        # |A ∩ B| <= min(|A|,|B|), so J >= t requires min/max >= t: prune
-        # before the O(|A|+|B|) array_intersect.
+    # Verify on token-HASH sets (array<long>): same set cardinalities as
+    # the string sets (xxhash64 collisions negligible), but long compares
+    # instead of string compares in the hot array_intersect. Sizes ride
+    # along so the ratio prune (min/max >= t is necessary for J >= t)
+    # fires before the O(|A|+|B|) intersect; `inter` is materialized as a
+    # column once instead of re-evaluating the intersect inside the
+    # jaccard expression.
+    tsets = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(F.transform(_token_set(F.col(text_col)), lambda t: F.xxhash64(t))).alias("toks"),
+    ).withColumn("nt", F.size("toks"))
+    return (
+        cand.join(
+            tsets.select(
+                F.col("doc_id").alias("doc_id_a"), F.col("toks").alias("ta"), F.col("nt").alias("na")
+            ),
+            "doc_id_a",
+        )
+        .join(
+            tsets.select(
+                F.col("doc_id").alias("doc_id_b"), F.col("toks").alias("tb"), F.col("nt").alias("nb")
+            ),
+            "doc_id_b",
+        )
         .where(
-            F.least(F.size("ta"), F.size("tb")).cast("double")
-            / F.greatest(F.size("ta"), F.size("tb")).cast("double")
+            F.least("na", "nb").cast("double") / F.greatest("na", "nb").cast("double")
             >= F.lit(threshold)
         )
-    )
-    inter = F.size(F.array_intersect(F.col("ta"), F.col("tb")))
-    union = F.size("ta") + F.size("tb") - inter
-    return (
-        j.select(
+        .withColumn("inter", F.size(F.array_intersect("ta", "tb")))
+        .select(
             "doc_id_a",
             "doc_id_b",
-            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+            (
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
     )

@@ -14,5 +14,6 @@ from . import star_etl  # noqa: E402,F401  star-schema pipeline
 from . import reports  # noqa: E402,F401  rmd report workload
 from . import extensions  # noqa: E402,F401  dedup/similarity/text
 from . import events_windows  # noqa: E402,F401  §2.J batch-window surface
+from . import io_formats  # noqa: E402,F401  csv/json/orc/partitioned + JSON col
 
 __all__ = ["EngineQuery", "register", "get", "all_queries", "all_oracles"]

@@ -1,0 +1,130 @@
+"""Source/sink format coverage as oracle-checked queries: CSV, JSON-lines,
+ORC, hive-partitioned parquet, and JSON column extraction.
+
+Each roundtrip writes the table through the format under test and scans
+it back — the oracle reads the original parquet, so a value-hash match
+proves the format path is lossless for the types involved. The
+partitioned-fact query additionally feeds tests/test_plans.py, which
+asserts the year filter becomes a PartitionFilter (directory pruning).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from ..sources.formats import (
+    read_csv,
+    read_jsonl,
+    read_orc,
+    write_csv,
+    write_jsonl,
+    write_orc,
+    write_partitioned,
+)
+from .registry import register
+
+
+def _tmp(sf_dir: str, leaf: str) -> str:
+    return os.path.join(
+        tempfile.gettempdir(), "fmes_io", os.path.basename(sf_dir.rstrip("/")), leaf
+    )
+
+
+@register(
+    "ext_csv_roundtrip",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def ext_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink+source with explicit schema (ingest-only format: no
+    pushdown, no stats — land to parquet before repeated querying)."""
+    src = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    path = _tmp(sf_dir, "nation_csv")
+    write_csv(src, path)
+    return read_csv(spark, path, src.schema)
+
+
+@register(
+    "ext_jsonl_roundtrip",
+    oracle="SELECT r_regionkey, r_name FROM region",
+)
+def ext_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink+source with explicit schema."""
+    src = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    path = _tmp(sf_dir, "region_jsonl")
+    write_jsonl(src, path)
+    return read_jsonl(spark, path, src.schema)
+
+
+@register(
+    "ext_orc_roundtrip",
+    oracle="SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+)
+def ext_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink+source (columnar alternative; schema travels with files)."""
+    src = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    path = _tmp(sf_dir, "supplier_orc")
+    write_orc(src, path)
+    return read_orc(spark, path)
+
+
+@register(
+    "ext_partitioned_scan",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(year(o_orderdate) AS INT) AS year
+    FROM orders
+    WHERE CAST(year(o_orderdate) AS INT) = (
+      SELECT CAST(MAX(year(o_orderdate)) AS INT) FROM orders)
+    """,
+)
+def ext_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned warehouse layout: write orders partitioned by
+    year, scan back with a year predicate. The filter prunes at the
+    DIRECTORY level (PartitionFilters, asserted in tests/test_plans.py) —
+    the scale replacement for the reference's secondary fact indexes
+    (createStarSchema...R:168-172)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        F.year("o_orderdate").alias("year"),
+    )
+    path = _tmp(sf_dir, "orders_by_year")
+    write_partitioned(o, path, ["year"])
+    top_year = o.agg(F.max("year")).first()[0]
+    back = spark.read.parquet(path).where(F.col("year") == top_year)
+    return back.select(
+        "o_orderkey", "o_custkey", "o_totalprice", F.col("year").cast("int").alias("year")
+    )
+
+
+@register(
+    "ext_json_props",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS k_total,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS k_max
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def ext_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column extraction: parse the events.props JSON
+    string JVM-side (get_json_object — no Python in the hot path) and
+    aggregate the extracted field per event type."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k).cast("long").alias("k_total"),
+        F.max(k).cast("int").alias("k_max"),
+    )

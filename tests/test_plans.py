@@ -1,0 +1,82 @@
+"""Physical-plan audits: assert the engine's queries produce the plans
+we'd want at 100 TB — filters pushed to the parquet scan, read schemas
+pruned, dimension joins broadcast, no cartesian products, whole-stage
+codegen alive. These are the scale guarantees that correctness tests
+can't see."""
+
+from __future__ import annotations
+
+from conftest import PARITY_SF_DIR
+
+from film_media_etl_spark.etl.star import build_fact_sales
+from film_media_etl_spark.plans import (
+    assert_broadcast_join,
+    assert_no_cartesian,
+    assert_pushed_filters,
+    assert_read_schema_pruned,
+    assert_whole_stage_codegen,
+    plan_summary,
+)
+from film_media_etl_spark.queries import all_queries
+
+
+def _q(name, spark):
+    return all_queries()[name](spark, PARITY_SF_DIR)
+
+
+def test_flagship_pushdown_and_pruning(spark):
+    df = _q("flagship_revenue_by_year", spark)
+    # join-key null rejection reaches both scans
+    assert_pushed_filters(df, "IsNotNull(l_orderkey)", "IsNotNull(o_orderkey)")
+    # revenue-by-year needs few lineitem columns; a full-width scan is wrong
+    assert_read_schema_pruned(df, "lineitem", 4)
+    assert_whole_stage_codegen(df)
+    assert_no_cartesian(df)
+
+
+def test_filter_ops_push_to_scan(spark):
+    assert_pushed_filters(_q("op07_filter_notnull", spark), "o_orderdate")
+    assert_pushed_filters(_q("op08_filter_compare", spark), "o_totalprice")
+    assert_pushed_filters(_q("op09_filter_inlist", spark), "In(")
+
+
+def test_snowflake_join_broadcasts_dims(spark):
+    df = _q("op14_multiway_inner_join", spark)
+    assert_broadcast_join(df, 2)  # nation and region ride broadcast
+    assert_no_cartesian(df)
+
+
+def test_fact_build_is_parallel_and_broadcast(spark):
+    fact = build_fact_sales(spark, PARITY_SF_DIR)
+    s = plan_summary(fact)
+    # dim lookups are broadcast hash joins (reference's per-row which()
+    # loops, ` loadAnalyticsAB...R`:469-480, must not become shuffles)
+    assert s["broadcast_hash_joins"] >= 5
+    assert s["cartesian_products"] == 0
+    # the fact's own lineage must never collapse to a single partition;
+    # the only SinglePartition exchanges allowed are the tiny dimension
+    # surrogate-key windows (3 dims)
+    assert s["single_partition_exchanges"] <= 3
+
+
+def test_topk_is_takeordered_not_full_sort(spark):
+    from film_media_etl_spark.plans import physical_plan
+
+    plan = physical_plan(_q("op29_topk_limit", spark))
+    assert "TakeOrderedAndProject" in plan, "top-k should not globally sort"
+
+
+def test_dedup_minhash_no_cartesian(spark):
+    df = _q("ext_dedup_minhash", spark)
+    assert_no_cartesian(df)
+
+
+def test_partitioned_scan_prunes_directories(spark):
+    from film_media_etl_spark.plans import physical_plan
+
+    df = _q("ext_partitioned_scan", spark)
+    plan = physical_plan(df)
+    m = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert m and "year" in m[0].split("PartitionFilters")[1][:80], (
+        "year predicate did not become a PartitionFilter (directory pruning)"
+    )

@@ -1,0 +1,55 @@
+"""Scale-technique operators as oracle-checked queries.
+
+Results are salt-invariant, so the DuckDB oracle is the PLAIN group-by:
+a value-hash match proves the skew-proof plan computes the identical
+aggregate. Sums run in DECIMAL so associativity is exact — a double sum
+would drift with addition order across salt buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.skew import salted_aggregate
+from ..sources import load_table
+from .registry import register
+
+
+@register(
+    "ext_salted_agg",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total_value,
+           CAST(MIN(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS min_value,
+           CAST(MAX(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS max_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def ext_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof two-stage aggregation over the 5-hot-key events table:
+    event_type has only 5 distinct values, so a plain groupBy occupies 5
+    reducers no matter the cluster size; salting spreads each key over 32
+    sub-groups first (operators/skew.py)."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "value_dec", F.col("value").cast("decimal(18,4)")
+    )
+    out = salted_aggregate(
+        ev,
+        ["event_type"],
+        {
+            "n_events": ("count", "value_dec"),
+            "total_value": ("sum", "value_dec"),
+            "min_value": ("min", "value_dec"),
+            "max_value": ("max", "value_dec"),
+        },
+    )
+    return out.select(
+        "event_type",
+        "n_events",
+        F.col("total_value").cast("decimal(38,4)").alias("total_value"),
+        "min_value",
+        "max_value",
+    )

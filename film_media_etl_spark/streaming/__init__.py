@@ -1,9 +1,10 @@
+from .incremental import incremental_fact, read_lineitem_stream, start_incremental_load
 from .windows import (
     read_events_stream,
+    stream_dedup,
     stream_session_agg,
     stream_stateful_user_totals,
     stream_tumbling_agg,
-    stream_dedup,
 )
 
 __all__ = [
@@ -12,4 +13,7 @@ __all__ = [
     "stream_session_agg",
     "stream_dedup",
     "stream_stateful_user_totals",
+    "read_lineitem_stream",
+    "incremental_fact",
+    "start_incremental_load",
 ]

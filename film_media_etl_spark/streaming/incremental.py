@@ -1,0 +1,129 @@
+"""Incremental star-schema ETL — the reference lists "Real-time Updates:
+Incremental ETL for daily refreshes" as future work (README.md:177); this
+module implements it as Structured Streaming.
+
+Dataflow: new lineitem files arrive -> stream-static join to orders and
+the (small, broadcast) dimensions -> append to the year-partitioned
+warehouse parquet. Each micro-batch is exactly the batch fact pipeline
+minus two things that are impossible or wrong on unbounded data:
+
+- no global surrogate fact_key: a global row number cannot be assigned
+  incrementally; incremental facts carry a content-derived identity
+  (xxhash64 over the canonical column order) instead. Collision-free in
+  practice and stable across replays, which a counter would not be.
+- no YTD/QTD/MTD columns: to-date measures over an unbounded stream
+  would mean ever-growing state for every open year; the warehouse
+  pattern is incremental append + periodic batch backfill of to-date
+  measures (etl/star.py owns that computation).
+
+Exactly-once: the file source + checkpoint + parquet sink give
+end-to-end exactly-once on replays (source offsets and sink commits are
+both checkpointed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..etl.star import _FACT_ORDER, build_dim_customer, build_dim_location, build_dim_product
+from ..functions.dates import smart_date_key
+from ..functions.money import ROW_DECIMAL, dec
+from ..sources import load_table
+
+
+def read_lineitem_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream of lineitem; schema pinned from a static scan
+    (never inference on a stream), one file per trigger to emulate
+    daily-drop ingestion."""
+    schema = load_table(spark, sf_dir, "lineitem").schema
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "lineitem.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(sf_dir)
+    )
+
+
+def incremental_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming fact rows: stream-static joins against orders + dims.
+
+    The static sides are re-read per micro-batch (picking up dimension
+    changes between triggers — slowly-changing dims come for free); all
+    three dim joins broadcast, so the stream side never shuffles."""
+    li = read_lineitem_stream(spark, sf_dir)
+    o = load_table(spark, sf_dir, "orders")
+    dc = build_dim_customer(spark, sf_dir).alias("dc")
+    dl = build_dim_location(spark, sf_dir).alias("dl")
+    dp = build_dim_product(spark, sf_dir).alias("dp")
+
+    base = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .withColumn("fact_id", F.xxhash64(*_FACT_ORDER))
+        .select(
+            "fact_id",
+            smart_date_key("o_orderdate").alias("date_key"),
+            F.col("o_custkey").alias("customer_id"),
+            F.col("l_partkey").alias("product_id"),
+            F.col("l_quantity").cast("int").alias("units_sold"),
+            dec(
+                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")), ROW_DECIMAL
+            ).alias("revenue"),
+            F.year("o_orderdate").alias("year"),
+            F.quarter("o_orderdate").alias("quarter"),
+            F.month("o_orderdate").alias("month"),
+        )
+        .alias("f")
+    )
+    return (
+        base.join(
+            F.broadcast(dc),
+            (F.col("f.customer_id") == F.col("dc.customer_id"))
+            & (F.col("dc.customer_type") == "film"),
+            "left",
+        )
+        .join(
+            F.broadcast(dl),
+            (F.col("dl.country") == F.col("dc.country"))
+            & ((F.col("dl.city") == F.col("dc.city")) | F.col("dl.city").isNull())
+            & ((F.col("dl.state") == F.col("dc.state")) | F.col("dl.state").isNull()),
+            "left",
+        )
+        .join(F.broadcast(dp), F.col("f.product_id") == F.col("dp.product_id"), "left")
+        .select(
+            "f.fact_id",
+            "f.date_key",
+            F.col("dc.customer_key").alias("customer_key"),
+            F.coalesce(F.col("dl.location_key"), F.lit(1)).alias("location_key"),
+            F.coalesce(F.col("dp.product_key"), F.lit(1)).alias("product_key"),
+            "f.units_sold",
+            "f.revenue",
+            "f.year",
+            "f.quarter",
+            "f.month",
+        )
+    )
+
+
+def start_incremental_load(
+    spark: SparkSession,
+    sf_dir: str,
+    out_path: str,
+    checkpoint: str,
+    *,
+    available_now: bool = True,
+):
+    """Run the incremental load into a year-partitioned warehouse table.
+    ``available_now=True`` drains what exists and stops (the 'daily
+    refresh' shape); False runs continuously."""
+    fact = incremental_fact(spark, sf_dir)
+    writer = (
+        fact.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .partitionBy("year")
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

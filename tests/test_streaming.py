@@ -77,6 +77,34 @@ def test_stream_dedup_counts(spark, batch_events):
     assert spark.table("t_dedup").count() == batch_events.select("event_id").distinct().count()
 
 
+def test_incremental_fact_load_matches_batch(spark, tmp_path):
+    """Incremental (streaming) warehouse load == batch fact build on the
+    same input: identical row count, identical revenue total, and the
+    sink is year-partitioned on disk."""
+    import os
+
+    from film_media_etl_spark.etl.star import build_fact_sales
+    from film_media_etl_spark.streaming import start_incremental_load
+
+    out = str(tmp_path / "warehouse_fact")
+    ckpt = str(tmp_path / "ckpt")
+    q = start_incremental_load(spark, PARITY_SF_DIR, out, ckpt)
+    q.awaitTermination(120)
+    assert not q.isActive
+
+    got = spark.read.parquet(out)
+    batch = build_fact_sales(spark, PARITY_SF_DIR)
+    assert got.count() == batch.count()
+    g = got.agg(F.sum("revenue").alias("r"), F.sum("units_sold").alias("u")).first()
+    b = batch.agg(F.sum("revenue").alias("r"), F.sum("units_sold").alias("u")).first()
+    assert g["r"] == b["r"] and g["u"] == b["u"]
+    assert any(d.startswith("year=") for d in os.listdir(out)), "sink not partitioned by year"
+    # replay with the same checkpoint: exactly-once, no duplicate append
+    q2 = start_incremental_load(spark, PARITY_SF_DIR, out, ckpt)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == batch.count()
+
+
 def test_stream_stateful_user_totals(spark, batch_events):
     s = stream_stateful_user_totals(read_events_stream(spark, PARITY_SF_DIR))
     _run_to_memory(s, "t_state", output_mode="update")

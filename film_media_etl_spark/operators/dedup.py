@@ -38,6 +38,20 @@ def _token_set(text: Column) -> Column:
     return F.array_distinct(F.split(F.lower(text), " "))
 
 
+def _shingle_set(text: Column, n: int) -> Column:
+    """Distinct word n-gram shingles, as space-joined strings. Pure
+    higher-order-function expression (F.get is 0-indexed, column-valued
+    indices allowed). Documents shorter than n tokens yield an empty set
+    — the explicit guard matters because F.sequence(1, 0) would generate
+    a DESCENDING sequence, not an empty one."""
+    toks = F.split(F.lower(text), " ")
+    starts = F.sequence(F.lit(0), F.size(toks) - F.lit(n))
+    mk = lambda i: F.concat_ws(" ", *[F.get(toks, i + F.lit(j)) for j in range(n)])  # noqa: E731
+    return F.when(F.size(toks) >= n, F.array_distinct(F.transform(starts, mk))).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 def token_jaccard_pairs(
     docs: DataFrame,
     *,
@@ -68,6 +82,42 @@ def token_jaccard_pairs(
             F.col("a.doc_id").alias("doc_id_a"),
             F.col("b.doc_id").alias("doc_id_b"),
             jac.alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    block_cols: tuple[str, ...] = ("source", "lang"),
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact word-n-gram-shingle Jaccard near-dup join within blocks.
+
+    Shingles are order-sensitive where token sets are not: two documents
+    with the same vocabulary but different word order share tokens, not
+    n-grams — the standard sharpening for near-dup detection. Same
+    blocked-join shape (and 100 TB posture) as token_jaccard_pairs."""
+    t = docs.select(
+        F.col(id_col).alias("doc_id"), *block_cols, _shingle_set(F.col(text_col), n).alias("sh")
+    )
+    a, b = t.alias("a"), t.alias("b")
+    cond = F.col(f"a.{block_cols[0]}") == F.col(f"b.{block_cols[0]}")
+    for c in block_cols[1:]:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    cond = cond & (F.col("a.doc_id") < F.col("b.doc_id"))
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
     )

@@ -117,6 +117,90 @@ def cosine_knn_lsh(
     )
 
 
+def cosine_knn_ivf(
+    embeddings: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_ids_below: int = 8,
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate kNN: KMeans-partition the corpus
+    into ``nlist`` cells, search only each query's ``nprobe`` nearest
+    cells with exact cosine + top-k inside.
+
+    The 100 TB posture: training samples the corpus (KMeans fits on a
+    distributed aggregate, centroids are tiny driver state), assignment
+    is one narrow map, and the probe join is an equi-join on cell id —
+    the corpus is never crossed with itself. Recall/latency trades via
+    nprobe. Approximate by construction -> rows-only correctness check.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    base = embeddings.select(
+        F.col(id_col).alias("nbr_id"), to_double_vec(F.col(vec_col)).alias("nvec")
+    )
+    ml = base.withColumn("fv", array_to_vector("nvec"))
+    model = KMeans(k=nlist, seed=seed, featuresCol="fv", predictionCol="cell").fit(ml)
+    assigned = model.transform(ml).select("nbr_id", "nvec", "cell")
+
+    # Each query probes its nprobe nearest centroids. Centroids are a
+    # handful of doubles -> inline literals; argsort via array of
+    # (distance, cell) structs sorted lexicographically.
+    centers = [c.tolist() for c in model.clusterCenters()]
+
+    def _sqdist(vec, center: list[float]):
+        lits = F.array(*[F.lit(float(x)) for x in center])
+        return F.aggregate(
+            F.zip_with(vec, lits, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    probe_cells = F.slice(
+        F.transform(
+            F.array_sort(
+                F.array(
+                    *[
+                        F.struct(
+                            _sqdist(F.col("qvec"), c).alias("d"), F.lit(i).alias("cell")
+                        )
+                        for i, c in enumerate(centers)
+                    ]
+                )
+            ),
+            lambda s: s["cell"],
+        ),
+        1,
+        nprobe,
+    )
+    q = (
+        assigned.where(F.col("nbr_id") < query_ids_below)
+        .select(F.col("nbr_id").alias("query_id"), F.col("nvec").alias("qvec"))
+        .withColumn("cell", F.explode(probe_cells))
+    )
+    scored = (
+        assigned.alias("n")
+        .join(
+            F.broadcast(q).alias("q"),
+            (F.col("n.cell") == F.col("q.cell")) & (F.col("n.nbr_id") != F.col("q.query_id")),
+        )
+        .select(
+            "q.query_id", "n.nbr_id", cosine(F.col("q.qvec"), F.col("n.nvec")).alias("score")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("nbr_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "score", "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     *,

@@ -14,11 +14,13 @@ from ..functions.vectors import oracle_cosine
 from ..operators.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
+    ngram_jaccard_pairs,
     simhash_near_dup_pairs,
     token_jaccard_pairs,
 )
 from ..operators.multimodal import attach_binary_payload, extract_fake_features
 from ..operators.similarity import (
+    cosine_knn_ivf,
     cosine_knn_bruteforce,
     cosine_knn_lsh,
     embedding_near_dup_pairs,
@@ -66,6 +68,37 @@ def ext_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact token-set Jaccard near-dup pairs, blocked on (source, lang)."""
     return token_jaccard_pairs(
         load_table(spark, sf_dir, "documents"), block_cols=("source", "lang"), threshold=0.9
+    )
+
+
+@register(
+    "ext_dedup_ngram",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id, source, lang,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split(lower(text), ' ')) - 1, 0) + 1),
+               i -> string_split(lower(text), ' ')[i] || ' ' ||
+                    string_split(lower(text), ' ')[i + 1]
+             )) AS grams
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / CAST(len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             AS jaccard
+    FROM sh a
+    JOIN sh b ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+            / CAST(len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+          >= 0.8
+    """,
+)
+def ext_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-bigram shingle Jaccard near-dup pairs, blocked on
+    (source, lang) — order-sensitive where token sets are not."""
+    return ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), n=2, block_cols=("source", "lang"), threshold=0.8
     )
 
 
@@ -138,6 +171,15 @@ def ext_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ext_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 neighbors via random-hyperplane bucketing."""
     return cosine_knn_lsh(load_table(spark, sf_dir, "embeddings"), query_ids_below=8, k=5)
+
+
+@register("ext_knn_ivf")  # approximate recall -> rows-only check
+def ext_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 neighbors via IVF: KMeans cells + nprobe search
+    (operators/similarity.py:cosine_knn_ivf)."""
+    return cosine_knn_ivf(
+        load_table(spark, sf_dir, "embeddings"), query_ids_below=8, k=5, nlist=16, nprobe=4
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -346,15 +346,29 @@ def build_fact_sales(
 _STAR_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
 
 
-def build_star(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """Build (lazily) every star table; memoized per (session, sf_dir) so
-    the 15 report queries share one set of plans."""
+def build_star(
+    spark: SparkSession, sf_dir: str, *, materialize: bool = True
+) -> dict[str, DataFrame]:
+    """Build every star table; memoized per (session, sf_dir).
+
+    With ``materialize=True`` (default) the tables are WRITTEN once to a
+    session-scoped warehouse directory — the fact hive-partitioned by
+    year — and all subsequent queries scan that parquet. This is the
+    reference's actual architecture (reports query the loaded MySQL
+    warehouse, not the ETL; BusinessAnalysis...Rmd:40-44) and the scale
+    posture: the ETL runs once, the 15-report workload reads columnar
+    warehouse files with partition pruning, instead of re-running the
+    join+window pipeline per report (report r03's derived-table subquery
+    would otherwise recompute the whole fact twice in one query)."""
+    import os
+    import tempfile
+
     key = (id(spark), sf_dir.rstrip("/"))
     if key not in _STAR_CACHE:
         dc = build_dim_customer(spark, sf_dir)
         dl = build_dim_location(spark, sf_dir)
         dp = build_dim_product(spark, sf_dir)
-        _STAR_CACHE[key] = {
+        tables = {
             "dim_date": build_dim_date(spark, sf_dir),
             "dim_customer": dc,
             "dim_location": dl,
@@ -363,6 +377,20 @@ def build_star(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
                 spark, sf_dir, dim_customer=dc, dim_location=dl, dim_product=dp
             ),
         }
+        if materialize:
+            base = os.path.join(
+                tempfile.gettempdir(),
+                f"fmes_warehouse_{os.getpid()}",
+                os.path.basename(sf_dir.rstrip("/")),
+            )
+            for name, df in tables.items():
+                path = os.path.join(base, name)
+                writer = df.write.mode("overwrite")
+                if name == "fact_sales":
+                    writer = writer.partitionBy("year")
+                writer.parquet(path)
+                tables[name] = spark.read.parquet(path)
+        _STAR_CACHE[key] = tables
     return _STAR_CACHE[key]
 
 

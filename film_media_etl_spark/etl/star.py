@@ -363,7 +363,9 @@ def build_star(
     import os
     import tempfile
 
-    key = (id(spark), sf_dir.rstrip("/"))
+    # applicationId is unique per session lifetime; id(spark) could be
+    # reused by a new session at the same address after stop().
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
     if key not in _STAR_CACHE:
         dc = build_dim_customer(spark, sf_dir)
         dl = build_dim_location(spark, sf_dir)

@@ -51,6 +51,7 @@ from pyspark.sql import functions as F
 from ..functions.dates import month_name, smart_date_key, week_of_year_noniso
 from ..functions.money import AGG_DECIMAL, ROW_DECIMAL, dec
 from ..sources import load_table
+from .reference_semantics import fact_key_columns, offset_music_id, resolve_fact_keys
 
 # ---------------------------------------------------------------------------
 # Spark builders
@@ -69,7 +70,7 @@ def _geo_chain(spark: SparkSession, sf_dir: str, entity: str) -> DataFrame:
         )
     else:  # music source: suppliers, +10000 ID offset
         e = load_table(spark, sf_dir, "supplier").select(
-            (F.col("s_suppkey") + F.lit(10000)).alias("customer_id"),
+            offset_music_id(F.col("s_suppkey")).alias("customer_id"),
             F.col("s_name").alias("name"),
             F.col("s_nationkey").alias("nationkey"),
         )
@@ -271,36 +272,19 @@ def build_fact_sales(
     )
 
     # Dimension-key resolution: broadcast hash joins replacing the
-    # reference's per-row which() scans (` loadAnalyticsDB...R`:469-480).
-    resolved = (
-        base.join(
-            F.broadcast(dc),
-            (F.col("f.customer_id") == F.col("dc.customer_id"))
-            & (F.col("dc.customer_type") == "film"),
-            "left",
-        )
-        .join(
-            F.broadcast(dl),
-            (F.col("dl.country") == F.col("dc.country"))
-            & ((F.col("dl.city") == F.col("dc.city")) | F.col("dl.city").isNull())
-            & ((F.col("dl.state") == F.col("dc.state")) | F.col("dl.state").isNull()),
-            "left",
-        )
-        .join(F.broadcast(dp), F.col("f.product_id") == F.col("dp.product_id"), "left")
-        .select(
-            "f.fact_key",
-            "f.date_key",
-            F.col("dc.customer_key").alias("customer_key"),
-            F.coalesce(F.col("dl.location_key"), F.lit(1)).alias("location_key"),
-            F.coalesce(F.col("dp.product_key"), F.lit(1)).alias("product_key"),
-            "f.units_sold",
-            "f.revenue",
-            "f.year",
-            "f.quarter",
-            "f.month",
-            F.col("dp.product_type").alias("product_type"),
-            F.col("dc.country").alias("country"),
-        )
+    # reference's per-row which() scans — exact NULL/fallback semantics
+    # live in etl.reference_semantics.resolve_fact_keys.
+    resolved = resolve_fact_keys(base, dc, dl, dp).select(
+        "f.fact_key",
+        "f.date_key",
+        *fact_key_columns(),
+        "f.units_sold",
+        "f.revenue",
+        "f.year",
+        "f.quarter",
+        "f.month",
+        F.col("dp.product_type").alias("product_type"),
+        F.col("dc.country").alias("country"),
     )
 
     frame = (Window.unboundedPreceding, Window.currentRow)

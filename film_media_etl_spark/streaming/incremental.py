@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..etl.reference_semantics import fact_key_columns, resolve_fact_keys
 from ..etl.star import _FACT_ORDER, build_dim_customer, build_dim_location, build_dim_product
 from ..functions.dates import smart_date_key
 from ..functions.money import ROW_DECIMAL, dec
@@ -75,33 +76,15 @@ def incremental_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("f")
     )
-    return (
-        base.join(
-            F.broadcast(dc),
-            (F.col("f.customer_id") == F.col("dc.customer_id"))
-            & (F.col("dc.customer_type") == "film"),
-            "left",
-        )
-        .join(
-            F.broadcast(dl),
-            (F.col("dl.country") == F.col("dc.country"))
-            & ((F.col("dl.city") == F.col("dc.city")) | F.col("dl.city").isNull())
-            & ((F.col("dl.state") == F.col("dc.state")) | F.col("dl.state").isNull()),
-            "left",
-        )
-        .join(F.broadcast(dp), F.col("f.product_id") == F.col("dp.product_id"), "left")
-        .select(
-            "f.fact_id",
-            "f.date_key",
-            F.col("dc.customer_key").alias("customer_key"),
-            F.coalesce(F.col("dl.location_key"), F.lit(1)).alias("location_key"),
-            F.coalesce(F.col("dp.product_key"), F.lit(1)).alias("product_key"),
-            "f.units_sold",
-            "f.revenue",
-            "f.year",
-            "f.quarter",
-            "f.month",
-        )
+    return resolve_fact_keys(base, dc, dl, dp).select(
+        "f.fact_id",
+        "f.date_key",
+        *fact_key_columns(),
+        "f.units_sold",
+        "f.revenue",
+        "f.year",
+        "f.quarter",
+        "f.month",
     )
 
 

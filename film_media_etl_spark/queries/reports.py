@@ -67,16 +67,25 @@ def flagship_revenue_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
 _REV_SUM = "CAST(SUM(revenue) AS DECIMAL(38,4))"
 _UNIT_SUM = "CAST(SUM(units_sold) AS BIGINT)"
 
+# sales_summary rollup forms: reports whose measures are purely additive
+# read the pre-aggregate (README.md:52's claimed-but-never-built usage
+# pattern) — ~2.4k summary rows instead of the full fact. Their DuckDB
+# oracles still aggregate the raw fact, so the value-hash match PROVES
+# summary-rollup == fact-rollup. COUNT DISTINCT reports stay on the fact
+# (distinct counts are not additive).
+_SREV = "CAST(SUM(total_revenue) AS DECIMAL(38,4))"
+_SUNIT = "CAST(SUM(total_units) AS BIGINT)"
+
 
 def _rev_q(q: int) -> str:
     return (
-        f"CAST(SUM(CASE WHEN quarter = {q} THEN revenue "
-        f"ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(38,4)) AS q{q}"
+        f"CAST(SUM(CASE WHEN quarter = {q} THEN total_revenue "
+        f"ELSE CAST(0 AS DECIMAL(38,4)) END) AS DECIMAL(38,4)) AS q{q}"
     )
 
 
 def _unit_q(q: int) -> str:
-    return f"CAST(SUM(CASE WHEN quarter = {q} THEN units_sold ELSE 0 END) AS BIGINT) AS q{q}"
+    return f"CAST(SUM(CASE WHEN quarter = {q} THEN total_units ELSE 0 END) AS BIGINT) AS q{q}"
 
 
 REPORTS: dict[str, tuple[str, str]] = {
@@ -84,8 +93,8 @@ REPORTS: dict[str, tuple[str, str]] = {
     "report_r01_top_year": (
         "Rmd:90-96 — total revenue by year, best year first.",
         f"""
-        SELECT year, {_REV_SUM} AS total_revenue
-        FROM fact_sales GROUP BY year
+        SELECT year, {_SREV} AS total_revenue
+        FROM sales_summary GROUP BY year
         ORDER BY total_revenue DESC, year ASC LIMIT 1
         """,
     ),
@@ -95,13 +104,13 @@ REPORTS: dict[str, tuple[str, str]] = {
         "Rmd:116-126 — per-country revenue columns for the 3 most recent years.",
         f"""
         SELECT country,
-          CAST(SUM(CASE WHEN year = (SELECT MAX(year) FROM fact_sales)
-               THEN revenue ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(38,4)) AS y0,
-          CAST(SUM(CASE WHEN year = (SELECT MAX(year) - 1 FROM fact_sales)
-               THEN revenue ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(38,4)) AS y1,
-          CAST(SUM(CASE WHEN year = (SELECT MAX(year) - 2 FROM fact_sales)
-               THEN revenue ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(38,4)) AS y2
-        FROM fact_sales GROUP BY country
+          CAST(SUM(CASE WHEN year = (SELECT MAX(year) FROM sales_summary)
+               THEN total_revenue ELSE CAST(0 AS DECIMAL(38,4)) END) AS DECIMAL(38,4)) AS y0,
+          CAST(SUM(CASE WHEN year = (SELECT MAX(year) - 1 FROM sales_summary)
+               THEN total_revenue ELSE CAST(0 AS DECIMAL(38,4)) END) AS DECIMAL(38,4)) AS y1,
+          CAST(SUM(CASE WHEN year = (SELECT MAX(year) - 2 FROM sales_summary)
+               THEN total_revenue ELSE CAST(0 AS DECIMAL(38,4)) END) AS DECIMAL(38,4)) AS y2
+        FROM sales_summary GROUP BY country
         """,
     ),
     # r03 — quarterly pivot for top-3 revenue countries (Rmd:150-163)
@@ -110,9 +119,9 @@ REPORTS: dict[str, tuple[str, str]] = {
         "revenue countries via aggregated derived table.",
         f"""
         SELECT f.country, {_rev_q(1)}, {_rev_q(2)}, {_rev_q(3)}, {_rev_q(4)}
-        FROM fact_sales f
-        JOIN (SELECT country FROM fact_sales GROUP BY country
-              ORDER BY CAST(SUM(revenue) AS DECIMAL(38,4)) DESC, country ASC LIMIT 3) t
+        FROM sales_summary f
+        JOIN (SELECT country FROM sales_summary GROUP BY country
+              ORDER BY {_SREV} DESC, country ASC LIMIT 3) t
           ON f.country = t.country
         GROUP BY f.country
         """,
@@ -122,9 +131,9 @@ REPORTS: dict[str, tuple[str, str]] = {
         "Rmd:154 — AVG(revenue) per country (exact-numerator form).",
         """
         SELECT country,
-               CAST(SUM(revenue) AS DOUBLE) / COUNT(*) AS avg_revenue,
-               COUNT(*) AS n_transactions
-        FROM fact_sales GROUP BY country
+               CAST(SUM(total_revenue) AS DOUBLE) / SUM(n_transactions) AS avg_revenue,
+               CAST(SUM(n_transactions) AS BIGINT) AS n_transactions
+        FROM sales_summary GROUP BY country
         """,
     ),
     # r05 — customers per country, top 3 (Rmd:203-204)
@@ -152,8 +161,8 @@ REPORTS: dict[str, tuple[str, str]] = {
         "Rmd:221-227 — revenue by (country, year) restricted to the top-3 "
         "countries by customer count.",
         f"""
-        SELECT f.country, f.year, {_REV_SUM} AS revenue
-        FROM fact_sales f
+        SELECT f.country, f.year, {_SREV} AS revenue
+        FROM sales_summary f
         JOIN (SELECT country FROM dim_customer GROUP BY country
               ORDER BY COUNT(*) DESC, country ASC LIMIT 3) t
           ON f.country = t.country
@@ -165,8 +174,8 @@ REPORTS: dict[str, tuple[str, str]] = {
         "Rmd:318-321 — GROUP BY year, quarter, product_type.",
         f"""
         SELECT year, quarter, product_type,
-               {_REV_SUM} AS revenue, {_UNIT_SUM} AS units
-        FROM fact_sales GROUP BY year, quarter, product_type
+               {_SREV} AS revenue, {_SUNIT} AS units
+        FROM sales_summary GROUP BY year, quarter, product_type
         """,
     ),
     # r09 — units pivot by quarter per year (Rmd:269-296 matrix building)
@@ -175,7 +184,7 @@ REPORTS: dict[str, tuple[str, str]] = {
         "this matrix client-side in R; here one conditional aggregation).",
         f"""
         SELECT year, {_unit_q(1)}, {_unit_q(2)}, {_unit_q(3)}, {_unit_q(4)}
-        FROM fact_sales GROUP BY year
+        FROM sales_summary GROUP BY year
         """,
     ),
     # r10 — film/music revenue split by year (Rmd:259-260). Facts are
@@ -199,9 +208,9 @@ REPORTS: dict[str, tuple[str, str]] = {
         "Rmd:356-367 — monthly revenue where year = MAX(year) (the "
         "reference's query-into-query injection as a scalar subquery).",
         f"""
-        SELECT month, {_REV_SUM} AS revenue, {_UNIT_SUM} AS units
-        FROM fact_sales
-        WHERE year = (SELECT MAX(year) FROM fact_sales)
+        SELECT month, {_SREV} AS revenue, {_SUNIT} AS units
+        FROM sales_summary
+        WHERE year = (SELECT MAX(year) FROM sales_summary)
         GROUP BY month
         """,
     ),
@@ -209,8 +218,8 @@ REPORTS: dict[str, tuple[str, str]] = {
     "report_r12_top_country_years": (
         "Rmd:105 — top-2 (country, year) pairs by revenue.",
         f"""
-        SELECT country, year, {_REV_SUM} AS revenue
-        FROM fact_sales GROUP BY country, year
+        SELECT country, year, {_SREV} AS revenue
+        FROM sales_summary GROUP BY country, year
         ORDER BY revenue DESC, country ASC, year ASC LIMIT 2
         """,
     ),
@@ -220,8 +229,8 @@ REPORTS: dict[str, tuple[str, str]] = {
         "one native ROLLUP.",
         f"""
         SELECT country, quarter, GROUPING_ID(country, quarter) AS gid,
-               {_REV_SUM} AS revenue, {_UNIT_SUM} AS units
-        FROM fact_sales GROUP BY ROLLUP(country, quarter)
+               {_SREV} AS revenue, {_SUNIT} AS units
+        FROM sales_summary GROUP BY ROLLUP(country, quarter)
         """,
     ),
     # r14 — year range of the fact data (Rmd:352,522-523)
@@ -230,7 +239,7 @@ REPORTS: dict[str, tuple[str, str]] = {
         """
         SELECT MIN(year) AS min_year, MAX(year) AS max_year,
                COUNT(DISTINCT year) AS n_years
-        FROM fact_sales
+        FROM sales_summary
         """,
     ),
     # r15 — grand KPI summary (Rmd:524-526)

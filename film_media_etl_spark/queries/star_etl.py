@@ -20,7 +20,14 @@ def _star_query(table: str):
     return fn
 
 
-for _table in ("dim_date", "dim_customer", "dim_location", "dim_product", "fact_sales"):
+for _table in (
+    "dim_date",
+    "dim_customer",
+    "dim_location",
+    "dim_product",
+    "fact_sales",
+    "sales_summary",
+):
     register(
         f"star_{_table}",
         oracle=f"WITH {STAR_CTES} SELECT * FROM {_table}",

@@ -16,6 +16,24 @@ from ..sources import load_table
 from .registry import register
 
 
+@register("ext_approx_sketches")  # approximate by construction -> rows-only
+def ext_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates per event type: HyperLogLog++ distinct users and
+    approximate value quantiles. At 100 TB these replace exact
+    countDistinct/percentile where a bounded-memory mergeable sketch is
+    the only viable plan (exact distinct = full shuffle of the key space;
+    sketches merge map-side). Accuracy bounds are pytest-checked against
+    the exact answers (tests/test_parity.py::test_sketch_accuracy)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.percentile_approx("value", F.array(F.lit(0.5), F.lit(0.95)), 10000).alias(
+            "value_p50_p95"
+        ),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 @register(
     "ext_salted_agg",
     oracle="""

@@ -81,6 +81,36 @@ def test_rows_only_queries_run(spark):
         assert df.count() >= 0
 
 
+def test_sketch_accuracy(spark):
+    """Sketches trade exactness for mergeable bounded memory; assert the
+    trade stays inside advertised bounds: HLL++ rsd 2% (allow 3x), p50
+    within the value range's 5% neighborhood of the exact median."""
+    from pyspark.sql import functions as F
+
+    from film_media_etl_spark.sources import load_table
+
+    got = {
+        r["event_type"]: r
+        for r in q.get("ext_approx_sketches").fn(spark, PARITY_SF_DIR).collect()
+    }
+    ev = load_table(spark, PARITY_SF_DIR, "events")
+    exact = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("users"),
+            F.expr("percentile(value, 0.5)").alias("p50"),
+            (F.max("value") - F.min("value")).alias("range"),
+        )
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for et, e in exact.items():
+        rel = abs(got[et]["approx_users"] - e["users"]) / max(e["users"], 1)
+        assert rel <= 0.06, f"{et}: HLL rel err {rel:.3f}"
+        assert abs(got[et]["value_p50_p95"][0] - e["p50"]) <= 0.05 * e["range"] + 1e-9, et
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 

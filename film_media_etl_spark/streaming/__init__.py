@@ -1,4 +1,5 @@
 from .incremental import incremental_fact, read_lineitem_stream, start_incremental_load
+from .joins import stream_interval_join
 from .windows import (
     read_events_stream,
     stream_dedup,
@@ -16,4 +17,5 @@ __all__ = [
     "read_lineitem_stream",
     "incremental_fact",
     "start_incremental_load",
+    "stream_interval_join",
 ]

@@ -105,6 +105,25 @@ def test_incremental_fact_load_matches_batch(spark, tmp_path):
     assert spark.read.parquet(out).count() == batch.count()
 
 
+def test_stream_interval_join_matches_batch(spark):
+    """Stream-stream interval join == the batch interval-join query on
+    the same static input (availableNow drain)."""
+    from film_media_etl_spark.queries import all_queries
+    from film_media_etl_spark.streaming import stream_interval_join
+
+    s = stream_interval_join(spark, PARITY_SF_DIR)
+    _run_to_memory(s, "t_ivjoin", output_mode="append")
+    got = {
+        (r["user_id"], r["l_event_id"], r["r_event_id"])
+        for r in spark.table("t_ivjoin").collect()
+    }
+    expected = {
+        (r["user_id"], r["l_event_id"], r["r_event_id"])
+        for r in all_queries()["ext_interval_join"](spark, PARITY_SF_DIR).collect()
+    }
+    assert got == expected
+
+
 def test_stream_stateful_user_totals(spark, batch_events):
     s = stream_stateful_user_totals(read_events_stream(spark, PARITY_SF_DIR))
     _run_to_memory(s, "t_state", output_mode="update")

@@ -89,3 +89,71 @@ def extract_fake_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+        T.StructField("orig_bytes", T.IntegerType(), False),
+        T.StructField("resized_bytes", T.IntegerType(), False),
+    ]
+)
+
+
+def resize_media(media: DataFrame, *, target_bytes: int = 64) -> DataFrame:
+    """'Resize' stage over mapInPandas. A real deployment decodes and
+    rescales pixels (PIL/opencv — not in this container, see
+    decode_media); the deterministic fake keeps the Spark contract real:
+    binary in -> smaller binary out, schema typed, Arrow-batched,
+    partition-preserving (no shuffle)."""
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads.map(lambda b: bytes(b[:target_bytes])),
+                    "orig_bytes": payloads.map(len).astype("int32"),
+                    "resized_bytes": payloads.map(
+                        lambda b: min(len(b), target_bytes)
+                    ).astype("int32"),
+                }
+            )
+
+    return media.mapInPandas(batches, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_no", T.IntegerType(), False),
+        T.StructField("frame", T.BinaryType(), False),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, *, n_frames: int = 4) -> DataFrame:
+    """Frame-sampling stage: one input blob -> n output rows (video ->
+    evenly-spaced frames). Row-expanding mapInPandas — the batch contract
+    a real pyav-based sampler would use; the fake slices the payload into
+    evenly-spaced chunks."""
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            ids, frames, nos = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                step = max(1, len(b) // n_frames)
+                for j in range(n_frames):
+                    ids.append(mid)
+                    nos.append(j)
+                    frames.append(b[j * step : j * step + step])
+            yield pd.DataFrame({"media_id": ids, "frame_no": nos, "frame": frames})
+
+    return media.mapInPandas(batches, schema=FRAME_SCHEMA)

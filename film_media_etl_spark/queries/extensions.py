@@ -18,7 +18,11 @@ from ..operators.dedup import (
     simhash_near_dup_pairs,
     token_jaccard_pairs,
 )
-from ..operators.multimodal import attach_binary_payload, extract_fake_features
+from ..operators.multimodal import (
+    attach_binary_payload,
+    extract_fake_features,
+    sample_frames,
+)
 from ..operators.similarity import (
     cosine_knn_ivf,
     cosine_knn_bruteforce,
@@ -309,3 +313,24 @@ def ext_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte arithmetic over ASCII payloads."""
     media = attach_binary_payload(load_table(spark, sf_dir, "documents"))
     return extract_fake_features(media)
+
+
+@register(
+    "ext_multimodal_frames",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(j AS INT) AS frame_no,
+           CAST(greatest(length(text) // 4, 1) AS INT) AS frame_bytes
+    FROM documents, (SELECT unnest(range(0, 4)) AS j)
+    WHERE j * greatest(length(text) // 4, 1) < length(text)
+    """,
+)
+def ext_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-expanding frame sampling: blob -> 4 evenly-spaced frames via
+    mapInPandas (operators.multimodal.sample_frames); frame sizes are
+    oracle-checkable byte arithmetic."""
+    media = attach_binary_payload(load_table(spark, sf_dir, "documents"))
+    frames = sample_frames(media, n_frames=4)
+    return frames.where(F.length("frame") > 0).select(
+        "media_id", "frame_no", F.length("frame").cast("int").alias("frame_bytes")
+    )

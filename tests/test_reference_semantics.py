@@ -222,6 +222,20 @@ def test_c6_union_dedup_on_load(spark):
     assert film.unionByName(music).distinct().count() == 1
 
 
+def test_multimodal_resize_contract(spark):
+    """Resize stage: binary in -> capped binary out, Arrow-batched, no
+    shuffle; metadata columns report original and resized sizes."""
+    from film_media_etl_spark.operators.multimodal import attach_binary_payload, resize_media
+
+    docs = spark.createDataFrame(
+        [(1, "x" * 100), (2, "y" * 10)], "doc_id long, text string"
+    )
+    out = {r["media_id"]: r for r in resize_media(attach_binary_payload(docs), target_bytes=64).collect()}
+    assert out[1]["orig_bytes"] == 100 and out[1]["resized_bytes"] == 64
+    assert len(out[1]["payload"]) == 64
+    assert out[2]["orig_bytes"] == 10 and out[2]["resized_bytes"] == 10
+
+
 def test_c2_c3_filter_semantics(spark):
     """§C.2/3: amount > 0 drops non-positive rows; IS NOT NULL drops NULL
     dates (` loadAnalyticsDB...R`:411-412)."""

@@ -71,6 +71,25 @@ def test_dedup_minhash_no_cartesian(spark):
     assert_no_cartesian(df)
 
 
+def test_asof_join_single_shuffle_no_cartesian(spark):
+    """The union+window as-of join must cost exactly one data shuffle
+    (the key partition for the window) — a range-join formulation would
+    show a nested-loop/cartesian here."""
+    from film_media_etl_spark.plans import plan_summary
+
+    df = _q("ext_asof_join", spark)
+    s = plan_summary(df)
+    assert s["cartesian_products"] == 0 and s["nested_loop_joins"] == 0
+    assert s["exchanges"] <= 3  # side aggs + one window partition exchange
+
+
+def test_interval_join_is_hash_join_on_key(spark):
+    from film_media_etl_spark.plans import plan_summary
+
+    s = plan_summary(_q("ext_interval_join", spark))
+    assert s["cartesian_products"] == 0 and s["nested_loop_joins"] == 0
+
+
 def test_partitioned_scan_prunes_directories(spark):
     from film_media_etl_spark.plans import physical_plan
 

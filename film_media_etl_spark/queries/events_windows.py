@@ -25,6 +25,69 @@ _VAL_SUM_SQL = "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4))"
 
 
 @register(
+    "ext_hypertable_rollup",
+    oracle="""
+    WITH m10 AS (
+      SELECT time_bucket(INTERVAL '10 minutes', ts) AS bucket, event_type,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total_value
+      FROM events GROUP BY 1, 2
+    ),
+    h1 AS (
+      SELECT time_bucket(INTERVAL '1 hour', bucket) AS bucket, event_type,
+             CAST(SUM(n_events) AS BIGINT) AS n_events,
+             CAST(SUM(total_value) AS DECIMAL(38,4)) AS total_value
+      FROM m10 GROUP BY 1, 2
+    ),
+    d1 AS (
+      SELECT time_bucket(INTERVAL '1 day', bucket) AS bucket, event_type,
+             CAST(SUM(n_events) AS BIGINT) AS n_events,
+             CAST(SUM(total_value) AS DECIMAL(38,4)) AS total_value
+      FROM h1 GROUP BY 1, 2
+    )
+    SELECT '10m' AS resolution, bucket, event_type, n_events, total_value FROM m10
+    UNION ALL
+    SELECT '1h', bucket, event_type, n_events, total_value FROM h1
+    UNION ALL
+    SELECT '1d', bucket, event_type, n_events, total_value FROM d1
+    """,
+)
+def ext_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: multi-resolution time
+    rollups where each coarser level re-aggregates the NEXT-FINER level,
+    not the raw events — the TimescaleDB continuous-aggregate shape. At
+    100 TB this is the whole point: the 1h/1d levels read materialized
+    10-minute partials (thousands of rows), never the raw table, and
+    additive measures make every level exact. The DuckDB oracle computes
+    the same cascade, so the value-hash proves level-from-level
+    re-aggregation loses nothing."""
+    ev = load_table(spark, sf_dir, "events")
+    m10 = (
+        ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("decimal(38,4)").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("bucket"), "event_type", "n_events", "total_value")
+    )
+    def _coarser(df: DataFrame, width: str) -> DataFrame:
+        return (
+            df.groupBy(F.window("bucket", width).alias("w"), "event_type")
+            .agg(
+                F.sum("n_events").cast("long").alias("n_events"),
+                F.sum("total_value").cast("decimal(38,4)").alias("total_value"),
+            )
+            .select(F.col("w.start").alias("bucket"), "event_type", "n_events", "total_value")
+        )
+    h1 = _coarser(m10, "1 hour")
+    d1 = _coarser(h1, "1 day")
+    tag = lambda df, r: df.select(  # noqa: E731
+        F.lit(r).alias("resolution"), "bucket", "event_type", "n_events", "total_value"
+    )
+    return tag(m10, "10m").unionByName(tag(h1, "1h")).unionByName(tag(d1, "1d"))
+
+
+@register(
     "ext_window_tumbling",
     oracle=f"""
     SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,

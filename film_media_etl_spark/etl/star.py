@@ -371,17 +371,11 @@ def build_star(
     # reused by a new session at the same address after stop().
     key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
     if key not in _STAR_CACHE:
-        dc = build_dim_customer(spark, sf_dir)
-        dl = build_dim_location(spark, sf_dir)
-        dp = build_dim_product(spark, sf_dir)
         tables = {
             "dim_date": build_dim_date(spark, sf_dir),
-            "dim_customer": dc,
-            "dim_location": dl,
-            "dim_product": dp,
-            "fact_sales": build_fact_sales(
-                spark, sf_dir, dim_customer=dc, dim_location=dl, dim_product=dp
-            ),
+            "dim_customer": build_dim_customer(spark, sf_dir),
+            "dim_location": build_dim_location(spark, sf_dir),
+            "dim_product": build_dim_product(spark, sf_dir),
         }
         if materialize:
             base = os.path.join(
@@ -389,13 +383,38 @@ def build_star(
                 f"fmes_warehouse_{os.getpid()}",
                 os.path.basename(sf_dir.rstrip("/")),
             )
-            for name, df in tables.items():
+
+            def _write(name: str, df: DataFrame, partition_by: str | None = None) -> DataFrame:
                 path = os.path.join(base, name)
                 writer = df.write.mode("overwrite")
-                if name == "fact_sales":
-                    writer = writer.partitionBy("year")
+                if partition_by:
+                    writer = writer.partitionBy(partition_by)
                 writer.parquet(path)
-                tables[name] = spark.read.parquet(path)
+                return spark.read.parquet(path)
+
+            # Dims land first and the fact builds FROM the read-back
+            # parquet dims — the warehouse load order (dims before facts,
+            # ` loadAnalyticsDB...R`:main) and also the cheaper plan: the
+            # fact job broadcasts three tiny parquet scans instead of
+            # re-running each dim's join+window lineage inline.
+            for name in ("dim_date", "dim_customer", "dim_location", "dim_product"):
+                tables[name] = _write(name, tables[name])
+            fact = build_fact_sales(
+                spark,
+                sf_dir,
+                dim_customer=tables["dim_customer"],
+                dim_location=tables["dim_location"],
+                dim_product=tables["dim_product"],
+            )
+            tables["fact_sales"] = _write("fact_sales", fact, partition_by="year")
+        else:
+            tables["fact_sales"] = build_fact_sales(
+                spark,
+                sf_dir,
+                dim_customer=tables["dim_customer"],
+                dim_location=tables["dim_location"],
+                dim_product=tables["dim_product"],
+            )
         # The pre-aggregate derives from the (materialized) fact so it is
         # computed from warehouse parquet, not by re-running the ETL.
         tables["sales_summary"] = build_sales_summary(tables["fact_sales"])

@@ -16,6 +16,33 @@ from ..sources import load_table
 from .registry import register
 
 
+@register(
+    "ext_set_ops",
+    oracle="""
+    SELECT c_nationkey AS nationkey, 'both' AS side FROM (
+      SELECT DISTINCT c_nationkey FROM customer
+      INTERSECT
+      SELECT DISTINCT s_nationkey FROM supplier
+    )
+    UNION ALL
+    SELECT c_nationkey, 'customer_only' FROM (
+      SELECT DISTINCT c_nationkey FROM customer
+      EXCEPT
+      SELECT DISTINCT s_nationkey FROM supplier
+    )
+    """,
+)
+def ext_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT — not in the reference surface (SURVEY §2.G)
+    but part of a complete engine: nations having both customers and
+    suppliers vs customer-only nations."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey")).distinct()
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey")).distinct()
+    both = c.intersect(s).withColumn("side", F.lit("both"))
+    only = c.exceptAll(s).withColumn("side", F.lit("customer_only"))
+    return both.unionByName(only)
+
+
 @register("ext_approx_sketches")  # approximate by construction -> rows-only
 def ext_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates per event type: HyperLogLog++ distinct users and

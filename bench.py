@@ -33,6 +33,11 @@ HEADLINE = [
     "ext_window_sliding",
     "ext_text_stats",
     "ext_langid",
+    "ext_asof_join",
+    "ext_interval_join",
+    "ext_hypertable_rollup",
+    "ext_salted_agg",
+    "ext_tfidf_top_terms",
 ]
 
 

@@ -164,30 +164,53 @@ def minhash_lsh_pairs(
             for i in range(num_hashes)
         ]
     )
+    bhash = [
+        F.xxhash64(F.lit(b), *[F.col(f"mh{b * rows + r}") for r in range(rows)]).alias(
+            f"bh{b}"
+        )
+        for b in range(bands)
+    ]
+    with_bands = sig.select("doc_id", *bhash)
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.xxhash64(
-                    F.lit(b), *[F.col(f"mh{b * rows + r}") for r in range(rows)]
-                ).alias("bhash"),
+                F.col(f"bh{b}").alias("bhash"),
+                # pad with NULLs so every struct has the same shape
+                *[
+                    (F.col(f"bh{p}") if p < b else F.lit(None).cast("long")).alias(
+                        f"prev{p}"
+                    )
+                    for p in range(bands - 1)
+                ],
             )
             for b in range(bands)
         ]
     )
-    banded = sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
-        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bhash").alias("bhash")
+    # carry every EARLIER band hash so a pair is emitted only at its
+    # first colliding band — exactly-once candidates with no distinct()
+    # shuffle (bands is small, so the prev columns are a few longs).
+    banded = with_bands.select("doc_id", F.explode(band_structs).alias("bb")).select(
+        "doc_id",
+        F.col("bb.band").alias("band"),
+        F.col("bb.bhash").alias("bhash"),
+        *[F.col(f"bb.prev{p}").alias(f"prev{p}") for p in range(bands - 1)],
     )
+    first_band_only = F.lit(True)
+    for p in range(bands - 1):
+        first_band_only = first_band_only & (
+            (F.col("a.band") <= F.lit(p)) | (F.col(f"a.prev{p}") != F.col(f"b.prev{p}"))
+        )
     cand = (
         banded.alias("a")
         .join(
             banded.alias("b"),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bhash") == F.col("b.bhash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & first_band_only,
         )
         .select(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
-        .distinct()
     )
     # Verify on token-HASH sets (array<long>): same set cardinalities as
     # the string sets (xxhash64 collisions negligible), but long compares

@@ -17,6 +17,35 @@ from .registry import register
 
 
 @register(
+    "ext_cube",
+    oracle="""
+    SELECT event_type, CAST(year(ts) AS INT) AS year,
+           GROUPING(event_type, CAST(year(ts) AS INT)) AS gid,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total_value
+    FROM events
+    GROUP BY CUBE(event_type, CAST(year(ts) AS INT))
+    """,
+)
+def ext_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE — all grouping-set combinations in one pass (the reference
+    has ROLLUP-shaped client-side totals only, SURVEY §2 op 26; CUBE
+    completes the grouping-sets family)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.year("ts").alias("year"), F.col("value").cast("decimal(18,4)").alias("v")
+    )
+    return (
+        ev.cube("event_type", "year")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("v").cast("decimal(38,4)").alias("total_value"),
+        )
+        .select("event_type", "year", "gid", "n_events", "total_value")
+    )
+
+
+@register(
     "ext_set_ops",
     oracle="""
     SELECT c_nationkey AS nationkey, 'both' AS side FROM (

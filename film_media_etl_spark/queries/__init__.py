@@ -18,5 +18,6 @@ from . import io_formats  # noqa: E402,F401  csv/json/orc/partitioned + JSON col
 from . import scale_ops  # noqa: E402,F401  skew-proof aggregation + sketches
 from . import temporal  # noqa: E402,F401  as-of / interval joins
 from . import tfidf  # noqa: E402,F401  tf-idf + text normalization
+from . import pipeline  # noqa: E402,F401  composed corpus-cleaning pipeline
 
 __all__ = ["EngineQuery", "register", "get", "all_queries", "all_oracles"]

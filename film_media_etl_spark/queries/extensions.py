@@ -21,6 +21,7 @@ from ..operators.dedup import (
 from ..operators.multimodal import (
     attach_binary_payload,
     extract_fake_features,
+    resize_media,
     sample_frames,
 )
 from ..operators.similarity import (
@@ -313,6 +314,24 @@ def ext_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte arithmetic over ASCII payloads."""
     media = attach_binary_payload(load_table(spark, sf_dir, "documents"))
     return extract_fake_features(media)
+
+
+@register(
+    "ext_multimodal_resize",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(length(text) AS INT) AS orig_bytes,
+           CAST(least(length(text), 64) AS INT) AS resized_bytes
+    FROM documents
+    """,
+)
+def ext_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stage (operators.multimodal.resize_media): binary in ->
+    size-capped binary out; size metadata is oracle-checkable."""
+    media = attach_binary_payload(load_table(spark, sf_dir, "documents"))
+    return resize_media(media, target_bytes=64).select(
+        "media_id", "orig_bytes", "resized_bytes"
+    )
 
 
 @register(

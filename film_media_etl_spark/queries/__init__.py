@@ -20,5 +20,6 @@ from . import temporal  # noqa: E402,F401  as-of / interval joins
 from . import tfidf  # noqa: E402,F401  tf-idf + text normalization
 from . import pipeline  # noqa: E402,F401  composed corpus-cleaning pipeline
 from . import analytic_windows  # noqa: E402,F401  ranking/offset windows, semi/anti, HAVING
+from . import analytic_stats  # noqa: E402,F401  stats/grouping-sets/unpivot/sample/regex
 
 __all__ = ["EngineQuery", "register", "get", "all_queries", "all_oracles"]

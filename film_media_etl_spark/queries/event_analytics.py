@@ -1,0 +1,138 @@
+"""Event-analytics workload: funnel conversion, cohort retention, and
+SCD type-2 history building over the events table — the product-analytics
+surface a warehouse engine serves once facts are event-grained (the
+reference's fact table is transaction-grained, SURVEY §1.1; these are the
+canonical next queries on that grain).
+
+Scale notes: all three aggregate per user first (one shuffle on user_id,
+the natural partition key); nothing is quadratic and no window spans more
+than one user's history. ts is nanos in parquet — load_table normalizes
+to µs timestamps, and the µs-aligned testdata makes DuckDB comparisons
+exact (TESTDATA.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .registry import register
+
+
+@register(
+    "ext_funnel",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT COUNT(*) FILTER (WHERE t_view IS NOT NULL) AS viewed,
+           COUNT(*) FILTER (WHERE t_view IS NOT NULL AND t_click > t_view)
+             AS clicked_after_view,
+           COUNT(*) FILTER (WHERE t_view IS NOT NULL AND t_click > t_view
+                            AND t_purchase > t_click)
+             AS purchased_after_click
+    FROM per_user
+    """,
+)
+def ext_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view -> click -> purchase): users whose FIRST
+    click follows their first view, and first purchase follows that
+    click. One groupBy(user_id) computes all three first-touch times;
+    the funnel predicate is then a pure row expression — no joins, no
+    window, one shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_ts(etype: str):
+        return F.min(F.when(F.col("event_type") == etype, F.col("ts")))
+
+    per_user = ev.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & (F.col("t_click") > F.col("t_view"))
+    purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+    return per_user.agg(
+        F.count(F.when(viewed, 1)).alias("viewed"),
+        F.count(F.when(clicked, 1)).alias("clicked_after_view"),
+        F.count(F.when(purchased, 1)).alias("purchased_after_click"),
+    )
+
+
+@register(
+    "ext_retention_cohort",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS first_date
+      FROM events GROUP BY user_id
+    ),
+    acts AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    )
+    SELECT CAST(date_trunc('week', f.first_date) AS DATE) AS cohort_week,
+           CAST(floor(date_diff('day', f.first_date, a.d) / 7.0) AS INT)
+             AS week_offset,
+           COUNT(DISTINCT a.user_id) AS n_users
+    FROM acts a JOIN firsts f ON a.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def ext_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by the week of their first
+    activity, counted per whole-week offset of each later active day.
+    first-activity and distinct-active-day aggregates both shuffle on
+    user_id, then the (small) per-user frames join without re-shuffling —
+    at 100 TB the distinct-day pre-aggregate is what keeps the join input
+    proportional to user-days, not raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("first_date"))
+    acts = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    return (
+        acts.join(firsts, "user_id")
+        .select(
+            F.to_date(F.date_trunc("week", F.col("first_date"))).alias("cohort_week"),
+            F.floor(F.datediff(F.col("d"), F.col("first_date")) / 7.0)
+            .cast("int")
+            .alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@register(
+    "ext_scd2_history",
+    oracle="""
+    SELECT user_id, value AS state_value,
+           CAST(ts AS TIMESTAMP) AS valid_from,
+           CAST(LEAD(ts) OVER w AS TIMESTAMP) AS valid_to,
+           (LEAD(ts) OVER w IS NULL) AS is_current
+    FROM events
+    WHERE event_type = 'purchase'
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def ext_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history build: each user's purchase stream becomes
+    validity intervals — valid_from = the change's timestamp, valid_to =
+    the next change (NULL + is_current on the open interval). The lead()
+    window is per-user (one hash exchange, per-partition sort); this is
+    the standard warehouse pattern for dimension change tracking the
+    reference's star schema lacks (SURVEY §2.E: no windows at all)."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        F.col("value").alias("state_value"),
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )

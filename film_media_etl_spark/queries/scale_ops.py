@@ -127,3 +127,40 @@ def ext_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_value",
         "max_value",
     )
+
+
+@register(
+    "ext_bucketed_join",
+    oracle="""
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4))
+             AS total_revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def ext_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join on bucketed tables (sources/bucketed.py): orders
+    and customer are both bucketed+sorted on the customer key at write
+    time, so the sort-merge join reads pre-distributed buckets and plans
+    ZERO join-side exchanges — the write-once/join-many layout that
+    replaces the reference's warehouse indexes (createStarSchema...R:
+    163-172). The merge hint pins SMJ so the plan demonstrates the
+    bucketed path rather than a size-based broadcast; the only exchange
+    left is the final small aggregation."""
+    from ..sources.bucketed import bucketed_table
+
+    o = bucketed_table(spark, sf_dir, "orders", "o_custkey")
+    c = bucketed_table(spark, sf_dir, "customer", "c_custkey")
+    return (
+        o.hint("merge")
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("decimal(38,4)")
+            .alias("total_revenue"),
+        )
+    )

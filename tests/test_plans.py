@@ -99,3 +99,66 @@ def test_partitioned_scan_prunes_directories(spark):
     assert m and "year" in m[0].split("PartitionFilters")[1][:80], (
         "year predicate did not become a PartitionFilter (directory pruning)"
     )
+
+
+def test_bucketed_join_has_no_join_side_exchange(spark):
+    """The whole point of the bucketed layout: the SMJ must consume the
+    bucketed scans directly — any Exchange feeding the join means the
+    planner ignored the buckets."""
+    from film_media_etl_spark.plans import physical_plan
+
+    df = _q("ext_bucketed_join", spark)
+    df.collect()  # finalize AQE
+    plan = physical_plan(df)
+    assert "Bucketed: true" in plan, "scans are not bucketed"
+    assert "SortMergeJoin" in plan
+    # walk the final-plan lines: no Exchange may appear between the join
+    # and its bucketed scans (the only legal Exchange is the post-join agg)
+    lines = plan.splitlines()
+    # NB the AQE plan string contains final + initial plan copies; bound
+    # the walk to the first join's OWN two bucketed scans.
+    join_idx = [i for i, ln in enumerate(lines) if "SortMergeJoin" in ln]
+    scans_after = [i for i, ln in enumerate(lines) if "Bucketed: true" in ln and i > join_idx[0]]
+    last_scan = sorted(scans_after)[1]  # the join's second (right-side) scan
+    assert not any(
+        "Exchange" in lines[i] for i in range(join_idx[0], last_scan)
+    ), "Exchange between SortMergeJoin and its bucketed scans"
+
+
+def test_ranking_window_single_exchange(spark):
+    """Ranking windows partition on a real key: one hash exchange, a
+    per-partition sort, and NEVER a SinglePartition collapse."""
+    from film_media_etl_spark.plans import plan_summary
+
+    s = plan_summary(_q("ext_window_ranking", spark))
+    assert s["single_partition_exchanges"] == 0
+    assert s["window_nodes"] >= 1
+
+    s = plan_summary(_q("ext_window_leadlag", spark))
+    assert s["single_partition_exchanges"] == 0
+
+
+def test_semi_anti_join_no_cartesian_and_pruned(spark):
+    df = _q("ext_semi_anti_join", spark)
+    assert_no_cartesian(df)
+    # the probe side must be pruned to the join key only
+    assert_read_schema_pruned(df, "orders", 1)
+
+
+def test_funnel_single_shuffle(spark):
+    """Funnel = one groupBy(user_id) then a global scalar agg — the only
+    data-sized exchange is the user_id hash partition."""
+    from film_media_etl_spark.plans import plan_summary
+
+    s = plan_summary(_q("ext_funnel", spark))
+    assert s["cartesian_products"] == 0 and s["nested_loop_joins"] == 0
+    # user_id hash + final single-row agg (SinglePartition over 1 row is fine)
+    assert s["exchanges"] <= 3
+
+
+def test_stats_agg_single_exchange(spark):
+    from film_media_etl_spark.plans import plan_summary
+
+    s = plan_summary(_q("ext_stats_agg", spark))
+    assert s["single_partition_exchanges"] == 0
+    assert s["exchanges"] <= 2  # partial/final agg pair on event_type

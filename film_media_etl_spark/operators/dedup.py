@@ -316,3 +316,64 @@ def simhash_near_dup_pairs(
         .distinct()
     )
     return pairs.where(F.col("hamming") <= max_hamming)
+
+
+def connected_components(
+    pairs: DataFrame,
+    col_a: str = "doc_id_a",
+    col_b: str = "doc_id_b",
+    *,
+    max_iters: int = 25,
+) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over a near-dup
+    pair graph, cluster_id = min reachable id (deterministic).
+
+    Pair generation (exact/Jaccard/MinHash/SimHash) finds EDGES; keeping
+    one survivor per transitive duplicate *cluster* needs components —
+    A~B, B~C must collapse to one cluster even though A~C was never
+    emitted. Algorithm: iterative neighbor-min label propagation —
+    each round every node takes the min label among itself and its
+    neighbors; converges in O(graph diameter) rounds. Every round is one
+    shuffle-on-key join + groupBy (nothing quadratic), and lineage is cut
+    per round with localCheckpoint so the plan doesn't grow unboundedly.
+    At 100 TB with adversarially long chains, swap the inner loop for
+    alternating large-star/small-star contraction (Kiveris et al.,
+    "Connected Components in MapReduce"), which converges in O(log n)
+    rounds over the same join/agg primitives.
+
+    Returns (doc_id, cluster_id) for every node that appears in a pair.
+    """
+    fwd = pairs.select(F.col(col_a).alias("src"), F.col(col_b).alias("dst"))
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    edges = edges.localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct().withColumn("label", F.col("node"))
+    )
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["node"] == nbr_min["src"], "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"connected_components did not converge in {max_iters} rounds")
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))

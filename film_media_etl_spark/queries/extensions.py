@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from ..functions import text as TX
 from ..functions.vectors import oracle_cosine
 from ..operators.dedup import (
+    connected_components,
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -114,6 +115,45 @@ def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(
         load_table(spark, sf_dir, "documents"), num_hashes=30, bands=3, threshold=0.9
     )
+
+
+@register(
+    "ext_dedup_clusters",
+    oracle="""
+    WITH RECURSIVE tok AS (
+      SELECT doc_id, source, lang,
+             list_distinct(string_split(lower(text), ' ')) AS toks
+      FROM documents
+    ),
+    pr AS (
+      SELECT a.doc_id AS a, b.doc_id AS b
+      FROM tok a
+      JOIN tok b ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+              / CAST(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+            >= 0.9
+    ),
+    edges AS (SELECT a, b FROM pr UNION SELECT b AS a, a AS b FROM pr),
+    reach(src, dst) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    )
+    SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
+    """,
+)
+def ext_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive duplicate CLUSTERS from the exact-Jaccard pair graph:
+    connected components via iterative neighbor-min label propagation
+    (operators.dedup.connected_components), cluster_id = min reachable
+    doc_id. The step every dedup pipeline needs after pair generation —
+    A~B, B~C collapse to one survivor even though A~C never scored. The
+    oracle computes the same components as a recursive-CTE transitive
+    closure (fine at oracle scale; the Spark path is the one that scales)."""
+    pairs = token_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), block_cols=("source", "lang"), threshold=0.9
+    )
+    return connected_components(pairs)
 
 
 @register("ext_dedup_simhash")  # hash-seeded -> rows-only check

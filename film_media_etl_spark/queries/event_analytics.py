@@ -136,3 +136,37 @@ def ext_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.alias("valid_to"),
         nxt.isNull().alias("is_current"),
     )
+
+
+@register(
+    "ext_collect_ordered",
+    oracle="""
+    SELECT user_id,
+           list(event_type ORDER BY ts, event_id) AS event_seq,
+           string_agg(event_type, '>' ORDER BY ts, event_id) AS event_path,
+           COUNT(*) AS n_events
+    FROM events
+    WHERE user_id < 40
+    GROUP BY user_id
+    """,
+)
+def ext_collect_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered sequence assembly: each user's event-type sequence as an
+    array and as a '>'-joined path string — the grouped-ordered-collect
+    every sequence-model training pipeline runs to turn an event log into
+    examples. Spark has no ORDER BY inside collect_list, so the
+    deterministic spelling is collect_list(struct(sort_keys..., payload))
+    -> sort_array -> transform: the struct sort is lexicographic on
+    (ts, event_id), i.e. exactly the oracle's ORDER BY, and everything
+    stays a JVM higher-order function. One shuffle on user_id; the
+    user_id < 40 gate keeps oracle rows compact and pushes to the scan."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 40)
+    ordered = F.sort_array(
+        F.collect_list(F.struct("ts", "event_id", "event_type"))
+    )
+    seq = F.transform(ordered, lambda x: x["event_type"])
+    return ev.groupBy("user_id").agg(
+        seq.alias("event_seq"),
+        F.array_join(seq, ">").alias("event_path"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

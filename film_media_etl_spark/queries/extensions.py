@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import text as TX
-from ..functions.vectors import oracle_cosine
+from ..functions.vectors import oracle_cosine, oracle_dot
 from ..operators.dedup import (
     connected_components,
     exact_dedup,
@@ -184,6 +184,37 @@ def ext_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
+
+_NORM = f"sqrt({oracle_dot('embedding', 'embedding')})"
+
+
+@register(
+    "ext_vector_normalize",
+    oracle=f"""
+    SELECT vec_id,
+           {_NORM} AS l2_norm,
+           list_transform(embedding, x -> x::DOUBLE / {_NORM}) AS unit_vec
+    FROM embeddings WHERE vec_id < 200
+    """,
+)
+def ext_vector_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 normalization of the embedding column — the prep step before
+    cosine kNN/dedup (normalized vectors turn cosine into a plain dot
+    product, halving the fold work in every downstream comparison). The
+    norm is the same strict left-to-right fold as functions.vectors.dot,
+    so Spark and DuckDB produce bit-identical doubles; per-element
+    division is one deterministic double op. All JVM higher-order
+    functions — no Python, no shuffle, pure map over the scan."""
+    from ..functions.vectors import dot, to_double_vec
+
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    vec = to_double_vec(F.col("embedding"))
+    norm = F.sqrt(dot(vec, vec))
+    return emb.select(
+        "vec_id",
+        norm.alias("l2_norm"),
+        F.transform(vec, lambda x: x / norm).alias("unit_vec"),
+    )
 
 _KNN_COS = oracle_cosine("q.qe", "v.embedding")
 

@@ -164,3 +164,59 @@ def ext_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_revenue"),
         )
     )
+
+
+@register(
+    "ext_snapshot_diff",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 1.1
+                  ELSE o_totalprice END AS price
+      FROM orders WHERE o_orderkey % 7 <> 0
+    ),
+    new AS (
+      SELECT o_orderkey, o_totalprice AS price
+      FROM orders WHERE o_orderkey % 11 <> 0
+    )
+    SELECT CASE WHEN old.o_orderkey IS NULL THEN 'insert'
+                WHEN new.o_orderkey IS NULL THEN 'delete'
+                WHEN old.price <> new.price THEN 'update'
+                ELSE 'unchanged' END AS change_type,
+           COUNT(*) AS n_rows
+    FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+    GROUP BY 1
+    """,
+)
+def ext_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture snapshot diff: FULL OUTER join of two table
+    versions on the key, classifying every row insert / delete / update /
+    unchanged — how a warehouse without a transaction log reconciles a
+    re-extract against the loaded state (the incremental refresh the
+    reference lists as future work, README:177). The two snapshots are
+    deterministic derivations of orders (drop key%7 rows from the old
+    version, key%11 from the new, stale prices on key%5). Full-outer is
+    the one join shape that can't broadcast — it plans as a sort-merge
+    join on the key exchange; at 100 TB both snapshot scans should be
+    bucketed on the key (sources/bucketed.py) to eliminate even that."""
+    o = load_table(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    old = o.where(key % 7 != 0).select(
+        key.alias("a_key"),
+        F.when(key % 5 == 0, F.col("o_totalprice") * 1.1)
+        .otherwise(F.col("o_totalprice"))
+        .alias("a_price"),
+    )
+    new = o.where(key % 11 != 0).select(key.alias("b_key"), F.col("o_totalprice").alias("b_price"))
+    return (
+        old.join(new, old["a_key"] == new["b_key"], "full_outer")
+        .select(
+            F.when(F.col("a_key").isNull(), "insert")
+            .when(F.col("b_key").isNull(), "delete")
+            .when(F.col("a_price") != F.col("b_price"), "update")
+            .otherwise("unchanged")
+            .alias("change_type")
+        )
+        .groupBy("change_type")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )

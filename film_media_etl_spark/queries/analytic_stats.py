@@ -218,3 +218,71 @@ def ext_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_extract_all(F.col("text"), F.lit("s[a-z]{3,}"), F.lit(0))
         ).alias("pos", "term"),
     )
+
+
+@register(
+    "ext_histogram",
+    oracle="""
+    SELECT event_type,
+           CAST(floor(value / 50.0) AS INT) AS bin,
+           COUNT(*) AS n,
+           MIN(value) AS bin_min,
+           MAX(value) AS bin_max
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def ext_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of event values per type (bin = floor(v/50))
+    — distribution profiling with zero floating-point ambiguity: one
+    double division + floor per row, identical in both engines, then
+    integer group keys. The partial/final hash aggregate keeps the
+    shuffle proportional to (type x bin) cardinality, not rows — the
+    shape that makes profiling free at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "event_type",
+            F.floor(F.col("value") / F.lit(50.0)).cast("int").alias("bin"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("bin_min"),
+            F.max("value").alias("bin_max"),
+        )
+    )
+
+
+@register(
+    "ext_profile_table",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(DISTINCT o_orderstatus) AS n_statuses,
+           COUNT(DISTINCT o_orderpriority) AS n_priorities,
+           COUNT(*) - COUNT(o_totalprice) AS null_totalprice,
+           COUNT(*) - COUNT(o_orderdate) AS null_orderdate,
+           CAST(MIN(o_orderdate) AS DATE) AS min_orderdate,
+           CAST(MAX(o_orderdate) AS DATE) AS max_orderdate
+    FROM orders
+    """,
+)
+def ext_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass table profile (the data-quality audit step the
+    reference's README recommends but never implements — 'Validate row
+    counts between source and target', README:179-183): row count, key
+    cardinalities, per-column null counts, date range — all in ONE scan
+    + one aggregate. countDistinct expands then two-phase aggregates;
+    at 100 TB swap for approx_count_distinct (ext_approx_sketches) when
+    exactness isn't contractual."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+        (F.count(F.lit(1)) - F.count("o_totalprice")).alias("null_totalprice"),
+        (F.count(F.lit(1)) - F.count("o_orderdate")).alias("null_orderdate"),
+        F.min(F.to_date("o_orderdate")).alias("min_orderdate"),
+        F.max(F.to_date("o_orderdate")).alias("max_orderdate"),
+    )

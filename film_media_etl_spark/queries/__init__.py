@@ -22,5 +22,6 @@ from . import pipeline  # noqa: E402,F401  composed corpus-cleaning pipeline
 from . import analytic_windows  # noqa: E402,F401  ranking/offset windows, semi/anti, HAVING
 from . import analytic_stats  # noqa: E402,F401  stats/grouping-sets/unpivot/sample/regex
 from . import event_analytics  # noqa: E402,F401  funnel/retention/SCD2
+from . import sql_analytics  # noqa: E402,F401  EXISTS/islands/argmax/mode/frames/pivot
 
 __all__ = ["EngineQuery", "register", "get", "all_queries", "all_oracles"]

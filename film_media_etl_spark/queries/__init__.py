@@ -23,5 +23,6 @@ from . import analytic_windows  # noqa: E402,F401  ranking/offset windows, semi/
 from . import analytic_stats  # noqa: E402,F401  stats/grouping-sets/unpivot/sample/regex
 from . import event_analytics  # noqa: E402,F401  funnel/retention/SCD2
 from . import sql_analytics  # noqa: E402,F401  EXISTS/islands/argmax/mode/frames/pivot
+from . import corpus_quality  # noqa: E402,F401  repetition/survivors/stratified/quantize/zipf
 
 __all__ = ["EngineQuery", "register", "get", "all_queries", "all_oracles"]

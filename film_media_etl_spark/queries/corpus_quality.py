@@ -1,0 +1,333 @@
+"""Training-corpus curation operators: repetition-based quality filtering
+(Gopher-style), duplicate-cluster survivor selection, stratified
+deterministic sampling, int8 embedding quantization, and corpus token
+Zipf statistics.
+
+These extend the dedup/text-analysis family (SURVEY §2.K) with the
+curation steps a 100 TB pre-training pipeline runs between raw scrape
+and tokenizer: drop repetitive documents, collapse near-dup clusters to
+one survivor, downsample over-represented strata, shrink embeddings for
+the retrieval index, and audit the token distribution. Every op carries
+an exact DuckDB oracle — including the survivor set, whose oracle walks
+the same pair graph with a recursive CTE.
+
+Determinism conventions:
+- token order inside a document is positional (zip_with over adjacent
+  slices), so bigram counts are exact, not sampled;
+- every argmax (top bigram, survivor pick) has a total-order tiebreak;
+- quantization uses floor(x*scale + 0.5) — identical double math in
+  both engines — instead of engine round() (whose half-way rule
+  differs between Spark HALF_UP and DuckDB half-even).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.dedup import connected_components, token_jaccard_pairs
+from ..sources import load_table
+from .registry import register
+
+
+# ---------------------------------------------------------------------------
+# Repetition quality (Gopher-style filters)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ext_repetition_quality",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+    ), b AS (
+      SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bg
+      FROM t, LATERAL unnest(generate_series(1, len(toks)-1)) AS u(i)
+    ), c AS (
+      SELECT doc_id, bg, COUNT(*) AS cnt FROM b GROUP BY doc_id, bg
+    ), r AS (
+      SELECT doc_id, bg, cnt,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY cnt DESC, bg ASC) AS rn,
+             SUM(cnt) OVER (PARTITION BY doc_id) AS n_bigrams
+      FROM c
+    ), top AS (
+      SELECT doc_id, bg AS top_bigram, cnt AS top_bigram_count, n_bigrams
+      FROM r WHERE rn = 1
+    )
+    SELECT t.doc_id,
+           CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(t.toks)) AS BIGINT) AS n_unique,
+           CAST(len(list_distinct(t.toks)) AS DOUBLE)
+             / CAST(len(t.toks) AS DOUBLE) AS type_token_ratio,
+           top.top_bigram,
+           CAST(top.top_bigram_count AS BIGINT) AS top_bigram_count,
+           CAST(top.top_bigram_count AS DOUBLE)
+             / CAST(top.n_bigrams AS DOUBLE) AS top_bigram_frac,
+           (CAST(len(list_distinct(t.toks)) AS DOUBLE)
+              / CAST(len(t.toks) AS DOUBLE) >= 0.3
+            AND CAST(top.top_bigram_count AS DOUBLE)
+              / CAST(top.n_bigrams AS DOUBLE) <= 0.18) AS passes_quality
+    FROM t JOIN top ON t.doc_id = top.doc_id
+    """,
+)
+def ext_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition metrics per document: type-token ratio and
+    most-repeated-bigram share, plus the pass/fail verdict a curation
+    pipeline filters on (Rae et al. 2021, 'Scaling Language Models',
+    table A1 uses exactly these duplicate-n-gram fractions). Bigrams come
+    from zip_with over adjacent array slices — pure JVM higher-order
+    functions, zero Python. The per-doc aggregate shuffles on doc_id
+    only after explode, and at 100 TB the explode never leaves the map
+    side: Spark fuses explode -> partial count into one stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.split(F.lower("text"), " ").alias("toks")
+    )
+    n = F.size("toks")
+    bg = F.explode(
+        F.zip_with(
+            F.slice(F.col("toks"), 1, n - 1),
+            F.slice(F.col("toks"), 2, n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    ).alias("bg")
+    c = t.select("doc_id", bg).groupBy("doc_id", "bg").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w_rank = Window.partitionBy("doc_id").orderBy(
+        F.col("cnt").desc(), F.col("bg").asc()
+    )
+    w_all = Window.partitionBy("doc_id")
+    top = (
+        c.withColumn("rn", F.row_number().over(w_rank))
+        .withColumn("n_bigrams", F.sum("cnt").over(w_all))
+        .where(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("bg").alias("top_bigram"),
+            F.col("cnt").alias("top_bigram_count"),
+            "n_bigrams",
+        )
+    )
+    stats = t.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_unique"),
+    )
+    ttr = F.col("n_unique").cast("double") / F.col("n_tokens").cast("double")
+    top_frac = F.col("top_bigram_count").cast("double") / F.col(
+        "n_bigrams"
+    ).cast("double")
+    return stats.join(top, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "n_unique",
+        ttr.alias("type_token_ratio"),
+        "top_bigram",
+        "top_bigram_count",
+        top_frac.alias("top_bigram_frac"),
+        ((ttr >= 0.3) & (top_frac <= 0.18)).alias("passes_quality"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-cluster survivor selection
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ext_dedup_survivors",
+    oracle="""
+    WITH RECURSIVE tok AS (
+      SELECT doc_id, source, lang,
+             list_distinct(string_split(lower(text), ' ')) AS toks
+      FROM documents
+    ),
+    pr AS (
+      SELECT a.doc_id AS a, b.doc_id AS b
+      FROM tok a
+      JOIN tok b ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+              / CAST(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+            >= 0.9
+    ),
+    edges AS (SELECT a, b FROM pr UNION SELECT b AS a, a AS b FROM pr),
+    reach(src, dst) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    ),
+    clusters AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src)
+    SELECT d.doc_id,
+           COALESCE(c.cluster_id, d.doc_id) AS keeper_id,
+           (c.cluster_id IS NULL OR c.cluster_id = d.doc_id) AS is_kept
+    FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+    """,
+)
+def ext_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End of the dedup pipeline: collapse each near-dup cluster to one
+    survivor (min doc_id — deterministic, content-independent) and tag
+    every document kept/dropped. Pair graph -> connected components ->
+    left join back to the corpus, so singletons (never paired) keep
+    themselves. This is the materialized keep-list a 100 TB curation run
+    writes back to storage; downstream readers inner-join it instead of
+    re-running dedup. One broadcastable join at the end: the cluster map
+    is orders of magnitude smaller than the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = token_jaccard_pairs(
+        docs, block_cols=("source", "lang"), threshold=0.9
+    )
+    clusters = connected_components(pairs)
+    return docs.join(clusters, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("keeper_id"),
+        (
+            F.col("cluster_id").isNull()
+            | (F.col("cluster_id") == F.col("doc_id"))
+        ).alias("is_kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stratified deterministic sampling
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ext_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+          <= CASE WHEN lang = 'en' THEN '0c' ELSE '33' END
+    """,
+)
+def ext_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sampling: downsample over-represented
+    English (~5%) while keeping ~20% of every other language — the
+    rebalancing step of multilingual corpus assembly. Rates are md5
+    prefix thresholds (engine-portable, rerun-stable, debuggable at
+    100 TB: membership is recomputable from the key alone, unlike
+    sample()/TABLESAMPLE whose seeds don't survive repartitioning).
+    Pure map-side filter — no shuffle at all."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    threshold = F.when(F.col("lang") == "en", F.lit("0c")).otherwise(
+        F.lit("33")
+    )
+    return docs.where(bucket <= threshold).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+# ---------------------------------------------------------------------------
+# int8 embedding quantization
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ext_embedding_quantize",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id, label,
+             list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS amax
+      FROM embeddings
+    )
+    SELECT e.vec_id, e.label, s.amax AS abs_max,
+           list_transform(
+             e.embedding,
+             x -> CAST(floor(x::DOUBLE * (127.0 / s.amax) + 0.5) AS INTEGER)
+           ) AS q8
+    FROM embeddings e JOIN s ON e.vec_id = s.vec_id
+    """,
+)
+def ext_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of the embedding column — the
+    4x storage shrink before an ANN index ships to serving. Per-vector
+    scale = 127/max|x|; floor(x*scale + 0.5) rounds half-away-from-zero
+    identically in both engines (engine round() would not: Spark HALF_UP
+    vs DuckDB half-even on doubles). All JVM higher-order functions over
+    the scan — no shuffle, no Python; at 100 TB this is a pure map stage
+    that saturates NVMe bandwidth, not CPU."""
+    from ..functions.vectors import to_double_vec
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = to_double_vec(F.col("embedding"))
+    amax = F.array_max(F.transform(vec, lambda x: F.abs(x)))
+    scale = F.lit(127.0) / F.col("abs_max")
+    return emb.select(
+        "vec_id", "label", amax.alias("abs_max"), vec.alias("_v")
+    ).select(
+        "vec_id",
+        "label",
+        "abs_max",
+        F.transform(
+            F.col("_v"), lambda x: F.floor(x * scale + F.lit(0.5)).cast("int")
+        ).alias("q8"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus token Zipf statistics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ext_token_zipf",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents
+    ), c AS (
+      SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token
+    ), r AS (
+      SELECT token, cnt,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, token ASC) AS rank,
+             CAST(SUM(cnt) OVER () AS BIGINT) AS total,
+             SUM(cnt) OVER (ORDER BY cnt DESC, token ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+      FROM c
+    )
+    SELECT token, CAST(cnt AS BIGINT) AS cnt, CAST(rank AS BIGINT) AS rank,
+           CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) AS cum_share
+    FROM r WHERE rank <= 40
+    """,
+)
+def ext_token_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level token frequency audit: global counts, Zipf rank, and
+    cumulative share of the top 40 types — the sanity check before
+    tokenizer training (a healthy corpus shows the head covering a
+    bounded share; a scrape bug shows one token dominating). The global
+    window runs over the AGGREGATED type table (vocabulary-sized, tiny),
+    never the raw token stream, so the single-partition rank exchange is
+    on thousands of rows — the pattern that keeps a global ORDER BY
+    harmless at 100 TB. Tiebreak (cnt desc, token asc) is total."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = (
+        docs.select(
+            F.explode(F.split(F.lower("text"), " ")).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    order = [F.col("cnt").desc(), F.col("token").asc()]
+    w_rank = Window.orderBy(*order)
+    w_cum = Window.orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    return (
+        c.withColumn("rank", F.row_number().over(w_rank).cast("long"))
+        .withColumn("total", F.sum("cnt").over(w_all))
+        .withColumn("cum", F.sum("cnt").over(w_cum))
+        .where(F.col("rank") <= 40)
+        .select(
+            "token",
+            "cnt",
+            "rank",
+            (F.col("cum").cast("double") / F.col("total").cast("double")).alias(
+                "cum_share"
+            ),
+        )
+    )

@@ -162,3 +162,68 @@ def test_stats_agg_single_exchange(spark):
     s = plan_summary(_q("ext_stats_agg", spark))
     assert s["single_partition_exchanges"] == 0
     assert s["exchanges"] <= 2  # partial/final agg pair on event_type
+
+
+def test_exists_subquery_decorrelates_to_hash_joins(spark):
+    """EXISTS/NOT EXISTS must decorrelate into semi/anti hash joins —
+    a per-row subquery (nested loop) would be quadratic at scale."""
+    from film_media_etl_spark.plans import physical_plan, plan_summary
+
+    df = _q("ext_exists_subquery", spark)
+    s = plan_summary(df)
+    assert s["cartesian_products"] == 0 and s["nested_loop_joins"] == 0
+    plan = physical_plan(df)
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_argmax_is_pure_aggregate(spark):
+    """max_by argmax needs no window and no sort: one partial/final
+    hash-aggregate pair on the grouping key."""
+    from film_media_etl_spark.plans import plan_summary
+
+    s = plan_summary(_q("ext_argmax_group", spark))
+    assert s["window_nodes"] == 0
+    assert s["single_partition_exchanges"] == 0
+    assert s["exchanges"] <= 2
+
+
+def test_stratified_sample_and_quantize_are_map_only(spark):
+    """Deterministic sampling and int8 quantization are pure map stages:
+    zero exchanges of any kind."""
+    from film_media_etl_spark.plans import plan_summary
+
+    assert plan_summary(_q("ext_stratified_sample", spark))["exchanges"] == 0
+    assert plan_summary(_q("ext_embedding_quantize", spark))["exchanges"] == 0
+
+
+def test_token_zipf_global_window_is_post_aggregate(spark):
+    """The global rank window is allowed ONLY because it runs over the
+    vocabulary-sized aggregate; the raw token explode must shuffle once
+    (partial/final count), then collapse."""
+    from film_media_etl_spark.plans import physical_plan, plan_summary
+
+    df = _q("ext_token_zipf", spark)
+    s = plan_summary(df)
+    # token-count agg pair + the tiny single-partition window collapse
+    assert s["single_partition_exchanges"] <= 2
+    plan = physical_plan(df)
+    # the explode feeds a partial aggregate before any exchange
+    assert "Generate explode" in plan
+
+
+def test_range_frame_single_user_exchange(spark):
+    from film_media_etl_spark.plans import plan_summary
+
+    s = plan_summary(_q("ext_window_range_time", spark))
+    assert s["single_partition_exchanges"] == 0
+    assert s["window_nodes"] >= 1
+    assert s["exchanges"] <= 1  # one hash exchange on user_id
+
+
+def test_repetition_quality_no_cartesian(spark):
+    df = _q("ext_repetition_quality", spark)
+    assert_no_cartesian(df)
+    # bigram counts aggregate on (doc_id, bg) before the per-doc window
+    from film_media_etl_spark.plans import plan_summary
+
+    assert plan_summary(df)["cartesian_products"] == 0

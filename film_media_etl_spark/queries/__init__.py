@@ -24,5 +24,6 @@ from . import analytic_stats  # noqa: E402,F401  stats/grouping-sets/unpivot/sam
 from . import event_analytics  # noqa: E402,F401  funnel/retention/SCD2
 from . import sql_analytics  # noqa: E402,F401  EXISTS/islands/argmax/mode/frames/pivot
 from . import corpus_quality  # noqa: E402,F401  repetition/survivors/stratified/quantize/zipf
+from . import warehouse_ops  # noqa: E402,F401  merge-upsert/fk-audit/distribution/ewma
 
 __all__ = ["EngineQuery", "register", "get", "all_queries", "all_oracles"]

@@ -1,0 +1,237 @@
+"""Warehouse maintenance operators: SCD1 merge-upsert, referential-
+integrity audit, distribution window functions, and fold-based EWMA.
+
+The reference maintains its warehouse with INSERT IGNORE and full
+reloads ( loadAnalyticsDB...R:106-134 — there is no UPDATE path at all,
+SURVEY §4.1); these ops supply the maintenance surface a long-lived
+warehouse actually needs. MERGE semantics follow the ANSI/Delta shape
+(update-when-matched, insert-when-not) expressed as a full outer join —
+the strategy Spark executes as one shuffle per side, with the update set
+broadcast when small.
+
+The EWMA op demonstrates the engine's policy for inherently sequential
+per-key computations: collect the (small, bounded) ordered series per
+key and fold it with a JVM higher-order aggregate — never a Python UDF,
+never a driver loop. DuckDB's list_reduce seeds the fold with the first
+element, so the Spark side folds slice(2..) over element_at(1) to keep
+the float operation order bit-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .registry import register
+
+
+# ---------------------------------------------------------------------------
+# SCD1 MERGE / upsert
+# ---------------------------------------------------------------------------
+
+# The update batch is derived deterministically from the snapshot itself:
+# every 7th customer gets a +100.00 balance correction (matched/update);
+# every 97th is re-keyed +1,000,000 to simulate a late-arriving insert.
+_UPD_FILTER = "c_custkey % 7 = 0"
+_INS_FILTER = "c_custkey % 97 = 0"
+
+
+@register(
+    "ext_merge_upsert",
+    oracle=f"""
+    WITH updates AS (
+      SELECT c_custkey AS key, CAST(c_acctbal + 100.0 AS DOUBLE) AS acctbal,
+             c_mktsegment FROM customer WHERE {_UPD_FILTER}
+      UNION ALL
+      SELECT c_custkey + 1000000 AS key, CAST(0.0 AS DOUBLE) AS acctbal,
+             'NEW' AS c_mktsegment FROM customer WHERE {_INS_FILTER}
+    )
+    SELECT COALESCE(u.key, c.c_custkey) AS c_custkey,
+           COALESCE(u.acctbal, c.c_acctbal) AS c_acctbal,
+           COALESCE(u.c_mktsegment, c.c_mktsegment) AS c_mktsegment,
+           CASE WHEN c.c_custkey IS NULL THEN 'inserted'
+                WHEN u.key IS NULL THEN 'unchanged'
+                ELSE 'updated' END AS merge_action
+    FROM customer c FULL OUTER JOIN updates u ON c.c_custkey = u.key
+    """,
+)
+def ext_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD1 MERGE: apply an update/insert batch to the customer snapshot
+    — update-when-matched, insert-when-not-matched, pass-through
+    otherwise, each row tagged with its merge action. Expressed as a full
+    outer join + coalesce (exactly what Delta's MERGE lowers to when the
+    whole table rewrites); at 100 TB the batch side is typically <<1% of
+    the snapshot and broadcasts, turning MERGE into a map-side stitch of
+    the unchanged partitions. The reference has no update path at all —
+    its warehouse can only INSERT IGNORE or reload (SURVEY §4.1)."""
+    c = load_table(spark, sf_dir, "customer")
+    updates = (
+        c.where(F.expr(_UPD_FILTER)).select(
+            F.col("c_custkey").alias("key"),
+            (F.col("c_acctbal") + F.lit(100.0)).alias("acctbal"),
+            "c_mktsegment",
+        )
+    ).unionByName(
+        c.where(F.expr(_INS_FILTER)).select(
+            (F.col("c_custkey") + F.lit(1_000_000)).alias("key"),
+            F.lit(0.0).alias("acctbal"),
+            F.lit("NEW").alias("c_mktsegment"),
+        )
+    )
+    u = updates.alias("u")
+    base = c.alias("c")
+    return base.join(u, F.col("c.c_custkey") == F.col("u.key"), "full_outer").select(
+        F.coalesce(F.col("u.key"), F.col("c.c_custkey")).alias("c_custkey"),
+        F.coalesce(F.col("u.acctbal"), F.col("c.c_acctbal")).alias("c_acctbal"),
+        F.coalesce(F.col("u.c_mktsegment"), F.col("c.c_mktsegment")).alias(
+            "c_mktsegment"
+        ),
+        F.when(F.col("c.c_custkey").isNull(), "inserted")
+        .when(F.col("u.key").isNull(), "unchanged")
+        .otherwise("updated")
+        .alias("merge_action"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ext_fk_integrity",
+    oracle="""
+    SELECT 'lineitem->orders' AS fk, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'orders->customer', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'customer->nation', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    UNION ALL
+    SELECT 'nation->region', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN r.r_regionkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM nation n LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+)
+def ext_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the full FK chain: for each
+    relationship, total child rows and orphan count (child key with no
+    parent). The reference trusts MySQL FK constraints to enforce this at
+    insert time (createStarSchema...R:163-172); a parquet lake has no
+    constraints, so the audit query IS the constraint. Each check is a
+    left join probing a smaller parent — parent sides broadcast, and the
+    orphan counts collapse map-side before the union of four 1-row
+    aggregates."""
+
+    def check(child: DataFrame, parent: DataFrame, ck: str, pk: str, name: str) -> DataFrame:
+        j = child.join(parent, child[ck] == parent[pk], "left")
+        return j.agg(
+            F.lit(name).alias("fk"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(parent[pk].isNull(), 1).otherwise(0)).alias("n_orphans"),
+        ).select("fk", "n_rows", "n_orphans")
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        check(li, o, "l_orderkey", "o_orderkey", "lineitem->orders")
+        .unionByName(check(o, c, "o_custkey", "c_custkey", "orders->customer"))
+        .unionByName(check(c, n, "c_nationkey", "n_nationkey", "customer->nation"))
+        .unionByName(check(n, r, "n_regionkey", "r_regionkey", "nation->region"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distribution window functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ext_window_distribution",
+    oracle="""
+    SELECT event_id, event_type, value,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume_d
+    FROM events
+    WHERE user_id < 300
+    WINDOW w AS (PARTITION BY event_type ORDER BY value)
+    """,
+)
+def ext_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist of each event's value within its type —
+    the normalized-score transform feature pipelines use for rank-based
+    calibration. Unlike row_number, both functions are TIE-STABLE: equal
+    values get equal scores regardless of physical order, so no tiebreak
+    column is needed for determinism. One exchange on event_type."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 300)
+    w = Window.partitionBy("event_type").orderBy("value")
+    return ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume_d"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fold-based EWMA (inherently sequential per-key computation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ext_ewma",
+    oracle="""
+    WITH s AS (
+      SELECT user_id,
+             list(value ORDER BY epoch(CAST(ts AS TIMESTAMP)), event_id) AS vs
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, CAST(len(vs) AS BIGINT) AS n_events,
+           list_reduce(vs, (acc, x) -> 0.8 * acc + 0.2 * x) AS ewma
+    FROM s
+    """,
+)
+def ext_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average (alpha=0.2) of each user's
+    value series — the canonical computation that CANNOT be a window
+    frame (every prefix depends on the full history). Engine policy for
+    sequential per-key math: collect the bounded per-key series, sort
+    once, fold with the JVM aggregate() HOF — no Python UDF, no
+    iteration, one shuffle on user_id. The fold seeds with the first
+    element and folds the rest (exactly DuckDB's list_reduce), so both
+    engines execute the identical double-op sequence. At 100 TB the
+    per-key series must be bounded (here: events per user); unbounded
+    keys would move to the streaming stateful path
+    (streaming.windows.stream_stateful_user_totals)."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.unix_timestamp("ts").alias("sec"),
+                    F.col("event_id").alias("eid"),
+                    F.col("value").alias("v"),
+                )
+            )
+        ).alias("series")
+    )
+    vals = F.transform(F.col("series"), lambda s_: s_["v"])
+    return s.select(
+        "user_id",
+        F.size("series").cast("long").alias("n_events"),
+        F.aggregate(
+            F.slice(vals, 2, F.size(vals) - 1),
+            F.element_at(vals, 1),
+            lambda acc, x: F.lit(0.8) * acc + F.lit(0.2) * x,
+        ).alias("ewma"),
+    )

@@ -227,3 +227,37 @@ def test_repetition_quality_no_cartesian(spark):
     from film_media_etl_spark.plans import plan_summary
 
     assert plan_summary(df)["cartesian_products"] == 0
+
+
+def test_merge_upsert_is_single_full_outer(spark):
+    """MERGE lowers to ONE full-outer join; no cartesian, no second
+    pass over the snapshot."""
+    from film_media_etl_spark.plans import physical_plan, plan_summary
+
+    df = _q("ext_merge_upsert", spark)
+    s = plan_summary(df)
+    assert s["cartesian_products"] == 0 and s["nested_loop_joins"] == 0
+    assert physical_plan(df).count("FullOuter") == 1
+
+
+def test_fk_integrity_broadcasts_parents(spark):
+    """Every parent side of the audit is dimension-sized -> broadcast;
+    the fact-side scans must prune to the key column."""
+    from film_media_etl_spark.plans import plan_summary
+
+    s = plan_summary(_q("ext_fk_integrity", spark))
+    assert s["broadcast_hash_joins"] >= 3
+    assert s["cartesian_products"] == 0
+
+
+def test_ewma_single_shuffle_no_python(spark):
+    """The EWMA fold is JVM aggregate() over one user_id exchange —
+    a Python eval node in this plan means the HOF fell off the fast
+    path."""
+    from film_media_etl_spark.plans import physical_plan, plan_summary
+
+    df = _q("ext_ewma", spark)
+    s = plan_summary(df)
+    assert s["single_partition_exchanges"] == 0
+    assert s["exchanges"] <= 2  # partial/final collect_list agg pair
+    assert "Python" not in physical_plan(df)

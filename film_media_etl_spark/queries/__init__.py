@@ -25,5 +25,6 @@ from . import event_analytics  # noqa: E402,F401  funnel/retention/SCD2
 from . import sql_analytics  # noqa: E402,F401  EXISTS/islands/argmax/mode/frames/pivot
 from . import corpus_quality  # noqa: E402,F401  repetition/survivors/stratified/quantize/zipf
 from . import warehouse_ops  # noqa: E402,F401  merge-upsert/fk-audit/distribution/ewma
+from . import advanced_analytics  # noqa: E402,F401  winsorize/corr-OLS/transitions/basket/fuzzy
 
 __all__ = ["EngineQuery", "register", "get", "all_queries", "all_oracles"]

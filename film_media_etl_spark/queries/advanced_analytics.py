@@ -1,0 +1,338 @@
+"""Advanced analytics: winsorization, exact-moment correlation/OLS,
+event-sequence transition mining, fixed-size per-group sampling,
+co-occurrence (market-basket) mining, and edit-distance fuzzy matching.
+
+The reference's statistics stop at mean/sum (SURVEY §2.D); this module
+adds the model-adjacent analytics a feature/data-science workload runs
+on the same warehouse. All oracle-exact:
+
+- correlation/OLS use exact decimal moments (n, Σx, Σy, Σxy, Σx², Σy²)
+  with one identical double expression in both engines — never the
+  engines' streaming covariance (update-order-dependent). Moment scales
+  are chosen so the scaled integers stay under 2^53 past sf1
+  (quantity is integer-valued, discount has exactly 2dp — verified),
+  keeping the decimal->double cast correctly rounded in both engines;
+- winsorization reuses the verified percentile == quantile_cont
+  interpolation parity;
+- transition/co-occurrence counts carry total orders so ties cannot
+  appear; the fuzzy-match blocks on brand before any distance runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .registry import register
+
+
+# ---------------------------------------------------------------------------
+# Winsorization (percentile clipping)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ext_winsorize",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS p05,
+             quantile_cont(value, 0.95) AS p95
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           CASE WHEN e.value < b.p05 THEN b.p05
+                WHEN e.value > b.p95 THEN b.p95
+                ELSE e.value END AS value_winsorized,
+           (e.value < b.p05 OR e.value > b.p95) AS was_clipped
+    FROM events e JOIN b ON e.event_type = b.event_type
+    WHERE e.user_id < 400
+    """,
+)
+def ext_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorize event values to each type's [p05, p95] — the outlier
+    treatment feature pipelines apply before normalization. Exact
+    percentiles per type (tiny aggregate) broadcast back onto the
+    stream: the clip itself is map-side, so at 100 TB the cost is one
+    pass for the bounds and one for the clip. The percentile
+    interpolation is bit-identical to DuckDB quantile_cont (verified
+    in ext_stats_agg)."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.groupBy("event_type").agg(
+        F.percentile("value", 0.05).alias("p05"),
+        F.percentile("value", 0.95).alias("p95"),
+    )
+    e = ev.where(F.col("user_id") < 400)
+    v, lo, hi = F.col("value"), F.col("p05"), F.col("p95")
+    return e.join(F.broadcast(bounds), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.when(v < lo, lo).when(v > hi, hi).otherwise(v).alias("value_winsorized"),
+        ((v < lo) | (v > hi)).alias("was_clipped"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact-moment correlation + OLS regression
+# ---------------------------------------------------------------------------
+
+_MOMENTS_SQL = """
+      SELECT l_returnflag, COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,0))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_discount AS DECIMAL(9,4))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,0))
+                      * CAST(l_discount AS DECIMAL(9,4))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,0))
+                      * CAST(l_quantity AS DECIMAL(18,0))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_discount AS DECIMAL(9,4))
+                      * CAST(l_discount AS DECIMAL(9,4))) AS DOUBLE) AS syy
+      FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@register(
+    "ext_corr_ols",
+    oracle=f"""
+    WITH m AS ({_MOMENTS_SQL})
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+           (n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_disc,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS ols_slope,
+           (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS ols_intercept
+    FROM m
+    """,
+)
+def ext_corr_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation and OLS fit (discount ~ quantity) per return
+    flag, from exact decimal moments — one hash aggregate, then scalar
+    math on a 3-row result. The engines' built-in corr()/covar() are
+    streaming updates whose float error depends on partition order —
+    unusable under an exact oracle and irreproducible across cluster
+    sizes; the moment formulation is associativity-proof and costs the
+    same single pass. Scales: quantity is integer-valued (scale 0),
+    discount exactly 2dp (scale 4 covers products) — scaled sums stay
+    under 2^53 past sf1, so the final decimal->double casts are
+    correctly rounded in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,0)")
+    y = F.col("l_discount").cast("decimal(9,4)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return m.select(
+        "l_returnflag",
+        F.col("n").alias("n_rows"),
+        (
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+        ).alias("corr_qty_disc"),
+        slope.alias("ols_slope"),
+        ((sy - slope * sx) / n).alias("ols_intercept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-sequence transition mining (Markov transition counts)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ext_event_transitions",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY epoch(CAST(ts AS TIMESTAMP)), event_id)
+               AS next_type
+      FROM events
+    ), t AS (
+      SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS cnt
+      FROM s WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, CAST(cnt AS BIGINT) AS n_transitions,
+           CAST(cnt AS DOUBLE)
+             / CAST(SUM(cnt) OVER (PARTITION BY from_type) AS DOUBLE) AS p_transition
+    FROM t
+    """,
+)
+def ext_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    sequence: lead() within user (total (ts, event_id) order), count
+    (from, to) pairs, normalize rows into transition probabilities. The
+    journey-mining primitive behind next-action models. One exchange on
+    user_id for the lead, then the pair aggregate collapses to
+    |types|^2 rows — the probability window runs on that tiny table."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.unix_timestamp("ts"), "event_id")
+    s = ev.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    ).where(F.col("next_type").isNotNull())
+    t = s.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w_row = Window.partitionBy("from_type")
+    return t.select(
+        "from_type",
+        "to_type",
+        F.col("cnt").alias("n_transitions"),
+        (F.col("cnt").cast("double") / F.sum("cnt").over(w_row).cast("double")).alias(
+            "p_transition"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-size deterministic sample per group
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ext_sample_per_group",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, lang, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS rn
+      FROM documents
+    )
+    SELECT doc_id, lang, n_chars, CAST(rn AS BIGINT) AS sample_rank
+    FROM r WHERE rn <= 25
+    """,
+)
+def ext_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-stratum sample (k=25 per language): rank by md5 of
+    the key and keep the k smallest — a deterministic reservoir
+    replacement whose membership is recomputable from keys alone. Unlike
+    rate-based sampling (ext_stratified_sample) the output size is fixed
+    per group regardless of stratum skew — what an eval-set builder
+    needs. One exchange on lang; Spark computes per-partition top-k
+    before the final rank, so the shuffle carries candidates, not the
+    corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 25)
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.col("rn").cast("long").alias("sample_rank"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Co-occurrence (market-basket) mining
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ext_cooccurrence",
+    oracle="""
+    WITH u AS (
+      SELECT DISTINCT user_id, event_type FROM events
+    ), total AS (
+      SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM events
+    )
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(COUNT(*) AS BIGINT) AS n_both,
+           CAST(COUNT(*) AS DOUBLE) / CAST(t.n_users AS DOUBLE) AS support
+    FROM u a
+    JOIN u b ON a.user_id = b.user_id AND a.event_type < b.event_type
+    CROSS JOIN total t
+    GROUP BY a.event_type, b.event_type, t.n_users
+    """,
+)
+def ext_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise co-occurrence of event types across users (market-basket
+    support): distinct (user, type) self-joined within user, pair counts
+    over the total user count. The distinct pass bounds the self-join
+    input to n_users x n_types rows, and each user contributes at most
+    C(|types|,2) pairs — the standard guard that keeps basket mining
+    linear in users rather than quadratic in raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.select("user_id", "event_type").distinct()
+    n_users = ev.select("user_id").distinct().count()
+    a, b = u.alias("a"), u.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            (F.col("n_both").cast("double") / F.lit(float(n_users))).alias("support"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance fuzzy matching
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ext_fuzzy_match",
+    oracle="""
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
+    FROM part a
+    JOIN part b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+      AND a.p_name <> b.p_name
+    """,
+)
+def ext_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity matching: near-identical part names (edit distance
+    <= 2, excluding exact equals) within a brand block. Blocking on
+    p_brand is what makes edit-distance joins feasible at scale — the
+    quadratic distance work runs inside blocks (~1/25th each), never
+    across the whole catalog; the block join itself is a plain equi-join
+    Spark shuffles on brand. Spark and DuckDB levenshtein both implement
+    unit-cost edit distance, so the threshold cut is exact."""
+    p = load_table(spark, sf_dir, "part")
+    a = p.alias("a")
+    b = p.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .where((dist <= 2) & (F.col("a.p_name") != F.col("b.p_name")))
+        .select(
+            F.col("a.p_partkey").alias("key_a"),
+            F.col("b.p_partkey").alias("key_b"),
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            dist.cast("int").alias("edit_dist"),
+        )
+    )

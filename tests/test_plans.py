@@ -261,3 +261,41 @@ def test_ewma_single_shuffle_no_python(spark):
     assert s["single_partition_exchanges"] == 0
     assert s["exchanges"] <= 2  # partial/final collect_list agg pair
     assert "Python" not in physical_plan(df)
+
+
+def test_winsorize_bounds_broadcast(spark):
+    """The percentile-bounds table is tiny and must broadcast back onto
+    the event stream; clipping itself is map-side."""
+    from film_media_etl_spark.plans import plan_summary
+
+    s = plan_summary(_q("ext_winsorize", spark))
+    assert s["broadcast_hash_joins"] >= 1
+    assert s["cartesian_products"] == 0
+
+
+def test_corr_ols_single_aggregate(spark):
+    """Moment-based corr/OLS is ONE hash-aggregate pair; no window,
+    no second pass over lineitem."""
+    from film_media_etl_spark.plans import plan_summary
+
+    s = plan_summary(_q("ext_corr_ols", spark))
+    assert s["exchanges"] <= 2
+    assert s["window_nodes"] == 0
+    assert s["scans"] == 1
+
+
+def test_fuzzy_match_blocked_not_cartesian(spark):
+    """Edit-distance matching must ride the brand equi-join (shuffle or
+    broadcast hash), never a cartesian/nested-loop over the catalog."""
+    df = _q("ext_fuzzy_match", spark)
+    assert_no_cartesian(df)
+
+
+def test_cooccurrence_distinct_before_selfjoin(spark):
+    """The (user,type) distinct must collapse raw events BEFORE the
+    self-join — joining raw events would square the event count."""
+    from film_media_etl_spark.plans import physical_plan
+
+    plan = physical_plan(_q("ext_cooccurrence", spark))
+    assert "HashAggregate" in plan  # the distinct pass survives planning
+    assert "CartesianProduct" not in plan

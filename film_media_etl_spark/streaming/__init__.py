@@ -1,5 +1,6 @@
 from .incremental import incremental_fact, read_lineitem_stream, start_incremental_load
 from .joins import stream_interval_join
+from .sinks import merge_user_totals, read_snapshot, start_upsert_totals
 from .windows import (
     read_events_stream,
     stream_dedup,
@@ -18,4 +19,7 @@ __all__ = [
     "incremental_fact",
     "start_incremental_load",
     "stream_interval_join",
+    "merge_user_totals",
+    "read_snapshot",
+    "start_upsert_totals",
 ]

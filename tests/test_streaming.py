@@ -141,3 +141,55 @@ def test_stream_stateful_user_totals(spark, batch_events):
     for u, (n, tv) in expected.items():
         assert final[u][0] == n
         assert abs(final[u][1] - tv) < 1e-6
+
+
+def test_foreachbatch_upsert_totals(spark, tmp_path, batch_events):
+    """The foreachBatch MERGE sink must converge to the batch aggregate:
+    after draining the stream, the snapshot equals groupBy(user).agg
+    over the static table, regardless of how many micro-batches ran."""
+    from decimal import Decimal
+
+    from film_media_etl_spark.streaming.sinks import read_snapshot, start_upsert_totals
+
+    snap = str(tmp_path / "snapshot")
+    ckpt = str(tmp_path / "ckpt")
+    q = start_upsert_totals(spark, PARITY_SF_DIR, snap, ckpt)
+    q.awaitTermination(120)
+    assert not q.isActive
+
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in read_snapshot(spark, snap).collect()
+    }
+    want = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in batch_events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,3)"))
+            .cast("decimal(38,3)")
+            .alias("total_value"),
+        )
+        .collect()
+    }
+    assert got == want
+    assert all(isinstance(v[1], Decimal) for v in got.values())
+
+
+def test_foreachbatch_upsert_is_incremental(spark, tmp_path):
+    """Applying a second identical batch must ACCUMULATE (MERGE update),
+    not overwrite: totals double."""
+    from film_media_etl_spark.streaming.sinks import merge_user_totals, read_snapshot
+
+    ev = load_table(spark, PARITY_SF_DIR, "events").limit(200)
+    totals = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,3)"))
+        .cast("decimal(38,3)")
+        .alias("total_value"),
+    )
+    once = merge_user_totals(None, totals)
+    twice = merge_user_totals(once, totals)
+    got = {r["user_id"]: r["n_events"] for r in twice.collect()}
+    want = {r["user_id"]: 2 * r["n_events"] for r in once.collect()}
+    assert got == want

@@ -74,3 +74,50 @@ def test_token_count_matches_model(spark):
     got = {r["i"]: r["n"] for r in df.select("i", token_count(F.col("t")).alias("n")).collect()}
     for i, t in enumerate(texts):
         assert got[i] == len(t.lower().split(" ")), repr(t)
+
+
+def test_global_index_matches_row_number_model(spark):
+    """_global_index == ROW_NUMBER() OVER (ORDER BY ...) for arbitrary
+    skewed key distributions, with and without a narrow stats_df —
+    including duplicate full rows and empty buckets."""
+    from pyspark.sql import Window
+
+    from film_media_etl_spark.etl.star import _global_index
+
+    rng = random.Random(SEED)
+    rows = []
+    for _ in range(N):
+        # heavy skew + gaps: most keys in [0,50], spikes near 10_000
+        k = rng.choice([rng.randint(0, 50), rng.randint(0, 50), 10_000 + rng.randint(0, 5)])
+        rows.append((k, rng.randint(0, 9), rng.choice("abc")))
+    rows += rows[:25]  # exact duplicate rows must still index densely
+    df = spark.createDataFrame(rows, ["k", "sub", "tag"])
+    order = ["k", "sub", "tag"]
+
+    got = {
+        tuple(r[:3]): r[3]
+        for r in _global_index(df, order, "k", nbuckets=7, out_col="idx")
+        .groupBy("k", "sub", "tag")
+        .agg(F.sort_array(F.collect_list("idx")).alias("idxs"))
+        .select("k", "sub", "tag", "idxs")
+        .collect()
+    }
+    w = Window.orderBy(*order)
+    want = {
+        tuple(r[:3]): r[3]
+        for r in df.withColumn("idx", F.row_number().over(w).cast("long"))
+        .groupBy("k", "sub", "tag")
+        .agg(F.sort_array(F.collect_list("idx")).alias("idxs"))
+        .collect()
+    }
+    assert got == want
+
+    # narrow stats_df path: same distribution given as a key-only frame
+    stats = df.select("k")
+    got2 = (
+        _global_index(df, order, "k", nbuckets=7, out_col="idx", stats_df=stats)
+        .agg(F.min("idx"), F.max("idx"), F.count_distinct("idx"))
+        .first()
+    )
+    n = df.count()
+    assert tuple(got2) == (1, n, n)

@@ -331,3 +331,64 @@ def ext_token_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence chunking (context-window packing)
+# ---------------------------------------------------------------------------
+
+_CHUNK, _OVERLAP = 64, 16
+_STRIDE = _CHUNK - _OVERLAP
+
+
+@register(
+    "ext_chunk_documents",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+    ), n AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             GREATEST(1, CAST(floor((len(toks) + {_STRIDE - _OVERLAP - 1}) / {_STRIDE}.0)
+                              AS INT)) AS n_chunks
+      FROM t
+    ), c AS (
+      SELECT doc_id, n, i AS chunk_idx,
+             list_slice(toks, 1 + i*{_STRIDE}, LEAST(1 + i*{_STRIDE} + {_CHUNK - 1}, n))
+               AS chunk
+      FROM n, LATERAL unnest(generate_series(0, n_chunks - 1)) AS u(i)
+    )
+    SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           CAST(len(chunk) AS INT) AS n_chunk_tokens,
+           array_to_string(chunk, ' ') AS chunk_text
+    FROM c
+    """,
+)
+def ext_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: split each document into 64-token chunks
+    with 16-token overlap (stride 48) — the packing step between a
+    cleaned corpus and model-ready sequences. All array math (sequence
+    of chunk starts -> posexplode -> slice -> join) runs as JVM
+    higher-order functions over the scan; the only data movement is the
+    explode, which multiplies rows ~2x here and never shuffles. The
+    chunk-count formula guards Spark's sequence(1,0) descending trap:
+    every document yields at least one chunk, and both engines compute
+    n_chunks with the identical floor((n+offset)/stride) arithmetic."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.split(F.lower("text"), " ").alias("toks"))
+    n = F.size("toks")
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.floor((n + F.lit(_STRIDE - _OVERLAP - 1)) / F.lit(float(_STRIDE))).cast("int"),
+    )
+    withidx = t.select(
+        "doc_id",
+        "toks",
+        F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx", "_i"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("chunk_idx") * _STRIDE + 1, _CHUNK)
+    return withidx.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.size(chunk).cast("int").alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )

@@ -57,6 +57,10 @@ def get_spark(app_name: str = DEFAULT_APP_NAME, *, cpus: int | None = None) -> S
         # Parquet scans: keep row-group pruning + column pruning on
         # (defaults, pinned here as documentation of intent).
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Runtime bloom-filter join pruning: when one join side is
+        # selectively filtered, inject a bloom filter into the other
+        # side's scan — at 100 TB this skips row groups that can't match.
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         # Local mode: all memory is driver memory. Harmless on a cluster
         # where spark-submit overrides it.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))

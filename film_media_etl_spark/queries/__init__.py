@@ -26,5 +26,6 @@ from . import sql_analytics  # noqa: E402,F401  EXISTS/islands/argmax/mode/frame
 from . import corpus_quality  # noqa: E402,F401  repetition/survivors/stratified/quantize/zipf
 from . import warehouse_ops  # noqa: E402,F401  merge-upsert/fk-audit/distribution/ewma
 from . import advanced_analytics  # noqa: E402,F401  winsorize/corr-OLS/transitions/basket/fuzzy
+from . import feature_ops  # noqa: E402,F401  z-score/chi-square/containment
 
 __all__ = ["EngineQuery", "register", "get", "all_queries", "all_oracles"]

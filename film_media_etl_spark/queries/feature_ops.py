@@ -1,0 +1,219 @@
+"""Feature-engineering and statistical-test operators: z-score
+normalization from exact moments, chi-square independence test with a
+fold-exact statistic, and containment (asymmetric subset) dedup.
+
+Numeric policy notes:
+- z-scores derive mean/stddev from exact decimal moments (the
+  ext_stats_agg convention) so the per-row transform is one
+  deterministic double expression — never the engines'
+  order-dependent streaming variance;
+- the chi-square statistic sums irrational per-cell terms, so the sum
+  itself is order-sensitive in doubles; both engines fold the cells in
+  the SAME (row, col) sorted order (Spark aggregate() HOF over a
+  sorted collect, DuckDB list_reduce over an ORDER BY list) — the same
+  trick that makes ext_ewma exact. Engine ln() is NOT ulp-identical
+  across Spark/DuckDB (measured), so entropy-style ops are excluded
+  by design rather than shipped flaky.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .registry import register
+
+
+# ---------------------------------------------------------------------------
+# Z-score normalization
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ext_zscore_normalize",
+    oracle="""
+    WITH m AS (
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS s,
+             CAST(SUM(CAST(value AS DECIMAL(18,3)) * CAST(value AS DECIMAL(18,3)))
+                  AS DOUBLE) AS s2
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           (e.value - m.s / m.n)
+             / sqrt((m.s2 - m.s * m.s / m.n) / (m.n - 1)) AS z_score
+    FROM events e JOIN m ON e.event_type = m.event_type
+    WHERE e.user_id < 400
+    """,
+)
+def ext_zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score standardization — the feature-scaling step before
+    any distance-based model. Exact decimal moments (n, Σv, Σv²) give
+    mean and sample stddev as single deterministic double expressions;
+    the tiny moments table broadcasts back onto the stream, so
+    normalization is map-side: one aggregate pass + one transform pass
+    at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    d = F.col("value").cast("decimal(18,3)")
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d).cast("double").alias("s"),
+        F.sum(d * d).cast("double").alias("s2"),
+    )
+    n, s, s2 = F.col("n"), F.col("s"), F.col("s2")
+    e = ev.where(F.col("user_id") < 400)
+    return e.join(F.broadcast(m), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        (
+            (F.col("value") - s / n)
+            / F.sqrt((s2 - s * s / n) / (n - F.lit(1)))
+        ).alias("z_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence test (fold-exact statistic)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ext_chi_square",
+    oracle="""
+    WITH c AS (
+      SELECT lang, source, CAST(COUNT(*) AS DOUBLE) AS obs
+      FROM documents GROUP BY lang, source
+    ), tot AS (
+      SELECT SUM(obs) AS grand,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+      FROM c
+    ), exp AS (
+      SELECT c.lang, c.source, c.obs,
+             (SELECT SUM(obs) FROM c c2 WHERE c2.lang = c.lang)
+               * (SELECT SUM(obs) FROM c c3 WHERE c3.source = c.source)
+               / t.grand AS expected
+      FROM c, tot t
+    ), terms AS (
+      SELECT list((obs - expected) * (obs - expected) / expected
+                  ORDER BY lang, source) AS xs
+      FROM exp
+    )
+    SELECT list_reduce(xs, (acc, x) -> acc + x) AS chi2,
+           (t.n_langs - 1) * (t.n_sources - 1) AS dof,
+           CAST(t.grand AS BIGINT) AS n_docs
+    FROM terms, tot t
+    """,
+)
+def ext_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test of the (lang, source) contingency
+    table — the drift/balance check a corpus pipeline runs on categorical
+    columns. Expected counts come from exact integer marginals; the
+    statistic folds per-cell terms in sorted (lang, source) order via
+    the aggregate() HOF, making a double sum of irrational terms
+    reproducible across engines AND across cluster repartitionings
+    (an unordered SUM would drift in the last ulps). The contingency
+    table is categorical-cardinality-sized — every pass after the first
+    aggregate is driver-trivial at any data scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("double").alias("obs")
+    )
+    row_m = c.groupBy("lang").agg(F.sum("obs").alias("row_tot"))
+    col_m = c.groupBy("source").agg(F.sum("obs").alias("col_tot"))
+    tot = c.agg(
+        F.sum("obs").alias("grand"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+    cell = (
+        c.join(row_m, "lang")
+        .join(col_m, "source")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("expected", F.col("row_tot") * F.col("col_tot") / F.col("grand"))
+        .withColumn(
+            "term",
+            (F.col("obs") - F.col("expected"))
+            * (F.col("obs") - F.col("expected"))
+            / F.col("expected"),
+        )
+    )
+    folded = cell.groupBy("grand", "n_langs", "n_sources").agg(
+        F.sort_array(
+            F.collect_list(F.struct("lang", "source", "term"))
+        ).alias("cells")
+    )
+    xs = F.transform(F.col("cells"), lambda s: s["term"])
+    return folded.select(
+        F.aggregate(
+            F.slice(xs, 2, F.size(xs) - 1),
+            F.element_at(xs, 1),
+            lambda acc, x: acc + x,
+        ).alias("chi2"),
+        ((F.col("n_langs") - 1) * (F.col("n_sources") - 1)).alias("dof"),
+        F.col("grand").cast("long").alias("n_docs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Containment (asymmetric subset) dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ext_dedup_containment",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, source, lang,
+             list_distinct(string_split(lower(text), ' ')) AS toks
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_id_small, b.doc_id AS doc_id_big,
+           CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+             / CAST(len(a.toks) AS DOUBLE) AS containment
+    FROM tok a
+    JOIN tok b
+      ON a.source = b.source AND a.lang = b.lang AND a.doc_id <> b.doc_id
+     AND (len(a.toks) < len(b.toks)
+          OR (len(a.toks) = len(b.toks) AND a.doc_id < b.doc_id))
+    WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+            / CAST(len(a.toks) AS DOUBLE) >= 0.95
+    """,
+)
+def ext_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment dedup: |A∩B| / |A| >= 0.95 with A the smaller token
+    set — catches subset/prefix duplicates that symmetric Jaccard misses
+    (a doc pasted inside a longer one scores low Jaccard but full
+    containment; Broder 1997 distinguishes resemblance from containment
+    for exactly this). Blocked on (source, lang) like the Jaccard
+    family; the (smaller, bigger) orientation with a key tiebreak emits
+    each pair once, deterministically. Integer set sizes + one double
+    division keep the oracle exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.array_distinct(F.split(F.lower("text"), " ")).alias("toks"),
+    )
+    a, b = t.alias("a"), t.alias("b")
+    sa, sb = F.size(F.col("a.toks")), F.size(F.col("b.toks"))
+    cond = (
+        (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.doc_id") != F.col("b.doc_id"))
+        & ((sa < sb) | ((sa == sb) & (F.col("a.doc_id") < F.col("b.doc_id"))))
+    )
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+    containment = inter.cast("double") / sa.cast("double")
+    return (
+        a.join(b, cond)
+        .where(containment >= 0.95)
+        .select(
+            F.col("a.doc_id").alias("doc_id_small"),
+            F.col("b.doc_id").alias("doc_id_big"),
+            containment.alias("containment"),
+        )
+    )

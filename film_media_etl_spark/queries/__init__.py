@@ -27,5 +27,6 @@ from . import corpus_quality  # noqa: E402,F401  repetition/survivors/stratified
 from . import warehouse_ops  # noqa: E402,F401  merge-upsert/fk-audit/distribution/ewma
 from . import advanced_analytics  # noqa: E402,F401  winsorize/corr-OLS/transitions/basket/fuzzy
 from . import feature_ops  # noqa: E402,F401  z-score/chi-square/containment
+from . import timeseries_ops  # noqa: E402,F401  densify/cumulative/split/scan-metadata
 
 __all__ = ["EngineQuery", "register", "get", "all_queries", "all_oracles"]

@@ -63,3 +63,34 @@ def salted_aggregate(
     return partial.groupBy(*keys).agg(
         *[_ALGEBRAIC[op][1](f"_p_{name}").alias(name) for name, (op, _) in aggs.items()]
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    *,
+    salt_buckets: int = 16,
+    seed: int = 42,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-proof equi-join: salt the big (probe) side uniformly and
+    replicate the small (build) side once per salt bucket, then join on
+    (key, salt). A hot key's rows land on ``salt_buckets`` reducers
+    instead of one; results are identical to ``big.join(small, key,
+    how)`` because every probe row still meets every matching build row
+    (exactly once, under its own salt).
+
+    Use when the build side is too big to broadcast AND AQE's runtime
+    skew splitting is unavailable (e.g. the skewed join feeds a
+    co-partitioned downstream op AQE won't re-plan). Cost model: build
+    side is replicated ``salt_buckets``x — keep it dimension-sized.
+    Supported joins: inner / left (semantics preserved per probe row).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    b = big.withColumn("_salt", (F.rand(seed) * salt_buckets).cast("int"))
+    s = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    return b.join(s, [key, "_salt"], how).drop("_salt")

@@ -220,3 +220,39 @@ def ext_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("change_type")
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
+
+
+@register(
+    "ext_salted_join",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS p50
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(SUM(CASE WHEN e.value > m.p50 THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+           CAST(SUM(CASE WHEN e.value <= m.p50 THEN 1 ELSE 0 END) AS BIGINT) AS n_below
+    FROM events e JOIN med m ON e.event_type = m.event_type
+    GROUP BY e.event_type
+    """,
+)
+def ext_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof join on a 5-hot-key column: events ⨝ per-type medians
+    via operators.skew.salted_join — the probe side salts into 16
+    sub-keys per type, the 5-row build side replicates 16x, so the join
+    occupies 80 reducers instead of 5. Results are salt-invariant
+    (verified against the plain-join oracle). This is the manual
+    fallback for skew AQE can't fix — e.g. when the join must stay
+    co-partitioned with a downstream op; for broadcastable builds like
+    this one, broadcast is the cheaper first choice (the op exists to
+    be correct at dimension sizes beyond broadcast reach)."""
+    from ..operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.percentile("value", 0.5).alias("p50"))
+    joined = salted_join(ev.select("event_type", "value"), med, "event_type")
+    above = F.when(F.col("value") > F.col("p50"), 1).otherwise(0)
+    return joined.groupBy("event_type").agg(
+        F.sum(above).alias("n_above"),
+        F.sum(1 - above).alias("n_below"),
+    )

@@ -299,3 +299,21 @@ def test_cooccurrence_distinct_before_selfjoin(spark):
     plan = physical_plan(_q("ext_cooccurrence", spark))
     assert "HashAggregate" in plan  # the distinct pass survives planning
     assert "CartesianProduct" not in plan
+
+
+def test_no_python_eval_outside_multimodal(spark):
+    """Engine-wide policy audit: NO query plans a row-at-a-time or
+    batched Python eval node — everything compiles to JVM expressions —
+    except the multimodal family, whose mapInPandas decode plumbing is
+    the documented (Arrow-batched) escape hatch."""
+    from film_media_etl_spark.plans import physical_plan
+    from film_media_etl_spark.queries import all_queries
+
+    offenders = []
+    for name, fn in sorted(all_queries().items()):
+        if name.startswith("ext_multimodal"):
+            continue
+        plan = physical_plan(fn(spark, PARITY_SF_DIR))
+        if "Python" in plan or "ArrowEvalPython" in plan or "BatchEvalPython" in plan:
+            offenders.append(name)
+    assert not offenders, f"Python eval nodes in: {offenders}"

@@ -8,7 +8,7 @@ would drift with addition order across salt buckets.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.skew import salted_aggregate
@@ -256,3 +256,30 @@ def ext_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(above).alias("n_above"),
         F.sum(1 - above).alias("n_below"),
     )
+
+
+@register("ext_pagerank_transitions")  # iterative -> rows-only check
+def ext_pagerank_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the user-journey transition graph: nodes are event
+    types, edges weighted by transition counts (ext_event_transitions'
+    matrix), rank = steady-state importance of each step in the journey.
+    The canonical iterative-dataflow algorithm — inexpressible in the
+    reference (SQL has no fixpoint beyond recursive CTEs; its R is
+    driver-side) and genuinely non-SQL here, so the driver applies the
+    rows-only check; tests/test_graph_ops.py pins exact values against
+    an independent power-iteration model. Rank mass sums to 1."""
+    from ..operators.graph import pagerank
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.unix_timestamp("ts"), "event_id")
+    trans = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .where(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return pagerank(trans, weight="n").orderBy(F.desc("rank"), "node")

@@ -48,3 +48,44 @@ def test_bucketed_table_written_once_and_correct(spark):
     from film_media_etl_spark.sources import load_table
 
     assert n1 == load_table(spark, PARITY_SF_DIR, "customer").count()
+
+
+def test_pagerank_matches_power_iteration_model(spark):
+    """Spark pagerank vs an independent dense power iteration over the
+    same weighted graph — including a dangling node (D has no
+    out-edges) and asymmetric weights."""
+    from film_media_etl_spark.operators.graph import pagerank
+
+    edges = [("A", "B", 3.0), ("A", "C", 1.0), ("B", "C", 2.0),
+             ("C", "A", 1.0), ("B", "D", 2.0)]
+    df = spark.createDataFrame(edges, ["src", "dst", "n"])
+    got = {r["node"]: r["rank"] for r in pagerank(df, weight="n", iters=30).collect()}
+
+    nodes = ["A", "B", "C", "D"]
+    idx = {v: i for i, v in enumerate(nodes)}
+    out_w = {"A": 4.0, "B": 4.0, "C": 1.0}
+    d, n = 0.85, len(nodes)
+    ranks = [1.0 / n] * n
+    for _ in range(30):
+        dangling = ranks[idx["D"]]
+        contrib = [0.0] * n
+        for s, t, w in edges:
+            contrib[idx[t]] += ranks[idx[s]] * (w / out_w[s])
+        base = (1 - d) / n + d * dangling / n
+        ranks = [base + d * c for c in contrib]
+
+    assert set(got) == set(nodes)
+    for v in nodes:
+        assert abs(got[v] - ranks[idx[v]]) < 1e-9, (v, got[v], ranks[idx[v]])
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_uniform_on_cycle(spark):
+    """On a directed cycle every node has identical rank 1/n."""
+    from film_media_etl_spark.operators.graph import pagerank
+
+    cyc = spark.createDataFrame(
+        [(i, (i + 1) % 5) for i in range(5)], ["src", "dst"]
+    )
+    got = [r["rank"] for r in pagerank(cyc, iters=10).collect()]
+    assert all(abs(r - 0.2) < 1e-12 for r in got)

@@ -249,3 +249,39 @@ def test_c2_c3_filter_semantics(spark):
     )
     kept = df.where(F.col("amount") > 0).where(F.col("d").isNotNull())
     assert kept.count() == 1
+
+
+def test_compaction_reduces_files_and_preserves_rows(spark, tmp_path):
+    """Compaction: 40 tiny files -> the computed target count, same
+    rows; clustered variant produces disjoint per-file key ranges
+    (the row-group-skipping precondition)."""
+    from film_media_etl_spark.sources import load_table
+    from film_media_etl_spark.sources.maintenance import compact_parquet, directory_stats
+
+    src = str(tmp_path / "fragmented")
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    ev.repartition(40).write.mode("overwrite").parquet(src)
+    n_before, _ = directory_stats(src)
+    assert n_before == 40
+
+    out = str(tmp_path / "compacted")
+    got = compact_parquet(spark, src, out, target_file_mb=128)
+    n_after, _ = directory_stats(out)
+    assert n_after == 1  # tiny data -> single target file
+    assert got.count() == ev.count()
+
+    # clustered compaction: per-file user_id ranges must not overlap
+    out2 = str(tmp_path / "clustered")
+    import os
+
+    from pyspark.sql import functions as F
+
+    compact_parquet(spark, src, out2, target_file_mb=1, cluster_by=["user_id"])
+    per_file = (
+        spark.read.parquet(out2)
+        .groupBy(F.col("_metadata.file_name").alias("f"))
+        .agg(F.min("user_id").alias("lo"), F.max("user_id").alias("hi"))
+        .collect()
+    )
+    spans = sorted((r["lo"], r["hi"]) for r in per_file)
+    assert all(a[1] <= b[0] for a, b in zip(spans, spans[1:]))

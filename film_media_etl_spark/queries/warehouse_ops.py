@@ -235,3 +235,106 @@ def ext_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: F.lit(0.8) * acc + F.lit(0.2) * x,
         ).alias("ewma"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Equal-frequency binning (quantile buckets)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ext_quantile_buckets",
+    oracle="""
+    WITH r AS (
+      SELECT o_totalprice,
+             ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+      FROM orders
+    )
+    SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+             AS total_price
+    FROM r GROUP BY decile
+    """,
+)
+def ext_quantile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency binning: decile buckets of order value via ntile
+    over a total (price, key) order, summarized per bucket — the
+    feature-engineering twin of ext_histogram's equal-WIDTH bins (skewed
+    data fills quantile bins evenly where fixed-width bins collapse).
+    The global ntile is the one operation here that needs a total order;
+    at 100 TB swap it for approx_percentile cut points + a map-side
+    bucket join — same output contract, no global sort. Tiebreak on
+    o_orderkey makes bucket assignment deterministic under price ties."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    r = o.select(
+        "o_totalprice", F.ntile(10).over(w).alias("decile")
+    )
+    return r.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("total_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental rollup maintenance (additive MV refresh)
+# ---------------------------------------------------------------------------
+
+_CUTOFF = "1995-01-01"
+
+
+@register(
+    "ext_incremental_rollup",
+    oracle=f"""
+    SELECT l_returnflag, CAST(year(l_shipdate) AS INT) AS ship_year,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_qty
+    FROM lineitem GROUP BY 1, 2
+    """,
+)
+def ext_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive materialized-view refresh: the (returnflag, ship-year)
+    rollup is maintained by aggregating only the DELTA batch (shipdate
+    >= cutoff) and merging it into the existing summary with a full-outer
+    coalesce-sum — never rescanning history. The oracle is the full
+    recompute, so the check proves refresh(old) + delta == recompute —
+    the algebraic-aggregate property (SUM/COUNT are mergeable) that
+    makes incremental warehouse maintenance correct. At 100 TB this is
+    the difference between scanning one day and scanning ten years."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            "l_returnflag", F.year("l_shipdate").alias("ship_year")
+        ).agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("total_qty"),
+        )
+
+    existing = rollup(li.where(F.col("l_shipdate") < _CUTOFF))
+    delta = rollup(li.where(F.col("l_shipdate") >= _CUTOFF))
+    e, d = existing.alias("e"), delta.alias("d")
+    keys_eq = (F.col("e.l_returnflag") == F.col("d.l_returnflag")) & (
+        F.col("e.ship_year").eqNullSafe(F.col("d.ship_year"))
+    )
+    zero = F.lit(0).cast("decimal(38,2)")
+    return e.join(d, keys_eq, "full_outer").select(
+        F.coalesce(F.col("e.l_returnflag"), F.col("d.l_returnflag")).alias(
+            "l_returnflag"
+        ),
+        F.coalesce(F.col("e.ship_year"), F.col("d.ship_year")).alias("ship_year"),
+        (
+            F.coalesce(F.col("e.n_lines"), F.lit(0))
+            + F.coalesce(F.col("d.n_lines"), F.lit(0))
+        ).alias("n_lines"),
+        (F.coalesce(F.col("e.total_qty"), zero) + F.coalesce(F.col("d.total_qty"), zero))
+        .cast("decimal(38,2)")
+        .alias("total_qty"),
+    )

@@ -87,19 +87,31 @@ def cosine_knn_lsh(
     nplanes: int = 4,
     dim: int = 64,
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's hyperplane
-    bucket (equi-join on bucket), exact cosine + rank inside. Recall is
-    approximate by construction -> rows-only correctness check."""
+    """Approximate top-k via MULTI-PROBE hyperplane LSH: each query
+    probes its own bucket plus every bucket at Hamming distance 1 (flip
+    one hyperplane bit) — near neighbors that land just across one
+    hyperplane are recovered at the cost of nplanes extra (tiny) probe
+    rows per query, the standard recall/candidate tradeoff (Lv et al.
+    2007, multi-probe LSH). Candidates meet via an equi-join on bucket;
+    exact cosine + rank inside. Recall is approximate by construction
+    -> rows-only correctness check; tests pin a recall floor vs brute
+    force. Probe masks are precomputed Python ints (Column << int is
+    unsupported in Spark)."""
     with_bucket = embeddings.select(
         F.col(id_col).alias("nbr_id"),
         to_double_vec(F.col(vec_col)).alias("nvec"),
     ).withColumn("bucket", _hyperplane_bucket(F.col("nvec"), nplanes=nplanes, dim=dim))
+    probe_masks = [0] + [1 << i for i in range(nplanes)]
     q = (
         with_bucket.where(F.col("nbr_id") < query_ids_below)
         .select(
             F.col("nbr_id").alias("query_id"),
             F.col("nvec").alias("qvec"),
-            F.col("bucket").alias("qbucket"),
+            F.explode(
+                F.array(
+                    *[F.col("bucket").bitwiseXOR(F.lit(m)) for m in probe_masks]
+                )
+            ).alias("qbucket"),
         )
     )
     scored = (

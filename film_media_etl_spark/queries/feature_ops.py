@@ -217,3 +217,106 @@ def ext_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             containment.alias("containment"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# A/B-test lift (two-proportion z-test)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ext_abtest_lift",
+    oracle="""
+    WITH assign AS (
+      SELECT DISTINCT user_id,
+             CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+                  THEN 'A' ELSE 'B' END AS arm
+      FROM events
+    ), conv AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE event_type = 'purchase' AND value > 99
+    ), stats AS (
+      SELECT a.arm,
+             CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_converted
+      FROM assign a LEFT JOIN conv c ON a.user_id = c.user_id
+      GROUP BY a.arm
+    ), wide AS (
+      SELECT
+        MAX(CASE WHEN arm = 'A' THEN n_users END) AS na,
+        MAX(CASE WHEN arm = 'A' THEN n_converted END) AS xa,
+        MAX(CASE WHEN arm = 'B' THEN n_users END) AS nb,
+        MAX(CASE WHEN arm = 'B' THEN n_converted END) AS xb
+      FROM stats
+    )
+    SELECT na AS n_a, xa AS conv_a, nb AS n_b, xb AS conv_b,
+           CAST(xa AS DOUBLE) / na AS rate_a,
+           CAST(xb AS DOUBLE) / nb AS rate_b,
+           CAST(xb AS DOUBLE) / nb - CAST(xa AS DOUBLE) / na AS abs_lift,
+           (CAST(xb AS DOUBLE) / nb - CAST(xa AS DOUBLE) / na)
+             / sqrt((CAST(xa + xb AS DOUBLE) / (na + nb))
+                    * (1 - CAST(xa + xb AS DOUBLE) / (na + nb))
+                    * (1.0 / na + 1.0 / nb)) AS z_stat
+    FROM wide
+    """,
+)
+def ext_abtest_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experimentation readout: users hash-split 50/50 into arms A/B
+    (md5 first hex digit — the same key-deterministic assignment as the
+    dataset splits, so a user's arm survives reprocessing), conversion =
+    ever made a high-value purchase (value > 99 — selective enough that
+    neither pooled extreme degenerates the variance at any SF), and the
+    two-proportion pooled z-statistic for the
+    lift. Exact integer counts feed one closed-form double expression —
+    no sampling, no randomness, oracle-exact. The whole readout is two
+    distinct-collapses and a 2-row pivot: at 100 TB the cost is the
+    distinct on user_id, which AQE-coalesces after the first shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    assign = ev.select("user_id").distinct().select(
+        "user_id",
+        F.when(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8", "A"
+        )
+        .otherwise("B")
+        .alias("arm"),
+    )
+    conv = (
+        ev.where((F.col("event_type") == "purchase") & (F.col("value") > 99))
+        .select("user_id")
+        .distinct()
+        .withColumn("converted", F.lit(1))
+    )
+    stats = (
+        assign.join(conv, "user_id", "left")
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum(F.coalesce(F.col("converted"), F.lit(0))).alias("n_converted"),
+        )
+    )
+    wide = stats.agg(
+        F.max(F.when(F.col("arm") == "A", F.col("n_users"))).alias("na"),
+        F.max(F.when(F.col("arm") == "A", F.col("n_converted"))).alias("xa"),
+        F.max(F.when(F.col("arm") == "B", F.col("n_users"))).alias("nb"),
+        F.max(F.when(F.col("arm") == "B", F.col("n_converted"))).alias("xb"),
+    )
+    na, xa = F.col("na"), F.col("xa")
+    nb, xb = F.col("nb"), F.col("xb")
+    pooled = (xa + xb).cast("double") / (na + nb)
+    lift = xb.cast("double") / nb - xa.cast("double") / na
+    return wide.select(
+        na.alias("n_a"),
+        xa.alias("conv_a"),
+        nb.alias("n_b"),
+        xb.alias("conv_b"),
+        (xa.cast("double") / na).alias("rate_a"),
+        (xb.cast("double") / nb).alias("rate_b"),
+        lift.alias("abs_lift"),
+        (
+            lift
+            / F.sqrt(
+                pooled * (F.lit(1) - pooled) * (F.lit(1.0) / na + F.lit(1.0) / nb)
+            )
+        ).alias("z_stat"),
+    )

@@ -89,3 +89,34 @@ def test_pagerank_uniform_on_cycle(spark):
     )
     got = [r["rank"] for r in pagerank(cyc, iters=10).collect()]
     assert all(abs(r - 0.2) < 1e-12 for r in got)
+
+
+def test_approx_knn_recall_vs_bruteforce(spark):
+    """The approximate kNN variants must actually find neighbors:
+    recall@5 against the exact brute-force top-5, averaged over the
+    query set. Bounds are intentionally loose (hash-seeded methods on a
+    500-vector corpus) — this test catches 'returns plausible rows but
+    searches the wrong buckets' regressions, not tuning drift."""
+    from film_media_etl_spark.operators.similarity import (
+        cosine_knn_bruteforce,
+        cosine_knn_ivf,
+        cosine_knn_lsh,
+    )
+    from film_media_etl_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+
+    def topk(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["nbr_id"])
+        return out
+
+    exact = topk(cosine_knn_bruteforce(emb))
+    for fn, floor in ((cosine_knn_ivf, 0.5), (cosine_knn_lsh, 0.3)):
+        approx = topk(fn(emb))
+        recalls = [
+            len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact
+        ]
+        mean_recall = sum(recalls) / len(recalls)
+        assert mean_recall >= floor, (fn.__name__, mean_recall)

@@ -317,3 +317,42 @@ def test_no_python_eval_outside_multimodal(spark):
         if "Python" in plan or "ArrowEvalPython" in plan or "BatchEvalPython" in plan:
             offenders.append(name)
     assert not offenders, f"Python eval nodes in: {offenders}"
+
+
+def test_densify_spine_is_generated_not_scanned(spark):
+    """The hour spine must come from sequence()+explode over a 1-row
+    bounds aggregate — a second full scan of events to build the spine
+    would defeat the point. Expect exactly 2 scans: bounds+agg share
+    one, types the other (Spark may reuse; cap at 3)."""
+    from film_media_etl_spark.plans import physical_plan, plan_summary
+
+    df = _q("ext_timeseries_densify", spark)
+    plan = physical_plan(df)
+    assert "Generate explode(sequence" in plan.replace("\n", "")
+    assert plan_summary(df)["cartesian_products"] == 0
+
+
+def test_zscore_moments_broadcast(spark):
+    from film_media_etl_spark.plans import plan_summary
+
+    s = plan_summary(_q("ext_zscore_normalize", spark))
+    assert s["broadcast_hash_joins"] >= 1
+    assert s["cartesian_products"] == 0
+
+
+def test_incremental_rollup_single_full_outer_merge(spark):
+    from film_media_etl_spark.plans import physical_plan, plan_summary
+
+    df = _q("ext_incremental_rollup", spark)
+    assert physical_plan(df).count("FullOuter") == 1
+    assert plan_summary(df)["cartesian_products"] == 0
+
+
+def test_dataset_split_is_map_plus_single_agg(spark):
+    """Hash split assignment is map-side; the summary is one partial/
+    final aggregate pair."""
+    from film_media_etl_spark.plans import plan_summary
+
+    s = plan_summary(_q("ext_dataset_split", spark))
+    assert s["exchanges"] <= 2
+    assert s["window_nodes"] == 0

@@ -60,14 +60,32 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n = nodes.count()
+    # Size the per-iteration shuffles to the NODE set, not the input:
+    # a 5-node transition graph iterated 15 times under the session's 32
+    # shuffle partitions pays 15 rounds of empty-partition scheduling.
+    # ~100k nodes per partition keeps partitions meaningful at any n
+    # (1e9 nodes -> 10k partitions on a cluster).
+    nparts = max(1, min(int(n // 100_000) + 1, 2000))
     has_out = out_w.select(F.col("e_src").alias("node")).distinct()
+    # Dangling-mass handling needs a per-iteration scalar (a driver
+    # round-trip that forces materialization every round). Most real
+    # graphs after edge cleaning have NO dangling nodes — detect that
+    # once and take the fully-lazy fast path: no per-iteration action at
+    # all, lineage truncated by periodic lazy localCheckpoints that
+    # realize when the caller finally acts.
+    n_dangling = nodes.join(has_out, "node", "left_anti").count()
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
-    for _ in range(iters):
-        dangling = (
-            ranks.join(has_out, "node", "left_anti").agg(F.sum("rank")).first()[0]
-            or 0.0
-        )
+    for i in range(iters):
+        if n_dangling:
+            dangling = (
+                ranks.join(has_out, "node", "left_anti")
+                .agg(F.sum("rank"))
+                .first()[0]
+                or 0.0
+            )
+        else:
+            dangling = 0.0
         contribs = (
             frac.join(ranks, frac["e_src"] == ranks["node"])
             .groupBy("e_dst")
@@ -83,6 +101,7 @@ def pagerank(
                     + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
+            .coalesce(nparts)
+            .localCheckpoint(eager=bool(n_dangling))
         )
     return ranks

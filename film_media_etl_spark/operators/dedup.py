@@ -73,6 +73,13 @@ def token_jaccard_pairs(
     for c in block_cols[1:]:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
     cond = cond & (F.col("a.doc_id") < F.col("b.doc_id"))
+    # Complete size prefilter (see ngram_jaccard_pairs): skip the
+    # intersection when set sizes alone rule the threshold out.
+    sza, szb = F.size(F.col("a.toks")), F.size(F.col("b.toks"))
+    cond = cond & (
+        F.least(sza, szb).cast("double")
+        >= F.lit(threshold) * F.greatest(sza, szb).cast("double")
+    )
     inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
     union = F.size(F.col("a.toks")) + F.size(F.col("b.toks")) - inter
     jac = inter.cast("double") / union.cast("double")
@@ -110,6 +117,15 @@ def ngram_jaccard_pairs(
     for c in block_cols[1:]:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
     cond = cond & (F.col("a.doc_id") < F.col("b.doc_id"))
+    # Complete size prefilter: J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so
+    # pairs whose set sizes already violate the threshold skip the
+    # expensive intersection entirely. Joins on cheap int compares
+    # BEFORE any array op runs.
+    sza, szb = F.size(F.col("a.sh")), F.size(F.col("b.sh"))
+    cond = cond & (
+        F.least(sza, szb).cast("double")
+        >= F.lit(threshold) * F.greatest(sza, szb).cast("double")
+    )
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
     union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
     return (

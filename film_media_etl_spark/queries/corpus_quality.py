@@ -392,3 +392,124 @@ def ext_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(chunk).cast("int").alias("n_chunk_tokens"),
         F.array_join(chunk, " ").alias("chunk_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary pruning (rare-token removal)
+# ---------------------------------------------------------------------------
+
+_MIN_TOKEN_COUNT = 20
+
+
+@register(
+    "ext_vocab_prune",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+    ), tok AS (
+      SELECT doc_id, i AS pos, toks[i] AS tok
+      FROM t, LATERAL unnest(generate_series(1, len(toks))) AS u(i)
+    ), vocab AS (
+      SELECT tok FROM tok GROUP BY tok HAVING COUNT(*) >= {_MIN_TOKEN_COUNT}
+    )
+    SELECT k.doc_id,
+           array_to_string(list(k.tok ORDER BY k.pos), ' ') AS pruned_text,
+           CAST(COUNT(*) AS BIGINT) AS n_kept
+    FROM tok k JOIN vocab v ON k.tok = v.tok
+    GROUP BY k.doc_id
+    """,
+)
+def ext_vocab_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary pruning: drop tokens whose CORPUS-WIDE frequency is
+    below {_MIN_TOKEN_COUNT} and reassemble each document in original
+    token order — the rare-token cleanup before tokenizer training
+    (typo/UUID noise inflates vocab size out of proportion to mass).
+    Global counts come from one explode+aggregate; the kept-vocabulary
+    set broadcasts back onto the positional token stream; ordered
+    reassembly is sort_array over (pos, token) structs — deterministic
+    and shuffle-minimal (one exchange for the vocab, one for the per-doc
+    regroup). Docs whose every token is rare drop out entirely (the
+    JOIN, not a left join — matching the curation semantics)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "tok"),
+    )
+    vocab = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= _MIN_TOKEN_COUNT)
+        .select("tok")
+    )
+    kept = tok.join(F.broadcast(vocab), "tok")
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("pos"), F.col("tok")))
+            ).alias("ordered"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+        .select(
+            "doc_id",
+            F.array_join(
+                F.transform(F.col("ordered"), lambda s: s["tok"]), " "
+            ).alias("pruned_text"),
+            "n_kept",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Trending terms (top-k per time bucket)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ext_trending_terms",
+    oracle="""
+    WITH tok AS (
+      SELECT CAST(CAST(e.ts AS TIMESTAMP) AS DATE) AS day,
+             unnest(string_split(lower(d.text), ' ')) AS tok
+      FROM events e JOIN documents d ON e.event_id % 500 = d.doc_id
+      WHERE e.user_id < 100
+    ), c AS (
+      SELECT day, tok, COUNT(*) AS cnt FROM tok GROUP BY day, tok
+    ), r AS (
+      SELECT day, tok, cnt,
+             ROW_NUMBER() OVER (PARTITION BY day ORDER BY cnt DESC, tok ASC) AS rn
+      FROM c
+    )
+    SELECT day, tok AS term, CAST(cnt AS BIGINT) AS n_mentions,
+           CAST(rn AS INT) AS day_rank
+    FROM r WHERE rn <= 5
+    """,
+)
+def ext_trending_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending terms: top-5 tokens per day over an event->document
+    activity join (events act as 'views' of documents via a synthetic
+    FK). The daily leaderboard pattern — count on (bucket, term), then
+    rank WITHIN bucket, so the window partitions on day and never
+    collapses global. Ties break lexically; the (day, term) aggregate
+    collapses the exploded stream before any window."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 100)
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        ev.join(docs, ev.event_id % 500 == docs.doc_id)
+        .select(
+            F.to_date("ts").alias("day"),
+            F.explode(F.split(F.lower("text"), " ")).alias("tok"),
+        )
+    )
+    c = tok.groupBy("day", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("day").orderBy(F.col("cnt").desc(), F.col("tok").asc())
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select(
+            "day",
+            F.col("tok").alias("term"),
+            F.col("cnt").alias("n_mentions"),
+            F.col("rn").cast("int").alias("day_rank"),
+        )
+    )

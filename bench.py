@@ -38,6 +38,12 @@ HEADLINE = [
     "ext_hypertable_rollup",
     "ext_salted_agg",
     "ext_tfidf_top_terms",
+    "ext_chunk_documents",
+    "ext_repetition_quality",
+    "ext_vocab_prune",
+    "ext_merge_upsert",
+    "ext_ewma",
+    "ext_fuzzy_match",
 ]
 
 

@@ -28,5 +28,6 @@ from . import warehouse_ops  # noqa: E402,F401  merge-upsert/fk-audit/distributi
 from . import advanced_analytics  # noqa: E402,F401  winsorize/corr-OLS/transitions/basket/fuzzy
 from . import feature_ops  # noqa: E402,F401  z-score/chi-square/containment
 from . import timeseries_ops  # noqa: E402,F401  densify/cumulative/split/scan-metadata
+from . import retail_analytics  # noqa: E402,F401  RFM/basket/MAD/BM25/decay
 
 __all__ = ["EngineQuery", "register", "get", "all_queries", "all_oracles"]

@@ -356,3 +356,65 @@ def test_dataset_split_is_map_plus_single_agg(spark):
     s = plan_summary(_q("ext_dataset_split", spark))
     assert s["exchanges"] <= 2
     assert s["window_nodes"] == 0
+
+
+def test_rfm_scores_without_global_window(spark):
+    """RFM quintile scoring must be broadcast cutpoints + row
+    expressions — a global ntile() window (Exchange SinglePartition over
+    all customers) would serialize the billion-customer case. The only
+    single-partition exchanges allowed are the three 1-row stat frames."""
+    df = _q("ext_rfm_segments", spark)
+    s = plan_summary(df)
+    assert s["window_nodes"] == 0, "quintile scoring regressed to a window"
+    assert s["single_partition_exchanges"] <= 3
+    assert s["cartesian_products"] == 0
+
+
+def test_market_basket_distinct_before_selfjoin(spark):
+    """Basket mining joins distinct (order, part) with itself — item
+    counts and the totals frame ride broadcasts, and nothing is
+    cartesian."""
+    df = _q("ext_market_basket", spark)
+    s = plan_summary(df)
+    assert s["broadcast_hash_joins"] >= 2
+    assert s["cartesian_products"] == 0
+
+
+def test_also_bought_pushes_part_filter(spark):
+    """The part <= 200 restriction must reach the left scan (row-group
+    skipping), and the per-part ranking window must not collapse to a
+    single partition."""
+    df = _q("ext_also_bought", spark)
+    assert_pushed_filters(df, "LessThanOrEqual(l_partkey,200)")
+    s = plan_summary(df)
+    assert s["single_partition_exchanges"] == 0
+    assert s["cartesian_products"] == 0
+
+
+def test_anomaly_mad_stats_broadcast(spark):
+    """Both per-type stat frames (median, MAD) are 5 rows — they must
+    broadcast back onto events, never shuffle the event stream twice."""
+    df = _q("ext_anomaly_mad", spark)
+    assert_broadcast_join(df, 2)
+    assert_no_cartesian(df)
+
+
+def test_bm25_topk_and_pruned_scan(spark):
+    """Top-20 must plan as TakeOrderedAndProject (distributed top-k, no
+    global sort) and the documents scan must read only (doc_id, text)."""
+    from film_media_etl_spark.plans import physical_plan
+
+    df = _q("ext_bm25_search", spark)
+    assert "TakeOrderedAndProject" in physical_plan(df)
+    assert_read_schema_pruned(df, "documents", 2)
+
+
+def test_decay_popularity_jvm_only_single_agg(spark):
+    """Decay weighting is pure JVM expressions (pow of an integer week
+    offset) — no Python eval nodes — feeding one hash aggregate."""
+    from film_media_etl_spark.plans import physical_plan
+
+    df = _q("ext_decay_popularity", spark)
+    plan = physical_plan(df)
+    assert "EvalPython" not in plan
+    assert_whole_stage_codegen(df)

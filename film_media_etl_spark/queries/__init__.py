@@ -29,5 +29,7 @@ from . import advanced_analytics  # noqa: E402,F401  winsorize/corr-OLS/transiti
 from . import feature_ops  # noqa: E402,F401  z-score/chi-square/containment
 from . import timeseries_ops  # noqa: E402,F401  densify/cumulative/split/scan-metadata
 from . import retail_analytics  # noqa: E402,F401  RFM/basket/MAD/BM25/decay
+from . import graph_metrics  # noqa: E402,F401  triangles/clustering coefficient
+from . import business_audits  # noqa: E402,F401  LTV/Benford/Pareto/seasonality/skyline
 
 __all__ = ["EngineQuery", "register", "get", "all_queries", "all_oracles"]

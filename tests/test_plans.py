@@ -418,3 +418,54 @@ def test_decay_popularity_jvm_only_single_agg(spark):
     plan = physical_plan(df)
     assert "EvalPython" not in plan
     assert_whole_stage_codegen(df)
+
+
+def test_triangle_count_reuses_cached_edges(spark):
+    """The support-pruned edge frame is persisted and consumed five
+    times — the plan must show InMemoryTableScan reuse instead of five
+    basket self-joins, and no cartesian anywhere."""
+    from film_media_etl_spark.plans import physical_plan
+
+    df = _q("ext_triangle_count", spark)
+    df.collect()  # finalize AQE so the cached scans appear
+    plan = physical_plan(df)
+    assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan
+    assert plan_summary(df)["cartesian_products"] == 0
+
+
+def test_cohort_ltv_window_is_post_aggregate(spark):
+    """The cumulative-LTV window must run on the (cohort x age)
+    aggregate, after the shuffle on the group keys — one window node,
+    no single-partition exchange."""
+    df = _q("ext_cohort_ltv", spark)
+    s = plan_summary(df)
+    assert s["window_nodes"] == 1
+    assert s["single_partition_exchanges"] == 0
+    assert s["cartesian_products"] == 0
+
+
+def test_benford_narrow_shuffle(spark):
+    """Digit extraction is map-side; only the 9-row digit aggregate and
+    the 1-row total ever shuffle."""
+    s = plan_summary(_q("ext_benford_audit", spark))
+    assert s["exchanges"] <= 3
+    assert s["cartesian_products"] == 0
+
+
+def test_pareto_no_global_sort_of_customers(spark):
+    """Concentration uses a percentile cutpoint, not a ranking of all
+    customers — no window, no sort-merge join."""
+    s = plan_summary(_q("ext_pareto_concentration", spark))
+    assert s["window_nodes"] == 0
+    assert s["sort_merge_joins"] == 0
+    assert s["cartesian_products"] == 0
+
+
+def test_skyline_is_broadcast_anti_join(spark):
+    """The dominance anti-join must broadcast the dimension side; a
+    CartesianProduct (non-broadcast nested loop) would be quadratic
+    shuffle volume."""
+    df = _q("ext_skyline_products", spark)
+    s = plan_summary(df)
+    assert s["nested_loop_joins"] >= 1
+    assert s["cartesian_products"] == 0

@@ -48,3 +48,22 @@ def oracle_cosine(a: str, b: str) -> str:
         f"({oracle_dot(a, b)} / "
         f"(sqrt({oracle_dot(a, a)}) * sqrt({oracle_dot(b, b)})))"
     )
+
+
+def l2sq(a: Column, b: Column) -> Column:
+    """Exact squared-L2 distance: left-to-right fold of squared pairwise
+    differences — same deterministic evaluation order as ``dot``."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def oracle_l2sq(a: str, b: str) -> str:
+    """DuckDB twin of :func:`l2sq` (same fold, same order)."""
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(range(1, len({a}) + 1), "
+        f"i -> ({a}[i]::DOUBLE - {b}[i]::DOUBLE) * ({a}[i]::DOUBLE - {b}[i]::DOUBLE))), "
+        f"(acc, x) -> acc + x)"
+    )

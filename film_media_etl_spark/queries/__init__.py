@@ -31,5 +31,7 @@ from . import timeseries_ops  # noqa: E402,F401  densify/cumulative/split/scan-m
 from . import retail_analytics  # noqa: E402,F401  RFM/basket/MAD/BM25/decay
 from . import graph_metrics  # noqa: E402,F401  triangles/clustering coefficient
 from . import business_audits  # noqa: E402,F401  LTV/Benford/Pareto/seasonality/skyline
+from . import tpch_classics  # noqa: E402,F401  Q1/Q5/Q18 OLAP shapes
+from . import clustering  # noqa: E402,F401  k-means assignment step
 
 __all__ = ["EngineQuery", "register", "get", "all_queries", "all_oracles"]

@@ -1,0 +1,180 @@
+"""TPC-H-style classics over the driver's TPC-H-ish testdata: the
+pricing summary (Q1 shape), regional supplier volume (Q5 shape), and
+large-volume customers (Q18 shape).
+
+The reference's BI workload is star-schema revenue pivots
+(BusinessAnalysis...Rmd:90-165); these three add the canonical OLAP
+shapes it lacks — full-scan multi-aggregate, a 6-table snowflake join
+with a selective dimension filter, and a group-HAVING semi-join back to
+facts — each the textbook stress test for the optimizer behaviors the
+engine's plan audits pin (pushdown, broadcast dims, partial aggregation).
+
+Exactness: every measure is cast to a fixed-scale DECIMAL at the row
+level BEFORE multiplication/aggregation so products carry exact scales
+(2+4 -> 6, 6+4 -> 10) and sums are order-insensitive; averages divide a
+decimal sum by a count once (functions/money.py conventions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .registry import register
+
+# row-level decimal spellings shared by Spark and oracle sides
+_EXT = "CAST(l_extendedprice AS DECIMAL(18,2))"
+_QTY = "CAST(l_quantity AS DECIMAL(18,2))"
+_ONE_MINUS_DISC = "CAST(1.0 - CAST(l_discount AS DECIMAL(9,4)) AS DECIMAL(9,4))"
+_ONE_PLUS_TAX = "CAST(1.0 + CAST(l_tax AS DECIMAL(9,4)) AS DECIMAL(9,4))"
+_DISC_PRICE = f"CAST({_EXT} * {_ONE_MINUS_DISC} AS DECIMAL(18,6))"
+_CHARGE = f"CAST({_DISC_PRICE} * {_ONE_PLUS_TAX} AS DECIMAL(18,10))"
+
+
+@register(
+    "ext_tpch_q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM({_QTY}) AS DECIMAL(38,2)) AS sum_qty,
+           CAST(SUM({_EXT}) AS DECIMAL(38,2)) AS sum_base_price,
+           CAST(SUM({_DISC_PRICE}) AS DECIMAL(38,6)) AS sum_disc_price,
+           CAST(SUM({_CHARGE}) AS DECIMAL(38,10)) AS sum_charge,
+           CAST(SUM({_QTY}) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM({_EXT}) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(9,4))) AS DOUBLE) / COUNT(*)
+             AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-08-06 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def ext_tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary: full lineitem scan below a ship-date
+    cutoff, eight aggregates per (returnflag, linestatus). The shape
+    every columnar engine is judged on first: the date predicate pushes
+    to the parquet scan (row-group skipping), only 7 columns are read,
+    and the 4-group key means partial aggregation collapses virtually
+    all data map-side — shuffle traffic is groups x partitions no matter
+    the scale factor. Derived measures keep exact decimal scales
+    (ext*disc -> 6dp, *tax -> 10dp) so parallel sums are bit-stable."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.to_timestamp(F.lit("2001-08-06 00:00:00"))
+    )
+    qty = F.expr(_QTY)
+    ext = F.expr(_EXT)
+    disc_price = F.expr(_DISC_PRICE)
+    charge = F.expr(_CHARGE)
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(qty).cast("decimal(38,2)").alias("sum_qty"),
+        F.sum(ext).cast("decimal(38,2)").alias("sum_base_price"),
+        F.sum(disc_price).cast("decimal(38,6)").alias("sum_disc_price"),
+        F.sum(charge).cast("decimal(38,10)").alias("sum_charge"),
+        (F.sum(qty).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+        (F.sum(ext).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+        (
+            F.sum(F.expr("CAST(l_discount AS DECIMAL(9,4))")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@register(
+    "ext_tpch_q5_regional_volume",
+    oracle=f"""
+    SELECT n.n_name,
+           CAST(SUM({_DISC_PRICE}) AS DECIMAL(38,6)) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem ON l_orderkey = o.o_orderkey
+    JOIN supplier s ON l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def ext_tpch_q5_regional_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 local supplier volume: revenue by nation for ASIA-region
+    customers served by same-nation suppliers in 1996 — the 6-table
+    snowflake walk (mirrors the reference's customer→address→city→country
+    chain, ` loadAnalyticsDB...R`:150-153, at OLAP scale). region and
+    nation prune first and broadcast; the selective o_orderdate range
+    pushes to the orders scan so the orders⋈lineitem shuffle only carries
+    one year of facts; the same-nation constraint rides the supplier
+    broadcast join, never a second fact shuffle."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01 00:00:00")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1997-01-01 00:00:00")))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.sum(F.expr(_DISC_PRICE)).cast("decimal(38,6)").alias("revenue"))
+    )
+
+
+@register(
+    "ext_tpch_q18_large_orders",
+    oracle=f"""
+    WITH big AS (
+      SELECT l_orderkey, CAST(SUM({_QTY}) AS DECIMAL(38,2)) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM({_QTY}) > 150
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate,
+           CAST(o.o_totalprice AS DECIMAL(18,2)) AS o_totalprice,
+           big.sum_qty
+    FROM big
+    JOIN orders o ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+)
+def ext_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 large-volume customers: orders whose total line quantity
+    exceeds 150 units, joined back to order + customer attributes. The
+    HAVING aggregate runs FIRST on (orderkey) — facts collapse to one row
+    per qualifying order before any join, so the join input is
+    qualifying-orders-sized, not lineitem-sized; customer attributes
+    arrive by broadcast. This early-aggregate-then-join inversion is the
+    scale-defining trick; the naive join-then-aggregate shuffles the
+    whole fact table twice."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.expr(_QTY)).cast("decimal(38,2)").alias("sum_qty"))
+        .where(F.col("sum_qty") > 150)
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        big.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").alias("o_orderdate"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
+            "sum_qty",
+        )
+    )

@@ -469,3 +469,51 @@ def test_skyline_is_broadcast_anti_join(spark):
     s = plan_summary(df)
     assert s["nested_loop_joins"] >= 1
     assert s["cartesian_products"] == 0
+
+
+def test_tpch_q1_single_exchange_pruned_pushed(spark):
+    """Q1 is the partial-aggregation benchmark: the date cutoff must
+    reach the scan, only the 7 referenced columns may be read, and the
+    whole query costs exactly ONE exchange (groups x partitions)."""
+    df = _q("ext_tpch_q1_pricing_summary", spark)
+    assert_pushed_filters(df, "LessThanOrEqual(l_shipdate")
+    assert_read_schema_pruned(df, "lineitem", 7)
+    assert plan_summary(df)["exchanges"] == 1
+
+
+def test_tpch_q5_broadcast_snowflake(spark):
+    """Q5's five dimension-side joins all ride broadcasts; the only
+    shuffle is the final nation aggregate, and the order-date range is
+    pushed into the orders scan."""
+    df = _q("ext_tpch_q5_regional_volume", spark)
+    s = plan_summary(df)
+    assert s["broadcast_hash_joins"] >= 4
+    assert s["sort_merge_joins"] == 0
+    assert s["exchanges"] <= 2
+    assert_pushed_filters(df, "GreaterThanOrEqual(o_orderdate")
+
+
+def test_tpch_q18_aggregates_before_join(spark):
+    """Q18 must collapse lineitem to per-order sums BEFORE joining
+    orders/customer (join input = qualifying orders, not line items):
+    lineitem scan reads only (orderkey, quantity) and the join side is
+    broadcast."""
+    df = _q("ext_tpch_q18_large_orders", spark)
+    assert_read_schema_pruned(df, "lineitem", 2)
+    s = plan_summary(df)
+    assert s["broadcast_hash_joins"] >= 1
+    assert s["cartesian_products"] == 0
+
+
+def test_kmeans_assign_is_map_side_scoring(spark):
+    """Seed centroids broadcast; scoring is JVM fold expressions (no
+    Python eval), the argmin window partitions per vector (no global
+    exchange)."""
+    from film_media_etl_spark.plans import physical_plan
+
+    df = _q("ext_kmeans_assign", spark)
+    plan = physical_plan(df)
+    assert "EvalPython" not in plan
+    s = plan_summary(df)
+    assert s["single_partition_exchanges"] == 0
+    assert s["cartesian_products"] == 0

@@ -44,6 +44,10 @@ HEADLINE = [
     "ext_merge_upsert",
     "ext_ewma",
     "ext_fuzzy_match",
+    "ext_tpch_q1_pricing_summary",
+    "ext_tpch_q5_regional_volume",
+    "ext_market_basket",
+    "ext_bm25_search",
 ]
 
 

@@ -517,3 +517,32 @@ def test_kmeans_assign_is_map_side_scoring(spark):
     s = plan_summary(df)
     assert s["single_partition_exchanges"] == 0
     assert s["cartesian_products"] == 0
+
+
+def test_attribution_single_user_window_pass(spark):
+    """Both attribution models come from ONE per-user ordered window
+    pass (no as-of join, no second event shuffle): exactly one Window
+    node, no cartesian."""
+    df = _q("ext_attribution_first_last", spark)
+    s = plan_summary(df)
+    assert s["window_nodes"] == 1
+    assert s["cartesian_products"] == 0
+
+
+def test_abc_global_window_is_post_aggregate(spark):
+    """The cumulative-share window is global but must run on the
+    part-level aggregate (catalog-sized), i.e. AFTER the lineitem
+    hash aggregate — lineitem reads only (partkey, price, discount)."""
+    df = _q("ext_abc_classification", spark)
+    assert_read_schema_pruned(df, "lineitem", 3)
+    s = plan_summary(df)
+    assert s["window_nodes"] == 1
+    assert s["cartesian_products"] == 0
+
+
+def test_stickiness_calendar_sized_join(spark):
+    """DAU and WAU aggregates collapse to calendar size before joining
+    — no window, no cartesian, and the join side broadcasts."""
+    s = plan_summary(_q("ext_stickiness_dau_wau", spark))
+    assert s["window_nodes"] == 0
+    assert s["cartesian_products"] == 0

@@ -34,5 +34,6 @@ from . import business_audits  # noqa: E402,F401  LTV/Benford/Pareto/seasonality
 from . import tpch_classics  # noqa: E402,F401  Q1/Q5/Q18 OLAP shapes
 from . import clustering  # noqa: E402,F401  k-means assignment step
 from . import product_analytics  # noqa: E402,F401  stickiness/new-returning/attribution/ABC
+from . import charlm  # noqa: E402,F401  char-bigram LM quality scoring
 
 __all__ = ["EngineQuery", "register", "get", "all_queries", "all_oracles"]

@@ -546,3 +546,17 @@ def test_stickiness_calendar_sized_join(spark):
     s = plan_summary(_q("ext_stickiness_dau_wau", spark))
     assert s["window_nodes"] == 0
     assert s["cartesian_products"] == 0
+
+
+def test_charlm_model_broadcast_no_python(spark):
+    """The bigram model (alphabet²-sized) and total must broadcast onto
+    the bigram stream; bigram generation is a JVM higher-order
+    transform — no Python eval, no cartesian."""
+    from film_media_etl_spark.plans import physical_plan
+
+    df = _q("ext_charlm_quality", spark)
+    plan = physical_plan(df)
+    assert "EvalPython" not in plan
+    s = plan_summary(df)
+    assert s["broadcast_hash_joins"] >= 1
+    assert s["cartesian_products"] == 0

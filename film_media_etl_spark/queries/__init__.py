@@ -35,5 +35,6 @@ from . import tpch_classics  # noqa: E402,F401  Q1/Q5/Q18 OLAP shapes
 from . import clustering  # noqa: E402,F401  k-means assignment step
 from . import product_analytics  # noqa: E402,F401  stickiness/new-returning/attribution/ABC
 from . import charlm  # noqa: E402,F401  char-bigram LM quality scoring
+from . import period_comparisons  # noqa: E402,F401  YoY growth + Hamilton allocation
 
 __all__ = ["EngineQuery", "register", "get", "all_queries", "all_oracles"]

@@ -560,3 +560,16 @@ def test_charlm_model_broadcast_no_python(spark):
     s = plan_summary(df)
     assert s["broadcast_hash_joins"] >= 1
     assert s["cartesian_products"] == 0
+
+
+def test_yoy_and_allocation_windows_post_aggregate(spark):
+    """Both period-comparison queries put their global window AFTER the
+    fact aggregate (calendar/nation-sized frames) — exactly one Window
+    node each, and the allocation's extra-unit sum still balances to
+    the budget."""
+    yoy = _q("ext_yoy_growth", spark)
+    assert plan_summary(yoy)["window_nodes"] == 1
+    alloc = _q("ext_budget_allocation", spark)
+    assert plan_summary(alloc)["window_nodes"] == 1
+    rows = alloc.collect()
+    assert sum(r["allocated"] for r in rows) == 10000

@@ -36,5 +36,6 @@ from . import clustering  # noqa: E402,F401  k-means assignment step
 from . import product_analytics  # noqa: E402,F401  stickiness/new-returning/attribution/ABC
 from . import charlm  # noqa: E402,F401  char-bigram LM quality scoring
 from . import period_comparisons  # noqa: E402,F401  YoY growth + Hamilton allocation
+from . import journey_analytics  # noqa: E402,F401  time-to-convert/top-paths/Gini
 
 __all__ = ["EngineQuery", "register", "get", "all_queries", "all_oracles"]

@@ -573,3 +573,16 @@ def test_yoy_and_allocation_windows_post_aggregate(spark):
     assert plan_summary(alloc)["window_nodes"] == 1
     rows = alloc.collect()
     assert sum(r["allocated"] for r in rows) == 10000
+
+
+def test_journey_windows_scoped(spark):
+    """time-to-convert has NO window (pure two-level aggregate);
+    top-paths windows per user then globally only over the path-count
+    frame; Gini's global rank runs on the per-customer aggregate."""
+    s = plan_summary(_q("ext_time_to_convert", spark))
+    assert s["window_nodes"] == 0
+    s = plan_summary(_q("ext_top_paths", spark))
+    assert s["window_nodes"] == 2
+    assert s["cartesian_products"] == 0
+    s = plan_summary(_q("ext_gini_revenue", spark))
+    assert s["window_nodes"] == 1

@@ -37,5 +37,6 @@ from . import product_analytics  # noqa: E402,F401  stickiness/new-returning/att
 from . import charlm  # noqa: E402,F401  char-bigram LM quality scoring
 from . import period_comparisons  # noqa: E402,F401  YoY growth + Hamilton allocation
 from . import journey_analytics  # noqa: E402,F401  time-to-convert/top-paths/Gini
+from . import llm_curation  # noqa: E402,F401  mixture rebalance + decontamination
 
 __all__ = ["EngineQuery", "register", "get", "all_queries", "all_oracles"]

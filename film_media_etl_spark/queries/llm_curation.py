@@ -1,0 +1,173 @@
+"""Corpus curation for LLM training: domain-mixture rebalancing and
+benchmark decontamination — the two governance ops every training-data
+pipeline runs after dedup/quality filtering (north-star surface,
+BASELINE.json; complements ext_hash_sample / ext_dedup_* /
+ext_stratified_sample).
+
+Both are deterministic end-to-end: sampling decisions come from md5 of
+the document key (partition-layout-independent, reproducible across
+engines — the engine-wide convention established by ext_hash_sample),
+and contamination matching uses exact 8-token shingles, no probabilistic
+sketches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import _shingle_set
+from ..sources import load_table
+from .registry import register
+
+# md5-derived uniform in [0, 1): fold the first 6 hex chars to an integer
+# via digit lookup — both engines share instr/substr, so the value is
+# bit-identical (DuckDB has no conv(); hex parsing must be spelled out).
+_HEX = "0123456789abcdef"
+
+
+def _uniform_expr(key_sql: str) -> str:
+    """SQL (valid in BOTH Spark SQL and DuckDB) for a deterministic
+    uniform from md5(key): first 6 hex nibbles -> int / 16^6."""
+    # STRING (not bare VARCHAR): Spark requires a length on VARCHAR,
+    # DuckDB accepts STRING as a VARCHAR alias — one spelling, two engines
+    h = f"md5(CAST({key_sql} AS STRING))"
+    nibbles = " + ".join(
+        f"(instr('{_HEX}', substr({h}, {i + 1}, 1)) - 1) * {16 ** (5 - i)}"
+        for i in range(6)
+    )
+    return f"(({nibbles}) / 16777216.0)"
+
+
+@register(
+    "ext_corpus_rebalance",
+    oracle=f"""
+    WITH counts AS (
+      SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_docs) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS n_sources
+      FROM counts
+    ),
+    rates AS (
+      SELECT source, n_docs,
+             least(1.0, CAST(total AS DOUBLE) / (n_sources * n_docs)) AS rate
+      FROM counts CROSS JOIN tot
+    )
+    SELECT d.source, r.n_docs, r.rate,
+           COUNT(*) FILTER (WHERE {_uniform_expr("d.doc_id")} < r.rate)
+             AS n_sampled
+    FROM documents d JOIN rates r ON d.source = r.source
+    GROUP BY d.source, r.n_docs, r.rate
+    """,
+)
+def ext_corpus_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture rebalancing toward a uniform source mix: each
+    source gets sampling rate min(1, total/(n_sources·n_docs)) —
+    over-represented domains are down-sampled, the rest kept whole —
+    and documents are kept by a reproducible md5-uniform draw, so the
+    same corpus always yields the same mixture (re-runs and engines
+    agree; rand() would give neither).
+
+    The rate table is domain-sized and broadcast; the keep-decision is
+    one hash per row evaluated map-side; output is one row per source.
+    This is the 'data mixing' step training pipelines apply between
+    curation and tokenization."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = counts.agg(
+        F.sum("n_docs").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+    )
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.least(
+            F.lit(1.0),
+            F.col("total").cast("double") / (F.col("n_sources") * F.col("n_docs")),
+        ).alias("rate"),
+    )
+    kept = F.expr(_uniform_expr("doc_id")) < F.col("rate")
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .groupBy("source", "n_docs", "rate")
+        .agg(F.count(F.when(kept, 1)).alias("n_sampled"))
+    )
+
+
+_SHINGLE_N = 8
+
+
+@register(
+    "ext_decontamination",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, string_split(lower(text), ' ') AS toks
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, source,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - {_SHINGLE_N - 1}, 0) + 1),
+               i -> {" || ' ' || ".join(f"toks[i + {j}]" for j in range(_SHINGLE_N))}
+             )) AS grams
+      FROM t
+    ),
+    eval_sh AS (
+      SELECT DISTINCT unnest(grams) AS g FROM sh WHERE doc_id < 10
+    ),
+    contaminated AS (
+      SELECT DISTINCT s.doc_id
+      FROM (SELECT doc_id, unnest(grams) AS g FROM sh WHERE doc_id >= 10) s
+      JOIN eval_sh e ON s.g = e.g
+    )
+    SELECT t.source,
+           COUNT(*) AS n_train_docs,
+           COUNT(c.doc_id) AS n_contaminated,
+           CAST(COUNT(c.doc_id) AS DOUBLE) / COUNT(*) AS contamination_rate
+    FROM t LEFT JOIN contaminated c ON t.doc_id = c.doc_id
+    WHERE t.doc_id >= 10
+    GROUP BY t.source
+    """,
+)
+def ext_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination audit: training documents (doc_id >=
+    10) sharing ANY exact 8-token shingle with the held-out set (doc_id
+    < 10) are flagged, reported per source — the overlap screen run
+    before any benchmark number is trusted.
+
+    The eval shingle set is benchmark-sized and broadcast; training
+    shingles stream through a semi-join against it (map-side hash
+    probe), collapse to distinct contaminated doc ids, and one left
+    join + aggregate produces the per-source rates. Nothing quadratic:
+    cost is linear in training shingles regardless of corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", "source", _shingle_set(F.col("text"), _SHINGLE_N).alias("grams")
+    )
+    eval_sh = (
+        sh.where(F.col("doc_id") < 10)
+        .select(F.explode("grams").alias("g"))
+        .distinct()
+    )
+    train = sh.where(F.col("doc_id") >= 10)
+    contaminated = (
+        train.select("doc_id", F.explode("grams").alias("g"))
+        .join(F.broadcast(eval_sh), "g")
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_contaminated", F.lit(1))
+    )
+    return (
+        train.select("doc_id", "source")
+        .join(contaminated, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_train_docs"),
+            F.count("is_contaminated").alias("n_contaminated"),
+            (
+                F.count("is_contaminated").cast("double") / F.count(F.lit(1))
+            ).alias("contamination_rate"),
+        )
+    )

@@ -586,3 +586,21 @@ def test_journey_windows_scoped(spark):
     assert s["cartesian_products"] == 0
     s = plan_summary(_q("ext_gini_revenue", spark))
     assert s["window_nodes"] == 1
+
+
+def test_curation_broadcasts_and_stays_jvm(spark):
+    """Rebalance: rate table broadcast, md5 keep-decision map-side, no
+    Python eval. Decontamination: eval shingles broadcast onto the
+    training stream, no cartesian."""
+    from film_media_etl_spark.plans import physical_plan
+
+    df = _q("ext_corpus_rebalance", spark)
+    assert "EvalPython" not in physical_plan(df)
+    s = plan_summary(df)
+    assert s["broadcast_hash_joins"] >= 1
+    assert s["cartesian_products"] == 0
+
+    df = _q("ext_decontamination", spark)
+    s = plan_summary(df)
+    assert s["broadcast_hash_joins"] >= 1
+    assert s["cartesian_products"] == 0

@@ -48,6 +48,10 @@ HEADLINE = [
     "ext_tpch_q5_regional_volume",
     "ext_market_basket",
     "ext_bm25_search",
+    "ext_attribution_first_last",
+    "ext_abc_classification",
+    "ext_decontamination",
+    "ext_charlm_quality",
 ]
 
 

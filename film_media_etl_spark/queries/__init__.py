@@ -38,5 +38,6 @@ from . import charlm  # noqa: E402,F401  char-bigram LM quality scoring
 from . import period_comparisons  # noqa: E402,F401  YoY growth + Hamilton allocation
 from . import journey_analytics  # noqa: E402,F401  time-to-convert/top-paths/Gini
 from . import llm_curation  # noqa: E402,F401  mixture rebalance + decontamination
+from . import decomposition  # noqa: E402,F401  seasonal decompose + basket sizes
 
 __all__ = ["EngineQuery", "register", "get", "all_queries", "all_oracles"]

@@ -39,5 +39,6 @@ from . import period_comparisons  # noqa: E402,F401  YoY growth + Hamilton alloc
 from . import journey_analytics  # noqa: E402,F401  time-to-convert/top-paths/Gini
 from . import llm_curation  # noqa: E402,F401  mixture rebalance + decontamination
 from . import decomposition  # noqa: E402,F401  seasonal decompose + basket sizes
+from . import association_metrics  # noqa: E402,F401  PMI + Spearman rank stability
 
 __all__ = ["EngineQuery", "register", "get", "all_queries", "all_oracles"]

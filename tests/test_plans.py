@@ -610,3 +610,23 @@ def test_curation_broadcasts_and_stays_jvm(spark):
     assert s["nested_loop_joins"] >= 1
     assert s["cartesian_products"] == 0
     assert s["exchanges"] <= 2
+
+
+def test_pmi_top_terms_broadcast_bounded_pairs(spark):
+    """The top-term vocabulary cut must ride a broadcast onto presence
+    rows BEFORE the pair self-join (bounding pairs per doc), and the
+    ranking window for the cut runs on the vocabulary-sized DF frame."""
+    df = _q("ext_term_pmi", spark)
+    s = plan_summary(df)
+    assert s["broadcast_hash_joins"] >= 1
+    assert s["cartesian_products"] == 0
+
+
+def test_rank_stability_per_year_windows(spark):
+    """Leaderboard ranks partition per year over the nation aggregate;
+    rho is a pure aggregate afterwards — no cartesian, <= 2 window
+    nodes (one per year split or one shared)."""
+    df = _q("ext_rank_stability", spark)
+    s = plan_summary(df)
+    assert s["window_nodes"] <= 2
+    assert s["cartesian_products"] == 0

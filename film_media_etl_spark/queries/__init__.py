@@ -40,5 +40,6 @@ from . import journey_analytics  # noqa: E402,F401  time-to-convert/top-paths/Gi
 from . import llm_curation  # noqa: E402,F401  mixture rebalance + decontamination
 from . import decomposition  # noqa: E402,F401  seasonal decompose + basket sizes
 from . import association_metrics  # noqa: E402,F401  PMI + Spearman rank stability
+from . import market_structure  # noqa: E402,F401  purchase cadence + supplier HHI
 
 __all__ = ["EngineQuery", "register", "get", "all_queries", "all_oracles"]

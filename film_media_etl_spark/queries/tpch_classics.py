@@ -1,5 +1,6 @@
 """TPC-H-style classics over the driver's TPC-H-ish testdata: the
-pricing summary (Q1 shape), regional supplier volume (Q5 shape), and
+pricing summary (Q1 shape), shipping priority (Q3 shape), regional
+supplier volume (Q5 shape), returned items (Q10 shape), and
 large-volume customers (Q18 shape).
 
 The reference's BI workload is star-schema revenue pivots
@@ -82,6 +83,50 @@ def ext_tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_tpch_q3_shipping_priority",
+    oracle=f"""
+    SELECT l.l_orderkey,
+           CAST(SUM({_DISC_PRICE}) AS DECIMAL(38,6)) AS revenue,
+           CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-06-15 00:00:00'
+      AND l.l_shipdate  > TIMESTAMP '1998-06-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def ext_tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shipping priority: the 10 highest-revenue unshipped
+    BUILDING-segment orders as of a cutoff date (o_shippriority doesn't
+    exist in this testdata; o_orderpriority stands in). The two date
+    predicates push to the orders and lineitem scans independently —
+    each side shrinks BEFORE the orderkey shuffle join — and the top-10
+    runs as TakeOrderedAndProject (per-partition heap, no global sort).
+    Revenue is the exact-decimal disc_price sum; ties break on orderkey
+    so the LIMIT cut is deterministic cross-engine."""
+    cutoff = F.to_timestamp(F.lit("1998-06-15 00:00:00"))
+    c = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderdate") < cutoff)
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(F.expr(_DISC_PRICE)).cast("decimal(38,6)").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
     "ext_tpch_q5_regional_volume",
     oracle=f"""
     SELECT n.n_name,
@@ -129,6 +174,51 @@ def ext_tpch_q5_regional_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
         .agg(F.sum(F.expr(_DISC_PRICE)).cast("decimal(38,6)").alias("revenue"))
+    )
+
+
+@register(
+    "ext_tpch_q10_returned_items",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name,
+           CAST(SUM({_DISC_PRICE}) AS DECIMAL(38,6)) AS revenue,
+           c.c_acctbal, n.n_name
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c.c_custkey ASC
+    LIMIT 20
+    """,
+)
+def ext_tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 returned-item reporting: the 20 customers who returned
+    the most revenue in 1997-Q1 — the churn-risk escalation list. The
+    returnflag filter prunes ~2/3 of lineitem AT THE SCAN (dictionary
+    row-group skip) and the quarter range prunes orders the same way, so
+    the fact-fact shuffle carries one quarter of returns only; nation
+    rides a broadcast; top-20 is a per-partition heap. c_acctbal passes
+    through as raw double (projection-only — bit-identical engines)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1997-01-01 00:00:00")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1997-04-01 00:00:00")))
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(F.expr(_DISC_PRICE)).cast("decimal(38,6)").alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
     )
 
 

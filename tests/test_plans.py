@@ -630,3 +630,43 @@ def test_rank_stability_per_year_windows(spark):
     s = plan_summary(df)
     assert s["window_nodes"] <= 2
     assert s["cartesian_products"] == 0
+
+
+def test_tpch_q3_q10_pushdown_and_topk(spark):
+    """Q3/Q10: the date/returnflag predicates must reach the scans so
+    the fact-fact shuffle carries a pruned slice, and the LIMIT must
+    plan as TakeOrderedAndProject, never a global sort."""
+    from film_media_etl_spark.plans import physical_plan
+
+    q3 = _q("ext_tpch_q3_shipping_priority", spark)
+    assert_pushed_filters(q3, "o_orderdate", "l_shipdate")
+    assert "TakeOrderedAndProject" in physical_plan(q3)
+    assert_no_cartesian(q3)
+
+    q10 = _q("ext_tpch_q10_returned_items", spark)
+    assert_pushed_filters(q10, "l_returnflag", "o_orderdate")
+    assert "TakeOrderedAndProject" in physical_plan(q10)
+    assert_broadcast_join(q10, 1)  # nation
+
+
+def test_purchase_intervals_window_shuffle_reused_by_join(spark):
+    """The lag window partitions orders on o_custkey — the same key the
+    customer join uses — so the orders side must not re-exchange between
+    window and join: one shuffle for the window, one for the customer
+    side, one for the final segment agg."""
+    df = _q("ext_purchase_intervals", spark)
+    s = plan_summary(df)
+    assert s["window_nodes"] == 1
+    assert s["exchanges"] <= 3
+    assert s["cartesian_products"] == 0
+
+
+def test_supplier_hhi_single_fact_shuffle(spark):
+    """HHI's algebraic form (sum rev² / (sum rev)²) keeps lineitem to
+    ONE shuffle (the supplier-level agg); supplier and nation must ride
+    broadcasts; the nation-level agg shuffles only supplier-count rows."""
+    df = _q("ext_supplier_hhi", spark)
+    s = plan_summary(df)
+    assert s["broadcast_hash_joins"] >= 2
+    assert s["cartesian_products"] == 0
+    assert s["exchanges"] <= 2

@@ -41,5 +41,6 @@ from . import llm_curation  # noqa: E402,F401  mixture rebalance + decontaminati
 from . import decomposition  # noqa: E402,F401  seasonal decompose + basket sizes
 from . import association_metrics  # noqa: E402,F401  PMI + Spearman rank stability
 from . import market_structure  # noqa: E402,F401  purchase cadence + supplier HHI
+from . import diagnostics  # noqa: E402,F401  skew audit + forecast backtest
 
 __all__ = ["EngineQuery", "register", "get", "all_queries", "all_oracles"]

@@ -123,3 +123,58 @@ def ext_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clustering"),
         )
     )
+
+
+@register(
+    "ext_degree_distribution",
+    oracle="""
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT a.l_partkey AS u, c.l_partkey AS v
+      FROM b a JOIN b c
+        ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 2
+    ),
+    deg AS (
+      SELECT node, COUNT(*) AS deg FROM (
+        SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e
+      ) GROUP BY 1
+    )
+    SELECT CAST(deg AS BIGINT) AS degree, COUNT(*) AS n_nodes
+    FROM deg GROUP BY 1
+    """,
+)
+def ext_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-purchase graph (same support>=2
+    oriented edge set as ext_triangle_count): how many parts have k
+    co-purchase partners — the power-law health check graph pipelines
+    run before any traversal, because a heavy-tailed degree histogram
+    is the early warning for skewed traversal joins. Both endpoints of
+    each edge are covered by ONE explode pass (no second self-join);
+    the two stacked aggregations run over edge- then node-sized frames,
+    and everything is exact integer counting."""
+    b = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, c = b.alias("a"), b.alias("c")
+    e = (
+        a.join(
+            c,
+            (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("c.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("c.l_partkey").alias("v"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= 2)
+        .select("u", "v")
+    )
+    return (
+        e.select(F.explode(F.array("u", "v")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .groupBy(F.col("deg").alias("degree"))
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+    )

@@ -670,3 +670,34 @@ def test_supplier_hhi_single_fact_shuffle(spark):
     assert s["broadcast_hash_joins"] >= 2
     assert s["cartesian_products"] == 0
     assert s["exchanges"] <= 2
+
+
+def test_skew_audit_two_level_aggs_no_cartesian(spark):
+    """Each skew-audit leg is partial-count -> key-frame percentile;
+    no windows, no cartesian, and the only single-partition collapses
+    are the three one-row leg summaries."""
+    df = _q("ext_skew_audit", spark)
+    s = plan_summary(df)
+    assert s["window_nodes"] == 0
+    assert s["cartesian_products"] == 0
+    assert s["single_partition_exchanges"] <= 3
+
+
+def test_forecast_backtest_window_on_months_only(spark):
+    """The lag-12 window runs on the monthly aggregate (months-sized),
+    so exactly one window node and at most one single-partition
+    exchange feeding it — facts only ever see the month groupBy."""
+    df = _q("ext_forecast_backtest", spark)
+    s = plan_summary(df)
+    assert s["window_nodes"] == 1
+    assert s["single_partition_exchanges"] <= 1
+    assert s["cartesian_products"] == 0
+
+
+def test_degree_distribution_single_explode_pass(spark):
+    """Degrees come from ONE explode over the edge list (no second
+    self-join): exactly one join in the plan (the basket self-join)."""
+    df = _q("ext_degree_distribution", spark)
+    s = plan_summary(df)
+    assert s["cartesian_products"] == 0
+    assert s["sort_merge_joins"] + s["broadcast_hash_joins"] + s["nested_loop_joins"] <= 1

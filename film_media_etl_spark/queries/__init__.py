@@ -42,5 +42,6 @@ from . import decomposition  # noqa: E402,F401  seasonal decompose + basket size
 from . import association_metrics  # noqa: E402,F401  PMI + Spearman rank stability
 from . import market_structure  # noqa: E402,F401  purchase cadence + supplier HHI
 from . import diagnostics  # noqa: E402,F401  skew audit + forecast backtest
+from . import ml_features  # noqa: E402,F401  feature hashing / target encoding / labels
 
 __all__ = ["EngineQuery", "register", "get", "all_queries", "all_oracles"]

@@ -1,0 +1,182 @@
+"""Training-data feature construction: the hashing trick, leave-one-out
+target encoding, and churn-label generation.
+
+These are the three ops a feature pipeline runs between the warehouse
+and the trainer: hash-bucket text into fixed-width sparse vectors (no
+vocabulary to ship), encode high-cardinality categoricals by their
+target statistics without leaking each row's own label, and derive the
+supervised label itself from future behavior. The reference stops at
+descriptive BI (SURVEY §2); these make its tables trainable.
+
+Exactness: feature hashing reuses the engine's md5 nibble-fold (same
+spelling runs in Spark SQL and DuckDB — llm_curation.py precedent), so
+bucket ids are bit-identical; target encoding is (Σ−x)/(n−1) on exact
+decimal sums with the division in integer fixed point (micro-price);
+labels are integer day arithmetic over a deterministic lead() order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .registry import register
+
+_HEX = "0123456789abcdef"
+_N_BUCKETS = 64
+
+
+def _bucket_expr(key_sql: str) -> str:
+    """SQL (valid in BOTH Spark SQL and DuckDB) hashing a string to a
+    bucket in [0, 64): md5, fold the first 6 hex nibbles to an int by
+    digit lookup, mod the bucket count. DuckDB has no conv(), so the
+    hex parse is spelled out with instr/substr shared by both engines."""
+    h = f"md5(CAST({key_sql} AS STRING))"
+    nibbles = " + ".join(
+        f"(instr('{_HEX}', substr({h}, {i + 1}, 1)) - 1) * {16 ** (5 - i)}"
+        for i in range(6)
+    )
+    return f"(({nibbles}) % {_N_BUCKETS})"
+
+
+@register(
+    "ext_feature_hashing",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST({_bucket_expr("term")} AS INT) AS bucket,
+           COUNT(*) AS tf
+    FROM tok WHERE term <> ''
+    GROUP BY 1, 2
+    """,
+)
+def ext_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurization: every token hashes straight into one
+    of 64 buckets, emitting (doc, bucket, term-frequency) sparse
+    triples. The property that matters at 100 TB is what's ABSENT — no
+    vocabulary build, no dictionary broadcast, no OOV handling: one
+    explode + one count aggregation, embarrassingly parallel, output
+    width fixed regardless of corpus vocabulary. Bucket ids come from
+    the md5 nibble-fold, so the featurization is reproducible across
+    engines and replays."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    ).where(F.col("term") != "")
+    return tok.groupBy(
+        "doc_id", F.expr(_bucket_expr("term")).cast("int").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("tf"))
+
+
+@register(
+    "ext_target_encoding",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders
+    ),
+    j AS (
+      SELECT o.o_orderkey, n.n_name, o.price
+      FROM o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ),
+    stats AS (
+      SELECT n_name,
+             CAST(SUM(price) AS DECIMAL(38,2)) AS s,
+             COUNT(*) AS cnt
+      FROM j GROUP BY 1
+    )
+    SELECT j.o_orderkey, j.n_name, j.price AS o_totalprice,
+           (CAST((stats.s - j.price) * 100 AS BIGINT) * 10000)
+             // (stats.cnt - 1) AS loo_avg_price_micros
+    FROM j JOIN stats ON j.n_name = stats.n_name
+    """,
+)
+def ext_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of the customer's nation by order
+    value: each order gets the nation's mean order price computed
+    WITHOUT itself, (Σ − x)/(n − 1) — the standard leak-proof encoding
+    for high-cardinality categoricals. Computed as aggregate-then-
+    broadcast-join-back, NOT a per-nation window: the nation stats frame
+    is 25 rows, so the encode step is a broadcast map over facts with no
+    nation-keyed shuffle of orders at all (a window would hash-partition
+    every fact row by a 25-value key — guaranteed skew at scale). The
+    subtraction is exact decimal and the division runs in integer fixed
+    point (micro-price): LOO quotients of cent amounts by small counts
+    often TERMINATE exactly on a half at 6dp, where decimal-string
+    rounding (Spark) and binary-double rounding (DuckDB) disagree —
+    integer division dodges the whole class."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    j = (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("o_orderkey", "n_name", "price")
+    )
+    stats = j.groupBy("n_name").agg(
+        F.sum("price").cast("decimal(38,2)").alias("s"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    return j.join(F.broadcast(stats), "n_name").select(
+        "o_orderkey",
+        "n_name",
+        F.col("price").alias("o_totalprice"),
+        F.expr("(CAST((s - price) * 100 AS BIGINT) * 10000) div (cnt - 1)").alias(
+            "loo_avg_price_micros"
+        ),
+    )
+
+
+@register(
+    "ext_churn_labels",
+    oracle="""
+    WITH nxt AS (
+      SELECT o_orderkey, o_custkey, o_orderdate,
+             lead(o_orderdate) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate ASC, o_orderkey ASC) AS next_dt
+      FROM orders
+    )
+    SELECT o_orderkey, o_custkey,
+           CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
+           CAST(date_diff('day', o_orderdate, next_dt) AS BIGINT)
+             AS days_to_next,
+           (next_dt IS NULL
+            OR date_diff('day', o_orderdate, next_dt) > 90) AS churned_90d
+    FROM nxt
+    """,
+)
+def ext_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn-label construction: for every order, the days until the
+    customer's next order (lead over a deterministic per-customer
+    order), and the supervised label 'churned within 90 days' = no
+    follow-up order or a gap beyond the horizon. This is label
+    ENGINEERING, not analytics — the output is one training row per
+    fact, so it must stay fact-partitioned: one custkey shuffle for the
+    lead window, then pure row-local arithmetic; right-censored
+    customers (no next order) label churned, the convention that avoids
+    silently dropping the newest cohort."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.asc("o_orderdate"), F.asc("o_orderkey")
+    )
+    nxt = o.withColumn("next_dt", F.lead("o_orderdate").over(w))
+    gap = F.datediff("next_dt", "o_orderdate").cast("long")
+    return nxt.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        gap.alias("days_to_next"),
+        (F.col("next_dt").isNull() | (gap > 90)).alias("churned_90d"),
+    )

@@ -701,3 +701,36 @@ def test_degree_distribution_single_explode_pass(spark):
     s = plan_summary(df)
     assert s["cartesian_products"] == 0
     assert s["sort_merge_joins"] + s["broadcast_hash_joins"] + s["nested_loop_joins"] <= 1
+
+
+def test_feature_hashing_stays_jvm_single_shuffle(spark):
+    """The hashing trick must be explode -> hash -> count: one shuffle
+    (the (doc,bucket) agg), no joins, no Python eval in the plan."""
+    from film_media_etl_spark.plans import physical_plan
+
+    df = _q("ext_feature_hashing", spark)
+    s = plan_summary(df)
+    assert s["exchanges"] <= 1
+    assert s["sort_merge_joins"] + s["broadcast_hash_joins"] == 0
+    assert "BatchEvalPython" not in physical_plan(df)
+
+
+def test_target_encoding_broadcast_not_window(spark):
+    """LOO encoding must be aggregate-then-broadcast-back: the 25-row
+    nation stats ride broadcasts and orders are NEVER hash-partitioned
+    by the 25-value nation key (no window nodes at all)."""
+    df = _q("ext_target_encoding", spark)
+    s = plan_summary(df)
+    assert s["window_nodes"] == 0
+    assert s["broadcast_hash_joins"] >= 2
+    assert s["cartesian_products"] == 0
+
+
+def test_churn_labels_one_fact_shuffle(spark):
+    """Label construction is one custkey window over facts, then
+    row-local arithmetic: exactly one window, at most one exchange."""
+    df = _q("ext_churn_labels", spark)
+    s = plan_summary(df)
+    assert s["window_nodes"] == 1
+    assert s["exchanges"] <= 1
+    assert s["cartesian_products"] == 0

@@ -43,5 +43,6 @@ from . import association_metrics  # noqa: E402,F401  PMI + Spearman rank stabil
 from . import market_structure  # noqa: E402,F401  purchase cadence + supplier HHI
 from . import diagnostics  # noqa: E402,F401  skew audit + forecast backtest
 from . import ml_features  # noqa: E402,F401  feature hashing / target encoding / labels
+from . import data_quality_rules  # noqa: E402,F401  DQ rule suite + forward fill
 
 __all__ = ["EngineQuery", "register", "get", "all_queries", "all_oracles"]

@@ -734,3 +734,24 @@ def test_churn_labels_one_fact_shuffle(spark):
     assert s["window_nodes"] == 1
     assert s["exchanges"] <= 1
     assert s["cartesian_products"] == 0
+
+
+def test_dq_rules_single_pass(spark):
+    """Six rules must fuse into ONE aggregation over orders: a single
+    scan, no joins, no windows (COUNT DISTINCT expands inside the same
+    aggregate chain)."""
+    df = _q("ext_dq_rules", spark)
+    s = plan_summary(df)
+    assert s["scans"] == 1
+    assert s["window_nodes"] == 0
+    assert s["sort_merge_joins"] + s["broadcast_hash_joins"] == 0
+
+
+def test_forward_fill_window_on_spine_not_facts(spark):
+    """LOCF runs on the spine frame: events collapse via groupBy before
+    the window; exactly one window node and no cartesian beyond the
+    spine x types nested-loop (bounded, data-independent)."""
+    df = _q("ext_forward_fill", spark)
+    s = plan_summary(df)
+    assert s["window_nodes"] == 1
+    assert s["cartesian_products"] == 0

@@ -44,5 +44,6 @@ from . import market_structure  # noqa: E402,F401  purchase cadence + supplier H
 from . import diagnostics  # noqa: E402,F401  skew audit + forecast backtest
 from . import ml_features  # noqa: E402,F401  feature hashing / target encoding / labels
 from . import data_quality_rules  # noqa: E402,F401  DQ rule suite + forward fill
+from . import composition_metrics  # noqa: E402,F401  share-of-total + entropy
 
 __all__ = ["EngineQuery", "register", "get", "all_queries", "all_oracles"]

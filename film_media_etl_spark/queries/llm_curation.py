@@ -168,3 +168,59 @@ def ext_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("contamination_rate"),
         )
     )
+
+
+@register(
+    "ext_sequence_packing",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, lang, n_tokens,
+             SUM(n_tokens) OVER (
+               PARTITION BY lang ORDER BY doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM toks
+    )
+    SELECT doc_id, lang, n_tokens,
+           (cum - n_tokens) // 2048 AS shard_id,
+           (cum - n_tokens) % 2048 AS shard_offset
+    FROM c
+    """,
+)
+def ext_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard packing: documents stream into fixed 2048-token
+    shards per language in deterministic doc_id order — each doc is
+    assigned the shard where its first token lands (running token total
+    via prefix sum; a doc spanning a boundary continues into the next
+    shard, the standard concat-then-chunk packing). The prefix sum runs
+    as a per-language cumulative window; at 100 TB a 5-value partition
+    key is a skew hazard, and the scalable variant is the bucketed
+    two-pass prefix sum of etl/star.py:_global_index (per-bucket sums +
+    broadcast offsets) — documented here, window-form kept because the
+    spine of this op is the deterministic order, not the mechanism.
+    All arithmetic is exact integer division/modulo."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    return toks.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.expr(
+            "(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id ASC "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) "
+            "div 2048"
+        ).alias("shard_id"),
+        F.expr(
+            "(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id ASC "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) "
+            "% 2048"
+        ).alias("shard_offset"),
+    )

@@ -45,5 +45,6 @@ from . import diagnostics  # noqa: E402,F401  skew audit + forecast backtest
 from . import ml_features  # noqa: E402,F401  feature hashing / target encoding / labels
 from . import data_quality_rules  # noqa: E402,F401  DQ rule suite + forward fill
 from . import composition_metrics  # noqa: E402,F401  share-of-total + entropy
+from . import nullsafe_join  # noqa: E402,F401  NULL-keyed dimension lookup
 
 __all__ = ["EngineQuery", "register", "get", "all_queries", "all_oracles"]

@@ -796,3 +796,25 @@ def test_sequence_packing_single_window_partition_by_lang(spark):
     assert s["window_nodes"] == 1
     assert s["single_partition_exchanges"] == 0
     assert s["exchanges"] <= 1
+
+
+def test_tpch_q7_double_nation_broadcast(spark):
+    """Q7 joins the same 25-row nation dim twice (supplier + customer
+    side) — both must broadcast, the shipdate range must reach the
+    lineitem scan, and the disjunctive pair filter must not degrade
+    anything to nested-loop."""
+    q7 = _q("ext_tpch_q7_trade_flows", spark)
+    s = plan_summary(q7)
+    assert s["broadcast_hash_joins"] >= 3  # supplier + nation x2
+    assert s["nested_loop_joins"] == 0 and s["cartesian_products"] == 0
+    assert_pushed_filters(q7, "l_shipdate")
+
+
+def test_nullsafe_join_is_hash_not_nested_loop(spark):
+    """<=> must plan as a hash join (broadcast here) — a nested-loop
+    fallback would mean the engine treats null-safe equality as a
+    non-equi predicate."""
+    df = _q("ext_nullsafe_join", spark)
+    s = plan_summary(df)
+    assert s["broadcast_hash_joins"] >= 1
+    assert s["nested_loop_joins"] == 0 and s["cartesian_products"] == 0

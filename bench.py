@@ -52,6 +52,14 @@ HEADLINE = [
     "ext_abc_classification",
     "ext_decontamination",
     "ext_charlm_quality",
+    "ext_tpch_q7_trade_flows",
+    "ext_supplier_hhi",
+    "ext_skew_audit",
+    "ext_feature_hashing",
+    "ext_target_encoding",
+    "ext_dq_rules",
+    "ext_forward_fill",
+    "ext_sequence_packing",
 ]
 
 

@@ -46,5 +46,6 @@ from . import ml_features  # noqa: E402,F401  feature hashing / target encoding 
 from . import data_quality_rules  # noqa: E402,F401  DQ rule suite + forward fill
 from . import composition_metrics  # noqa: E402,F401  share-of-total + entropy
 from . import nullsafe_join  # noqa: E402,F401  NULL-keyed dimension lookup
+from . import monitoring_ops  # noqa: E402,F401  peak detection + CUSUM drift
 
 __all__ = ["EngineQuery", "register", "get", "all_queries", "all_oracles"]

@@ -513,3 +513,41 @@ def ext_trending_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn").cast("int").alias("day_rank"),
         )
     )
+
+
+@register(
+    "ext_quantizer_calibration",
+    oracle="""
+    SELECT CAST(t.i AS INT) AS dim,
+           CAST(MIN(embedding[t.i]) AS DOUBLE) AS lo,
+           CAST(MAX(embedding[t.i]) AS DOUBLE) AS hi,
+           CAST(MAX(embedding[t.i]) AS DOUBLE)
+             - CAST(MIN(embedding[t.i]) AS DOUBLE) AS value_range
+    FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+    GROUP BY 1
+    """,
+)
+def ext_quantizer_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension min/max calibration over the embedding corpus — the
+    range scan an int8 quantizer (ext_embedding_quantize) runs first to
+    pick its scale per dimension. posexplode keeps the component index
+    JVM-side (no Python touches the vectors); the aggregate is
+    (dim -> min/max), so shuffle width is the embedding dimensionality
+    regardless of corpus size, and min/max over floats is exact and
+    order-insensitive (results cast to double — a float widens
+    losslessly, keeping both engines' output types aligned)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(F.posexplode("embedding").alias("pos", "v"))
+    return (
+        ex.groupBy((F.col("pos") + 1).cast("int").alias("dim"))
+        .agg(
+            F.min("v").cast("double").alias("lo"),
+            F.max("v").cast("double").alias("hi"),
+        )
+        .select(
+            "dim",
+            "lo",
+            "hi",
+            (F.col("hi") - F.col("lo")).alias("value_range"),
+        )
+    )

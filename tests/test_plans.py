@@ -818,3 +818,35 @@ def test_nullsafe_join_is_hash_not_nested_loop(spark):
     s = plan_summary(df)
     assert s["broadcast_hash_joins"] >= 1
     assert s["nested_loop_joins"] == 0 and s["cartesian_products"] == 0
+
+
+def test_peak_detection_one_window_node(spark):
+    """lag and lead share one window spec — exactly one Window node over
+    the hourly aggregate; events shuffle once for the groupBy and the
+    window reuses/extends that partitioning without a SinglePartition."""
+    df = _q("ext_peak_detection", spark)
+    s = plan_summary(df)
+    assert s["window_nodes"] == 1
+    assert s["single_partition_exchanges"] == 0
+
+
+def test_cusum_window_on_days_scalar_broadcast(spark):
+    """The cumulative window runs on the day-sized aggregate (one
+    SinglePartition over ~2400 rows is the accepted cost); the (n, S)
+    scalar frame must arrive via broadcast nested loop, not shuffle."""
+    df = _q("ext_cusum_drift", spark)
+    s = plan_summary(df)
+    assert s["window_nodes"] == 1
+    assert s["single_partition_exchanges"] <= 2  # window order + scalar agg
+    assert s["cartesian_products"] == 0
+
+
+def test_quantizer_calibration_dimension_width_shuffle(spark):
+    """posexplode keeps vectors JVM-side; the only shuffle is the
+    (dim)-keyed aggregate whose width is the embedding dimensionality."""
+    from film_media_etl_spark.plans import physical_plan
+
+    df = _q("ext_quantizer_calibration", spark)
+    s = plan_summary(df)
+    assert s["exchanges"] <= 1
+    assert "BatchEvalPython" not in physical_plan(df)

@@ -47,5 +47,6 @@ from . import data_quality_rules  # noqa: E402,F401  DQ rule suite + forward fil
 from . import composition_metrics  # noqa: E402,F401  share-of-total + entropy
 from . import nullsafe_join  # noqa: E402,F401  NULL-keyed dimension lookup
 from . import monitoring_ops  # noqa: E402,F401  peak detection + CUSUM drift
+from . import collocations  # noqa: E402,F401  token bigrams + rolling corr
 
 __all__ = ["EngineQuery", "register", "get", "all_queries", "all_oracles"]

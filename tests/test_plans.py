@@ -850,3 +850,24 @@ def test_quantizer_calibration_dimension_width_shuffle(spark):
     s = plan_summary(df)
     assert s["exchanges"] <= 1
     assert "BatchEvalPython" not in physical_plan(df)
+
+
+def test_token_bigrams_heap_topk_jvm_only(spark):
+    """Bigram mining must stay JVM-side (array HOFs, no Python eval)
+    and take the top-k via a per-partition heap, not a global sort."""
+    from film_media_etl_spark.plans import physical_plan
+
+    df = _q("ext_token_bigrams", spark)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_rolling_corr_single_window_all_moments(spark):
+    """All five rolling moments share one frame spec — exactly one
+    Window node over the hour-sized conditional aggregate (no events
+    self-join: zero joins in the plan)."""
+    df = _q("ext_rolling_corr", spark)
+    s = plan_summary(df)
+    assert s["window_nodes"] == 1
+    assert s["sort_merge_joins"] + s["broadcast_hash_joins"] == 0

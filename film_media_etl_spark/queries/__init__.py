@@ -48,5 +48,6 @@ from . import composition_metrics  # noqa: E402,F401  share-of-total + entropy
 from . import nullsafe_join  # noqa: E402,F401  NULL-keyed dimension lookup
 from . import monitoring_ops  # noqa: E402,F401  peak detection + CUSUM drift
 from . import collocations  # noqa: E402,F401  token bigrams + rolling corr
+from . import weighted_stats  # noqa: E402,F401  weighted median + activity bitmap
 
 __all__ = ["EngineQuery", "register", "get", "all_queries", "all_oracles"]

@@ -128,3 +128,45 @@ def ext_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(k).cast("long").alias("k_total"),
         F.max(k).cast("int").alias("k_max"),
     )
+
+
+@register(
+    "ext_schema_evolution",
+    oracle="""
+    SELECT CAST(o_orderkey % 2 AS INT) AS batch,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_with_priority
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def ext_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: batch 0 lands with the v1 schema
+    (key/price/date), batch 1 with v2 (adds o_orderpriority); reading
+    the directory with mergeSchema=true unions the schemas and
+    NULL-fills the missing column for v1 files — the additive-column
+    upgrade every long-lived lake table goes through, with no rewrite
+    of historical files. The result audits exactly that: per batch, row
+    count and how many rows carry the new column (batch 0 must report
+    zero). Merge cost note: schema reconciliation reads FOOTERS, not
+    data — safe at 100 TB where a backfill rewrite is not."""
+    o = load_table(spark, sf_dir, "orders")
+    path = _tmp(sf_dir, "orders_evolved")
+    b0 = o.where(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    b1 = o.where(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderdate", "o_orderpriority"
+    )
+    b0.write.mode("overwrite").parquet(os.path.join(path, "batch=0"))
+    b1.write.mode("overwrite").parquet(os.path.join(path, "batch=1"))
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    return merged.groupBy(F.col("batch").cast("int").alias("batch")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(F.col("o_orderpriority").isNotNull(), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_with_priority"),
+    )

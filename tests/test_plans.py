@@ -871,3 +871,24 @@ def test_rolling_corr_single_window_all_moments(spark):
     s = plan_summary(df)
     assert s["window_nodes"] == 1
     assert s["sort_merge_joins"] + s["broadcast_hash_joins"] == 0
+
+
+def test_weighted_median_shared_partition_windows(spark):
+    """Both window passes (ordered cumw + unordered total) share the
+    brand partition: <= 2 Window nodes, no SinglePartition collapse,
+    and the part dim rides a broadcast."""
+    df = _q("ext_weighted_median", spark)
+    s = plan_summary(df)
+    assert s["window_nodes"] <= 2
+    assert s["single_partition_exchanges"] == 0
+    assert s["broadcast_hash_joins"] >= 1
+
+
+def test_activity_bitmap_pure_aggregate(spark):
+    """The bitmap is an 8-byte mergeable aggregate: no windows, the
+    only data shuffle is the user_id agg (COUNT DISTINCT expands within
+    the same chain), scalar day-zero arrives by broadcast."""
+    df = _q("ext_activity_bitmap", spark)
+    s = plan_summary(df)
+    assert s["window_nodes"] == 0
+    assert s["cartesian_products"] == 0

@@ -170,3 +170,93 @@ def ext_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_with_priority"),
     )
+
+
+@register(
+    "ext_bad_records_quarantine",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN n_nationkey % 2 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_valid,
+           CAST(SUM(CASE WHEN n_nationkey % 2 = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_quarantined
+    FROM nation
+    """,
+)
+def ext_bad_records_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-record quarantine: a JSONL drop where odd-keyed lines are
+    deliberately malformed; the PERMISSIVE reader parses what it can and
+    routes the rest into _corrupt_record instead of failing the job —
+    the land-everything-then-quarantine pattern real feeds require
+    (FAILFAST on a 100 TB drop loses the night; DROPMALFORMED loses the
+    evidence). The audit counts parsed vs quarantined rows; the
+    quarantined line text stays available for replay. Parsing is
+    per-partition map work — no shuffle until the one-row audit agg."""
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    n = load_table(spark, sf_dir, "nation")
+    path = _tmp(sf_dir, "nation_feed")
+    lines = n.select(
+        F.when(
+            F.col("n_nationkey") % 2 == 0,
+            F.to_json(F.struct("n_nationkey", "n_name")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit('{"n_nationkey": '),
+                F.col("n_nationkey").cast("string"),
+                F.lit(', "n_name": BROKEN'),
+            )
+        )
+        .alias("value")
+    )
+    lines.write.mode("overwrite").text(path)
+    schema = StructType(
+        [
+            StructField("n_nationkey", IntegerType()),
+            StructField("n_name", StringType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    feed = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    # NB Spark refuses a query whose only materialized field is the
+    # internal corrupt-record column; counting a REAL parsed column
+    # (n_name survives only on valid rows) keeps the scan legal and
+    # gives the same audit.
+    return feed.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("n_name").cast("long").alias("n_valid"),
+        (F.count(F.lit(1)) - F.count("n_name")).cast("long").alias("n_quarantined"),
+    )
+
+
+@register(
+    "ext_multiline_json",
+    oracle="SELECT r_regionkey, r_name FROM region",
+)
+def ext_multiline_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiline-JSON source: one file holding a single JSON ARRAY (the
+    API-export shape), read with multiLine=true. The scale caveat IS the
+    point and is documented here: a multiline JSON file is one record
+    stream — NOT splittable, one task per file regardless of size — so
+    the pattern is land → parse once → rewrite to parquet; JSONL
+    (ext_jsonl_roundtrip) is the splittable streaming twin. The array
+    is assembled distributedly (collect_list into one row, written as
+    text) — no driver-side row materialization."""
+    r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    path = _tmp(sf_dir, "region_array_json")
+    arr = r.select(F.to_json(F.struct("r_regionkey", "r_name")).alias("j")).agg(
+        F.concat(
+            F.lit("["), F.concat_ws(",", F.sort_array(F.collect_list("j"))), F.lit("]")
+        ).alias("value")
+    )
+    arr.coalesce(1).write.mode("overwrite").text(path)
+    doc = spark.read.option("multiLine", "true").json(path)
+    return doc.select(
+        F.col("r_regionkey").cast("int").alias("r_regionkey"), "r_name"
+    )

@@ -60,6 +60,9 @@ HEADLINE = [
     "ext_dq_rules",
     "ext_forward_fill",
     "ext_sequence_packing",
+    "ext_tpch_q13_customer_distribution",
+    "ext_tpch_q17_small_quantity",
+    "ext_tpch_q21_waiting_orders",
 ]
 
 

@@ -317,23 +317,64 @@ def build_fact_sales(
         F.col("dc.country").alias("country"),
     )
 
+    # To-date measures from ONE row-level window. A YTD window partitioned
+    # by year caps parallelism at #years (~7) — at 100 TB those partitions
+    # are unmergeable giants. Instead the row-level cumulative runs at the
+    # FINEST grain (year, month) — 12x the parallelism, 1/12th the peak
+    # partition — and the coarser QTD/YTD measures are reconstructed by
+    # adding per-(year,month) totals of all *prior* months within the
+    # quarter/year: a tiny aggregate (#year-months rows) cumulated
+    # driver-free and broadcast back. Decimal addition is exact, so
+    # mtd + prior-month-offset is bit-identical to the direct coarse
+    # window, at any parallelism.
     frame = (Window.unboundedPreceding, Window.currentRow)
-    w_y = Window.partitionBy("year").orderBy("date_key", "fact_key").rowsBetween(*frame)
-    w_q = (
-        Window.partitionBy("year", "quarter").orderBy("date_key", "fact_key").rowsBetween(*frame)
-    )
     w_m = Window.partitionBy("year", "month").orderBy("date_key", "fact_key").rowsBetween(*frame)
-    # Same-spec columns adjacent -> one Window node per spec; coarsest
-    # partitioning (year) first -> a single exchange on year, after which
-    # the (year,quarter)/(year,month) clustered requirements are satisfied
-    # by the subset rule and only add a re-sort, not a reshuffle.
+    with_mtd = resolved.withColumn(
+        "revenue_mtd", F.sum("revenue").over(w_m).cast(AGG_DECIMAL)
+    ).withColumn("units_mtd", F.sum("units_sold").over(w_m).cast("long"))
+
+    # Offsets need only (period, revenue, units) of the same joined rows —
+    # a narrow re-join that skips the surrogate-key window and dim lookups
+    # entirely (3 columns of lineitem + 2 of orders, both scans pruned).
+    month_totals = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.year("o_orderdate").alias("year"),
+            F.quarter("o_orderdate").alias("quarter"),
+            F.month("o_orderdate").alias("month"),
+            dec(
+                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")), ROW_DECIMAL
+            ).alias("_rev"),
+            F.col("l_quantity").cast("int").alias("_units"),
+        )
+        .groupBy("year", "quarter", "month")
+        .agg(F.sum("_rev").alias("_mrev"), F.sum("_units").alias("_munits"))
+    )
+    prior_q = Window.partitionBy("year", "quarter").orderBy("month").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prior_y = Window.partitionBy("year").orderBy("month").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    zero = F.lit(0).cast(AGG_DECIMAL)
+    offsets = month_totals.select(
+        "year",
+        "month",
+        F.coalesce(F.sum("_mrev").over(prior_q).cast(AGG_DECIMAL), zero).alias("_qoff_rev"),
+        F.coalesce(F.sum("_munits").over(prior_q).cast("long"), F.lit(0)).alias("_qoff_units"),
+        F.coalesce(F.sum("_mrev").over(prior_y).cast(AGG_DECIMAL), zero).alias("_yoff_rev"),
+        F.coalesce(F.sum("_munits").over(prior_y).cast("long"), F.lit(0)).alias("_yoff_units"),
+    )
     return (
-        resolved.withColumn("revenue_ytd", F.sum("revenue").over(w_y).cast(AGG_DECIMAL))
-        .withColumn("units_ytd", F.sum("units_sold").over(w_y).cast("long"))
-        .withColumn("revenue_qtd", F.sum("revenue").over(w_q).cast(AGG_DECIMAL))
-        .withColumn("units_qtd", F.sum("units_sold").over(w_q).cast("long"))
-        .withColumn("revenue_mtd", F.sum("revenue").over(w_m).cast(AGG_DECIMAL))
-        .withColumn("units_mtd", F.sum("units_sold").over(w_m).cast("long"))
+        with_mtd.join(F.broadcast(offsets), ["year", "month"])
+        .withColumn(
+            "revenue_ytd", (F.col("revenue_mtd") + F.col("_yoff_rev")).cast(AGG_DECIMAL)
+        )
+        .withColumn("units_ytd", (F.col("units_mtd") + F.col("_yoff_units")).cast("long"))
+        .withColumn(
+            "revenue_qtd", (F.col("revenue_mtd") + F.col("_qoff_rev")).cast(AGG_DECIMAL)
+        )
+        .withColumn("units_qtd", (F.col("units_mtd") + F.col("_qoff_units")).cast("long"))
         .select(
             "fact_key",
             "date_key",

@@ -174,14 +174,25 @@ def minhash_lsh_pairs(
     correctness check (hash seeds are engine-specific).
     """
     rows = num_hashes // bands
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"), F.explode(_token_set(F.col(text_col))).alias("tok")
-    )
-    sig = toks.groupBy("doc_id").agg(
+    # Signatures WITHOUT an explode+groupBy: hashing each distinct token
+    # once (string -> long) and deriving all num_hashes signature slots as
+    # array_min(transform(...)) over that long array keeps the whole stage
+    # inside whole-stage codegen — zero exchange, zero row blowup. The
+    # per-slot rehash mixes the 64-bit token hash with the slot seed
+    # (xxhash64 of two longs), so slots stay pairwise-independent exactly
+    # as in the exploded formulation. At 100 TB the signature stage is
+    # then a pure map over the corpus — the only shuffles left in the
+    # pipeline are the banded candidate join and the verify.
+    hashed = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(_token_set(F.col(text_col)), lambda t: F.xxhash64(t)).alias("th"),
+    ).where(F.size("th") > 0)
+    sig = hashed.select(
+        "doc_id",
         *[
-            F.min(F.xxhash64(F.col("tok"), F.lit(i))).alias(f"mh{i}")
+            F.array_min(F.transform("th", lambda h: F.xxhash64(h, F.lit(i)))).alias(f"mh{i}")
             for i in range(num_hashes)
-        ]
+        ],
     )
     bhash = [
         F.xxhash64(F.lit(b), *[F.col(f"mh{b * rows + r}") for r in range(rows)]).alias(

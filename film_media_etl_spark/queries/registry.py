@@ -4,16 +4,43 @@ The driver contract (__spark_entry__.py) is generated from this registry:
 ``queries()`` returns the callables, ``oracle_sql()`` the oracle strings for
 every query that is ANSI-SQL-expressible (others get the driver's weaker
 rows-only check).
+
+Output-type convention (learned from round-1 correctness): DECIMAL stays an
+*internal* representation only. Decimal addition is exact and associative, so
+measures are quantized to DECIMAL before any SUM (order-insensitive across an
+arbitrary parallel execution), but the final projection is cast to DOUBLE on
+BOTH engines. Emitting decimals breaks the driver's order-insensitive value
+hash: DuckDB's pandas/arrow bridge renders DECIMAL as float64 ("123.45")
+while Spark renders Decimal("123.4500") — identical values, different
+canonical strings. The registry enforces the convention mechanically:
+``all_queries`` wraps every callable to cast residual decimal output columns
+to double, and ``all_oracles`` wraps each oracle in a DESCRIBE-derived outer
+SELECT applying the same casts, so hand-written queries cannot regress.
+
+The decimal->double edge itself is engine-identical as long as the scaled
+unscaled value fits in 2^53 (both engines then perform one correctly-rounded
+conversion); internal scales are capped at <= 6 in the query layer to honor
+that at correctness scale.
 """
 
 from __future__ import annotations
 
+import functools
+import os
 from collections.abc import Callable
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# Any sf dir works for DESCRIBE-only oracle typing; planning never reads rows.
+_ORACLE_TYPING_SF = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+_ORACLE_TABLES = (
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+)
 
 
 @dataclass(frozen=True)
@@ -43,9 +70,91 @@ def get(name: str) -> EngineQuery:
     return _REGISTRY[name]
 
 
+# Scale cap before the decimal->double edge. ROUND(decimal, n) is
+# half-away-from-zero in BOTH engines (verified empirically; plain decimal
+# down-CAST is not: DuckDB truncates, Spark rounds). Capping the scale keeps
+# the unscaled value below 2^53 so the double conversion is a single
+# correctly-rounded step in both engines.
+_MAX_OUT_SCALE = 4
+
+
+def _dec_scale(dtype: str) -> int:
+    # "decimal(38,14)" -> 14
+    try:
+        return int(dtype.rstrip(")").split(",")[1])
+    except (IndexError, ValueError):
+        return 0
+
+
+def _undecimal(df: DataFrame) -> DataFrame:
+    """Cast any decimal output columns to double (see module doc)."""
+    dtypes = dict(df.dtypes)
+    if not any(t.startswith("decimal") for t in dtypes.values()):
+        return df
+
+    def conv(c: str):
+        t = dtypes[c]
+        if not t.startswith("decimal"):
+            return F.col(c)
+        col = F.col(c)
+        if _dec_scale(t) > _MAX_OUT_SCALE:
+            col = F.round(col, _MAX_OUT_SCALE)
+        return col.cast("double").alias(c)
+
+    return df.select(*[conv(c) for c in df.columns])
+
+
+def _wrap_fn(fn: QueryFn) -> QueryFn:
+    @functools.wraps(fn)
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _undecimal(fn(spark, sf_dir))
+
+    return wrapped
+
+
+@functools.lru_cache(maxsize=1)
+def _oracle_typing_connection():
+    import duckdb
+
+    con = duckdb.connect()
+    for t in _ORACLE_TABLES:
+        path = f"{_ORACLE_TYPING_SF}/{t}.parquet"
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+    return con
+
+
+def _undecimal_oracle(sql: str) -> str:
+    """Wrap an oracle so decimal result columns come back as DOUBLE.
+
+    Column types are discovered with a DESCRIBE (plan-only, reads no data);
+    if typing fails the original SQL is returned unchanged.
+    """
+    try:
+        con = _oracle_typing_connection()
+        cols = con.execute(f"DESCRIBE ({sql})").fetchall()
+    except Exception:  # noqa: BLE001 — typing is best-effort; driver still runs sql
+        return sql
+    if not any(t.upper().startswith("DECIMAL") for _, t, *_ in cols):
+        return sql
+
+    def conv(c: str, t: str) -> str:
+        if not t.upper().startswith("DECIMAL"):
+            return f'"{c}"'
+        expr = f'"{c}"'
+        if _dec_scale(t.lower()) > _MAX_OUT_SCALE:
+            expr = f"ROUND({expr}, {_MAX_OUT_SCALE})"
+        return f'CAST({expr} AS DOUBLE) AS "{c}"'
+
+    proj = ", ".join(conv(c, t) for c, t, *_ in cols)
+    return f"SELECT {proj} FROM ({sql}) AS __undecimal"
+
+
 def all_queries() -> dict[str, QueryFn]:
-    return {q.name: q.fn for q in _REGISTRY.values()}
+    return {q.name: _wrap_fn(q.fn) for q in _REGISTRY.values()}
 
 
 def all_oracles() -> dict[str, str]:
-    return {q.name: q.oracle for q in _REGISTRY.values() if q.oracle is not None}
+    return {
+        q.name: _undecimal_oracle(q.oracle) for q in _REGISTRY.values() if q.oracle is not None
+    }

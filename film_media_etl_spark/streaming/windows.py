@@ -48,10 +48,22 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # flat file per table, so stream the directory with a glob filter.
     raw = (
         spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
+        .option("pathGlobFilter", "events*.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    # The streaming parquet reader hands TIMESTAMP(NANOS) columns to a
+    # pinned LongType as MICROS (it converts, unlike the batch reader
+    # under nanosAsLong which yields raw nanos; plain-int64 files come
+    # through verbatim). Normalize by magnitude — epoch-micros for any
+    # plausible date are < 2^53 ~= 9e15 only until 2255 in micros but
+    # ~1e18 in nanos, so the 1e17 cut is unambiguous for 1973..5138.
+    return raw.withColumn(
+        "ts",
+        F.expr(
+            "timestamp_micros(CASE WHEN abs(ts) >= 100000000000000000"
+            " THEN ts div 1000 ELSE ts END)"
+        ),
+    )
 
 
 def stream_tumbling_agg(events: DataFrame, *, watermark: str = "1 hour") -> DataFrame:

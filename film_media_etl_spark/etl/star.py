@@ -130,10 +130,39 @@ def build_dim_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort_id = F.col("customer_id") + F.when(
         F.col("customer_type") == "music", F.lit(1 << 40)
     ).otherwise(F.lit(0))
+    # The index's two auxiliary jobs (key range, per-bucket counts) need
+    # only the _sort_id DISTRIBUTION — serve them from a key-only
+    # projection semi-joined against the geo chain's dimension keys
+    # (exactly the rows the inner joins keep, at 1-column scan cost)
+    # instead of re-running the 4-way join three times.
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    valid_nations = n.join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey, "left_semi"
+    ).select("n_nationkey")
+    film_ids = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(valid_nations),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+            "left_semi",
+        )
+        .select(F.col("c_custkey").alias("_sort_id"))
+    )
+    music_ids = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(valid_nations),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+            "left_semi",
+        )
+        .select((offset_music_id(F.col("s_suppkey")) + F.lit(1 << 40)).alias("_sort_id"))
+    )
     return (
         _global_index(
             both.withColumn("_sort_id", sort_id), ["_sort_id"], "_sort_id",
             out_col="customer_key",
+            stats_df=film_ids.unionByName(music_ids),
         )
         .select(
             F.col("customer_key").cast("int").alias("customer_key"),
@@ -487,8 +516,21 @@ def build_star(
             # ` loadAnalyticsDB...R`:main) and also the cheaper plan: the
             # fact job broadcasts three tiny parquet scans instead of
             # re-running each dim's join+window lineage inline.
-            for name in ("dim_date", "dim_customer", "dim_location", "dim_product"):
-                tables[name] = _write(name, tables[name])
+            # The four dim loads are independent — submit them as
+            # CONCURRENT Spark jobs (job submission is thread-safe; the
+            # scheduler interleaves their stages) so the ETL wall time is
+            # the slowest dim, not the sum. Same pattern a cluster
+            # deployment uses to keep executors busy through the many
+            # small dim jobs.
+            from concurrent.futures import ThreadPoolExecutor
+
+            dim_names = ("dim_date", "dim_customer", "dim_location", "dim_product")
+            with ThreadPoolExecutor(max_workers=len(dim_names)) as pool:
+                futures = {
+                    name: pool.submit(_write, name, tables[name]) for name in dim_names
+                }
+                for name, fut in futures.items():
+                    tables[name] = fut.result()
             fact = build_fact_sales(
                 spark,
                 sf_dir,

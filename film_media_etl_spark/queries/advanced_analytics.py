@@ -297,9 +297,7 @@ def ext_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "ext_fuzzy_match",
-    oracle="""
+_FUZZY_ORACLE = """
     SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
            a.p_name AS name_a, b.p_name AS name_b,
            CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
@@ -307,26 +305,29 @@ def ext_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN part b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
     WHERE levenshtein(a.p_name, b.p_name) <= 2
       AND a.p_name <> b.p_name
-    """,
-)
+    """
+
+
+@register("ext_fuzzy_match", oracle=_FUZZY_ORACLE)
 def ext_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy entity matching: near-identical part names (edit distance
     <= 2, excluding exact equals) within a brand block. Blocking on
-    p_brand is what makes edit-distance joins feasible at scale — the
-    quadratic distance work runs inside blocks (~1/25th each), never
+    p_brand makes the distance work quadratic only inside blocks, never
     across the whole catalog; the block join itself is a plain equi-join
-    Spark shuffles on brand. Spark and DuckDB levenshtein both implement
+    Spark shuffles on brand. Two COMPLETE prefilters (length difference
+    <= 2, inequality) run before any distance; the distance itself is
+    Spark's bounded levenshtein (threshold arg) which abandons a pair
+    the moment the running minimum exceeds 2 — O(t*n) per pair, all
+    inside whole-stage codegen. On THIS corpus (25 brands x ~800 parts,
+    ~95k true near-dup pairs at sf0.1) the in-block quadratic beats
+    segment blocking — the output is a sizable fraction of the block
+    pairs, so no blocking can asymptotically win; see
+    ext_fuzzy_match_passjoin for the regime where blocks are huge and
+    matches sparse. Spark and DuckDB levenshtein both implement
     unit-cost edit distance, so the threshold cut is exact."""
     p = load_table(spark, sf_dir, "part")
     a = p.alias("a")
     b = p.alias("b")
-    # Two COMPLETE prefilters before any distance runs (both implied by
-    # edit distance <= 2, so no candidate is lost): length difference
-    # <= 2, and inequality. The distance itself uses Spark's bounded
-    # levenshtein (threshold arg) — it abandons a pair the moment the
-    # running minimum exceeds 2 instead of filling the full DP matrix,
-    # an O(t·n) vs O(n·m) win on every non-match. Measured ~2x on the
-    # blocked 8M-pair join at sf0.1.
     dist_capped = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"), 2)
     return (
         a.join(
@@ -335,10 +336,7 @@ def ext_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.p_partkey") < F.col("b.p_partkey")),
         )
         .where(
-            (
-                F.abs(F.length(F.col("a.p_name")) - F.length(F.col("b.p_name")))
-                <= 2
-            )
+            (F.abs(F.length(F.col("a.p_name")) - F.length(F.col("b.p_name"))) <= 2)
             & (F.col("a.p_name") != F.col("b.p_name"))
         )
         .withColumn("edit_dist", dist_capped)
@@ -348,6 +346,132 @@ def ext_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.p_partkey").alias("key_b"),
             F.col("a.p_name").alias("name_a"),
             F.col("b.p_name").alias("name_b"),
+            F.col("edit_dist").cast("int").alias("edit_dist"),
+        )
+    )
+
+
+@register("ext_fuzzy_match_passjoin", oracle=_FUZZY_ORACLE)
+def ext_fuzzy_match_passjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE-PATH spelling of ext_fuzzy_match (identical output,
+    identical oracle): when blocks are huge and true matches sparse, the
+    in-block quadratic is the bottleneck — at 1M parts per brand it is
+    5*10^11 levenshtein calls. This variant never goes quadratic."""
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
+    tau = 2  # edit-distance threshold
+
+    # PassJoin-style segment blocking (Li, Deng, Feng: "PassJoin: A
+    # Partition-based Method for Similarity Joins", PVLDB 5(3)), sized
+    # for tau=2: split every string into tau+1=3 contiguous segments; any
+    # pair within tau edits preserves at least one segment VERBATIM
+    # (pigeonhole — 2 edits cannot touch 3 disjoint segments), displaced
+    # by at most tau positions (net indels before it). So an exact
+    # equi-join on (brand, assumed_len, segment_no, segment_text) with
+    # the probe side enumerating len in [l-2, l+2] x shift in [-2, 2]
+    # finds EVERY qualifying pair — candidates shrink from all same-brand
+    # pairs (~8M at sf0.1, quadratic in block size at scale) to near-
+    # collisions only, and each join is a plain hash shuffle. Bounded
+    # levenshtein then verifies exactly; a blocked-quadratic fallback
+    # covers strings too short to carve 3 non-empty segments (< 3 chars).
+    la = F.length("p_name")
+
+    def _idiv(c, n):  # integer division on non-negative length columns
+        return F.floor(c / n).cast("int")
+
+    l1, l2 = la - _idiv(2 * la, 3), _idiv(2 * la, 3) - _idiv(la, 3)  # l3 = la//3
+
+    segs = p.where(la >= 3).select(
+        F.col("p_partkey").alias("key_s"),
+        F.col("p_brand").alias("brand"),
+        la.alias("len_s"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k + 1).alias("seg_no"),
+                        F.substring(F.col("p_name"), s, (e - s) + 1).alias("seg"),
+                    )
+                    for k, (s, e) in enumerate(
+                        [
+                            (F.lit(1), l1),
+                            (l1 + 1, l1 + l2),
+                            (l1 + l2 + 1, la),
+                        ]
+                    )
+                ]
+            )
+        ).alias("sg"),
+    )
+    lb = F.length("p_name")
+    probe_structs = []
+    for dl in range(-tau, tau + 1):  # assumed segment-side length
+        al = lb + dl
+        p1 = al - _idiv(2 * al, 3)  # segment lengths under the assumed al
+        p2 = _idiv(2 * al, 3) - _idiv(al, 3)
+        starts = [F.lit(1), p1 + 1, p1 + p2 + 1]
+        lens = [p1, p2, _idiv(al, 3)]
+        for k in range(3):
+            for dpos in range(-tau, tau + 1):
+                probe_structs.append(
+                    F.struct(
+                        al.cast("int").alias("alen"),
+                        F.lit(k + 1).alias("seg_no"),
+                        F.col("p_name")
+                        .substr((starts[k] + dpos).cast("int"), lens[k].cast("int"))
+                        .alias("probe"),
+                    )
+                )
+    probes = p.select(
+        F.col("p_partkey").alias("key_p"),
+        F.col("p_brand").alias("brand"),
+        F.explode(F.array_distinct(F.array(*probe_structs))).alias("pr"),
+    ).where((F.col("pr.alen") >= 3) & (F.length("pr.probe") > 0))
+
+    cand_seg = (
+        segs.join(
+            probes,
+            (segs.brand == probes.brand)
+            & (F.col("sg.seg_no") == F.col("pr.seg_no"))
+            & (F.col("len_s") == F.col("pr.alen"))
+            & (F.col("sg.seg") == F.col("pr.probe"))
+            & (F.col("key_s") != F.col("key_p")),
+        )
+        .select(
+            F.least("key_s", "key_p").alias("ka"),
+            F.greatest("key_s", "key_p").alias("kb"),
+        )
+        .distinct()
+    )
+    # completeness fallback: strings with < 3 chars cannot be segmented —
+    # brute-force them against their brand block (one side tiny)
+    shorts = p.where(la < 3)
+    cand_short = (
+        shorts.alias("s")
+        .join(p.alias("t"), (F.col("s.p_brand") == F.col("t.p_brand")) & (F.col("s.p_partkey") != F.col("t.p_partkey")))
+        .select(
+            F.least(F.col("s.p_partkey"), F.col("t.p_partkey")).alias("ka"),
+            F.greatest(F.col("s.p_partkey"), F.col("t.p_partkey")).alias("kb"),
+        )
+        .distinct()
+    )
+    cand = cand_seg.unionByName(cand_short)
+
+    names = p.select("p_partkey", "p_name")
+    dist_capped = F.levenshtein(F.col("name_a"), F.col("name_b"), tau)
+    return (
+        cand.join(names.select(F.col("p_partkey").alias("ka"), F.col("p_name").alias("name_a")), "ka")
+        .join(names.select(F.col("p_partkey").alias("kb"), F.col("p_name").alias("name_b")), "kb")
+        .where(
+            (F.abs(F.length("name_a") - F.length("name_b")) <= tau)
+            & (F.col("name_a") != F.col("name_b"))
+        )
+        .withColumn("edit_dist", dist_capped)
+        .where((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= tau))
+        .select(
+            F.col("ka").alias("key_a"),
+            F.col("kb").alias("key_b"),
+            "name_a",
+            "name_b",
             F.col("edit_dist").cast("int").alias("edit_dist"),
         )
     )

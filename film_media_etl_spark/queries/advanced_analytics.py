@@ -402,38 +402,49 @@ def ext_fuzzy_match_passjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("sg"),
     )
+    # Probe enumeration as THREE small cascaded explodes (assumed length,
+    # segment number, position shift) rather than one 75-struct array —
+    # a single flat array blows the 64KB JVM method limit and kicks the
+    # whole Generate out of codegen (observed; interpreted fallback).
+    # Row count is identical (5 x 3 x 5 per part), each Generate tiny.
     lb = F.length("p_name")
-    probe_structs = []
-    for dl in range(-tau, tau + 1):  # assumed segment-side length
-        al = lb + dl
-        p1 = al - _idiv(2 * al, 3)  # segment lengths under the assumed al
-        p2 = _idiv(2 * al, 3) - _idiv(al, 3)
-        starts = [F.lit(1), p1 + 1, p1 + p2 + 1]
-        lens = [p1, p2, _idiv(al, 3)]
-        for k in range(3):
-            for dpos in range(-tau, tau + 1):
-                probe_structs.append(
-                    F.struct(
-                        al.cast("int").alias("alen"),
-                        F.lit(k + 1).alias("seg_no"),
-                        F.col("p_name")
-                        .substr((starts[k] + dpos).cast("int"), lens[k].cast("int"))
-                        .alias("probe"),
-                    )
-                )
-    probes = p.select(
-        F.col("p_partkey").alias("key_p"),
-        F.col("p_brand").alias("brand"),
-        F.explode(F.array_distinct(F.array(*probe_structs))).alias("pr"),
-    ).where((F.col("pr.alen") >= 3) & (F.length("pr.probe") > 0))
+    al = F.col("_alen")
+    p1 = al - _idiv(2 * al, 3)  # segment lengths under the assumed length
+    p2 = _idiv(2 * al, 3) - _idiv(al, 3)
+    start = F.element_at(F.array(F.lit(1), p1 + 1, p1 + p2 + 1), F.col("_k"))
+    plen = F.element_at(F.array(p1, p2, _idiv(al, 3)), F.col("_k"))
+    probes = (
+        p.select(
+            F.col("p_partkey").alias("key_p"),
+            F.col("p_brand").alias("brand"),
+            "p_name",
+            F.explode(
+                F.array(*[(lb + d).cast("int") for d in range(-tau, tau + 1)])
+            ).alias("_alen"),
+        )
+        .where(al >= 3)
+        .withColumn("_k", F.explode(F.array(*[F.lit(k) for k in (1, 2, 3)])))
+        .withColumn("_dpos", F.explode(F.array(*[F.lit(d) for d in range(-tau, tau + 1)])))
+        .select(
+            "key_p",
+            "brand",
+            F.col("_alen").alias("alen"),
+            F.col("_k").alias("seg_no"),
+            F.col("p_name").substr((start + F.col("_dpos")).cast("int"), plen.cast("int")).alias("probe"),
+        )
+        .where(F.length("probe") > 0)
+        # duplicate probe windows (same text at overlapping shifts) only
+        # re-yield candidate pairs the later distinct() removes — cheaper
+        # than a dedup shuffle here
+    )
 
     cand_seg = (
         segs.join(
             probes,
             (segs.brand == probes.brand)
-            & (F.col("sg.seg_no") == F.col("pr.seg_no"))
-            & (F.col("len_s") == F.col("pr.alen"))
-            & (F.col("sg.seg") == F.col("pr.probe"))
+            & (F.col("sg.seg_no") == probes.seg_no)
+            & (F.col("len_s") == probes.alen)
+            & (F.col("sg.seg") == probes.probe)
             & (F.col("key_s") != F.col("key_p")),
         )
         .select(

@@ -235,10 +235,10 @@ def ext_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings
     )
     SELECT e.vec_id, e.label, s.amax AS abs_max,
-           list_transform(
+           array_to_string(list_transform(
              e.embedding,
              x -> CAST(floor(x::DOUBLE * (127.0 / s.amax) + 0.5) AS INTEGER)
-           ) AS q8
+           ), ',') AS q8
     FROM embeddings e JOIN s ON e.vec_id = s.vec_id
     """,
 )
@@ -262,8 +262,15 @@ def ext_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "label",
         "abs_max",
-        F.transform(
-            F.col("_v"), lambda x: F.floor(x * scale + F.lit(0.5)).cast("int")
+        # int8 lanes cross the driver boundary as a comma-joined string:
+        # integer-to-text is identical in both engines, where an ARRAY
+        # column would be re-rendered differently by their dataframe
+        # bridges (the decimal trap, queries/registry.py)
+        F.array_join(
+            F.transform(
+                F.col("_v"), lambda x: F.floor(x * scale + F.lit(0.5)).cast("int")
+            ),
+            ",",
         ).alias("q8"),
     )
 

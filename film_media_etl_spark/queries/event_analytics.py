@@ -142,7 +142,6 @@ def ext_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ext_collect_ordered",
     oracle="""
     SELECT user_id,
-           list(event_type ORDER BY ts, event_id) AS event_seq,
            string_agg(event_type, '>' ORDER BY ts, event_id) AS event_path,
            COUNT(*) AS n_events
     FROM events
@@ -151,22 +150,24 @@ def ext_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ext_collect_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered sequence assembly: each user's event-type sequence as an
-    array and as a '>'-joined path string — the grouped-ordered-collect
-    every sequence-model training pipeline runs to turn an event log into
+    """Ordered sequence assembly: each user's event-type sequence as a
+    '>'-joined path string — the grouped-ordered-collect every
+    sequence-model training pipeline runs to turn an event log into
     examples. Spark has no ORDER BY inside collect_list, so the
     deterministic spelling is collect_list(struct(sort_keys..., payload))
     -> sort_array -> transform: the struct sort is lexicographic on
     (ts, event_id), i.e. exactly the oracle's ORDER BY, and everything
-    stays a JVM higher-order function. One shuffle on user_id; the
-    user_id < 40 gate keeps oracle rows compact and pushes to the scan."""
+    stays a JVM higher-order function. The sequence crosses the driver
+    boundary as the joined STRING only (an array column would be
+    re-rendered differently by the engines' dataframe bridges — the
+    decimal trap again, queries/registry.py). One shuffle on user_id;
+    the user_id < 40 gate keeps oracle rows compact, pushed to the scan."""
     ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 40)
     ordered = F.sort_array(
         F.collect_list(F.struct("ts", "event_id", "event_type"))
     )
     seq = F.transform(ordered, lambda x: x["event_type"])
     return ev.groupBy("user_id").agg(
-        seq.alias("event_seq"),
         F.array_join(seq, ">").alias("event_path"),
         F.count(F.lit(1)).alias("n_events"),
     )

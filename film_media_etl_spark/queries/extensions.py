@@ -193,7 +193,9 @@ _NORM = f"sqrt({oracle_dot('embedding', 'embedding')})"
     oracle=f"""
     SELECT vec_id,
            {_NORM} AS l2_norm,
-           list_transform(embedding, x -> x::DOUBLE / {_NORM}) AS unit_vec
+           generate_subscripts(embedding, 1) - 1 AS pos,
+           unnest(list_transform(embedding, x -> x::DOUBLE / {_NORM}))
+             AS component
     FROM embeddings WHERE vec_id < 200
     """,
 )
@@ -204,7 +206,11 @@ def ext_vector_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm is the same strict left-to-right fold as functions.vectors.dot,
     so Spark and DuckDB produce bit-identical doubles; per-element
     division is one deterministic double op. All JVM higher-order
-    functions — no Python, no shuffle, pure map over the scan."""
+    functions — no Python; the unit vector is emitted EXPLODED as
+    (vec_id, pos, component) rows: float components stay native doubles
+    at the comparison boundary (an array column would be re-rendered
+    differently by the two engines' dataframe bridges — same trap as
+    decimal outputs, see queries/registry.py)."""
     from ..functions.vectors import dot, to_double_vec
 
     emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
@@ -213,7 +219,7 @@ def ext_vector_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "vec_id",
         norm.alias("l2_norm"),
-        F.transform(vec, lambda x: x / norm).alias("unit_vec"),
+        F.posexplode(F.transform(vec, lambda x: x / norm)).alias("pos", "component"),
     )
 
 _KNN_COS = oracle_cosine("q.qe", "v.embedding")
@@ -370,11 +376,12 @@ def ext_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
            list_reduce(list_prepend(CAST(0 AS BIGINT),
              list_transform(string_split(text, ''), ch -> CAST(ascii(ch) AS BIGINT))),
              (acc, x) -> acc + x) % 2147483647 AS checksum,
-           list_transform(range(0, {8}), j ->
+           unnest(list_transform(range(0, {8}), j ->
              CAST((((list_reduce(list_prepend(CAST(0 AS BIGINT),
                list_transform(string_split(text, ''), ch -> CAST(ascii(ch) AS BIGINT))),
                (acc, x) -> acc + x) % 2147483647) * 31 + j) % 997) AS DOUBLE) / 997.0
-           ) AS fake_embedding
+           )) AS feature,
+           generate_subscripts(range(0, {8}), 1) - 1 AS pos
     FROM documents
     """,
 )
@@ -382,9 +389,19 @@ def ext_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload media pipeline: documents -> opaque binary + metadata
     -> Arrow-batched mapInPandas feature extraction (decode stage stubbed,
     see operators.multimodal). Oracle-checkable because the fake decode is
-    byte arithmetic over ASCII payloads."""
+    byte arithmetic over ASCII payloads. Feature lanes are emitted
+    EXPLODED as (media_id, pos, feature) rows so float components stay
+    native doubles at the comparison boundary (array columns are
+    re-rendered differently by the engines' dataframe bridges — the
+    decimal trap, queries/registry.py)."""
     media = attach_binary_payload(load_table(spark, sf_dir, "documents"))
-    return extract_fake_features(media)
+    feats = extract_fake_features(media)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        "checksum",
+        F.posexplode("fake_embedding").alias("pos", "feature"),
+    )
 
 
 @register(

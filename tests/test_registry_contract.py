@@ -68,9 +68,12 @@ def test_all_queries_wrapped_outputs_have_no_decimals(spark):
     assert all("decimal" not in t for _, t in df.dtypes)
 
 
-def test_all_oracles_have_no_decimal_outputs():
-    """Every oracle, as shipped to the driver, DESCRIBEs to non-decimal
-    output columns (plan-only; reads no data)."""
+def test_all_oracles_have_no_decimal_or_nested_outputs():
+    """Every oracle, as shipped to the driver, DESCRIBEs to scalar,
+    non-decimal output columns (plan-only; reads no data). DECIMAL,
+    LIST/ARRAY, STRUCT and MAP all render differently through the two
+    engines' dataframe bridges even when values are identical — nested
+    payloads must cross the boundary exploded or joined to strings."""
     from film_media_etl_spark.queries import all_oracles
 
     con = R._oracle_typing_connection()
@@ -80,7 +83,12 @@ def test_all_oracles_have_no_decimal_outputs():
             cols = con.execute(f"DESCRIBE ({sql})").fetchall()
         except Exception:  # pragma: no cover - oracle typing is best-effort
             continue
-        bad = [c for c, t, *_ in cols if t.upper().startswith("DECIMAL")]
+        bad = [
+            f"{c}:{t}"
+            for c, t, *_ in cols
+            if t.upper().startswith(("DECIMAL", "STRUCT", "MAP"))
+            or t.endswith("[]")
+        ]
         if bad:
             offenders[name] = bad
     assert not offenders, offenders

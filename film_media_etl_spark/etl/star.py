@@ -228,6 +228,7 @@ def _global_index(
     nbuckets: int = 64,
     out_col: str = "_idx",
     stats_df: DataFrame | None = None,
+    prepared: tuple[int, int, dict[int, int]] | None = None,
 ) -> DataFrame:
     """Deterministic global row_number over ``order_cols``, computed in
     parallel — the scale-safe replacement for a global (single-partition)
@@ -249,30 +250,51 @@ def _global_index(
     semi-join instead of a full-width join). It must contain exactly one
     row per row of ``df`` with the same ``leading_key`` values — the
     range may be a superset (empty buckets cost nothing) but the counts
-    must be exact, or the concatenated offsets would drift."""
-    sdf = stats_df if stats_df is not None else df
-    lo, hi = sdf.agg(F.min(leading_key), F.max(leading_key)).first()
-    span = max(1, ((int(hi) - int(lo)) // nbuckets) + 1)
+    must be exact, or the concatenated offsets would drift.
+
+    ``prepared`` short-circuits the two auxiliary jobs with stats from
+    ``prepare_global_index`` — lets a caller run them CONCURRENTLY with
+    other jobs (see build_star) or reuse them across builds."""
+    if prepared is None:
+        prepared = prepare_global_index(
+            stats_df if stats_df is not None else df, leading_key, nbuckets=nbuckets
+        )
+    lo, span, offsets = prepared
 
     def bucket(c):
-        return F.floor((c - F.lit(int(lo))) / F.lit(span)).cast("int")
+        return F.floor((c - F.lit(lo)) / F.lit(span)).cast("int")
 
-    counts = (
-        sdf.groupBy(bucket(F.col(leading_key)).alias("_bucket"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .collect()
-    )
     dfb = df.withColumn("_bucket", bucket(F.col(leading_key)))
-    offsets: dict[int, int] = {}
-    acc = 0
-    for row in sorted(counts, key=lambda r: r["_bucket"]):
-        offsets[row["_bucket"]] = acc
-        acc += row["cnt"]
     omap = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
     w = Window.partitionBy("_bucket").orderBy(*order_cols)
     return dfb.withColumn(
         out_col, (omap[F.col("_bucket")] + F.row_number().over(w)).cast("long")
     ).drop("_bucket")
+
+
+def prepare_global_index(
+    sdf: DataFrame, leading_key: str, *, nbuckets: int = 64
+) -> tuple[int, int, dict[int, int]]:
+    """Run _global_index's two auxiliary jobs (key range, per-bucket
+    counts) and return (lo, span, cumulative offsets)."""
+    lo, hi = sdf.agg(F.min(leading_key), F.max(leading_key)).first()
+    lo = int(lo)
+    span = max(1, ((int(hi) - lo) // nbuckets) + 1)
+    counts = (
+        sdf.groupBy(
+            F.floor((F.col(leading_key) - F.lit(lo)) / F.lit(span))
+            .cast("int")
+            .alias("_bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    offsets: dict[int, int] = {}
+    acc = 0
+    for row in sorted(counts, key=lambda r: r["_bucket"]):
+        offsets[row["_bucket"]] = acc
+        acc += row["cnt"]
+    return lo, span, offsets
 
 
 # Canonical total order for the fact surrogate key: every lineitem column,
@@ -293,6 +315,21 @@ _FACT_ORDER = [
 ]
 
 
+def fact_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The key-distribution plan feeding the fact's surrogate-key index:
+    lineitem's key column semi-joined against orders keys — exactly the
+    rows the fact's inner join keeps, at 1-column scan cost. Exposed so
+    build_star can run prepare_global_index on it CONCURRENTLY with the
+    dim loads (it depends on no dim)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    return li.select("l_orderkey").join(
+        F.broadcast(o.select("o_orderkey")),
+        li.l_orderkey == o.o_orderkey,
+        "left_semi",
+    )
+
+
 def build_fact_sales(
     spark: SparkSession,
     sf_dir: str,
@@ -300,6 +337,7 @@ def build_fact_sales(
     dim_customer: DataFrame | None = None,
     dim_location: DataFrame | None = None,
     dim_product: DataFrame | None = None,
+    index_stats: tuple[int, int, dict[int, int]] | None = None,
 ) -> DataFrame:
     """fact_sales: one row per lineitem with resolved dimension keys,
     denormalized pruning columns (year/quarter/month/product_type/country,
@@ -313,25 +351,18 @@ def build_fact_sales(
 
     # The surrogate-key pass (_global_index) needs two auxiliary jobs
     # (key range, per-bucket counts) before the final indexed pass. Both
-    # depend ONLY on the leading key's distribution, so they run on a
-    # narrow key-only projection — lineitem's key column semi-joined
-    # against orders keys (a ~1-column broadcast) — instead of
-    # re-executing the full-width shuffle join three times. Measured at
-    # sf0.1: full build drops ~40%. At 100 TB the aux jobs are columnar
-    # single-column scans; the real join runs exactly once.
-    stats = li.select("l_orderkey").join(
-        F.broadcast(o.select("o_orderkey")),
-        li.l_orderkey == o.o_orderkey,
-        "left_semi",
-    )
-
+    # depend ONLY on the leading key's distribution, so they run on the
+    # narrow fact_index_stats plan — or arrive precomputed from
+    # build_star's concurrent prepare. At 100 TB the aux jobs are
+    # columnar single-column scans; the real join runs exactly once.
     base = (
         _global_index(
             li.join(o, li.l_orderkey == o.o_orderkey),
             _FACT_ORDER,
             "l_orderkey",
             out_col="fact_key",
-            stats_df=stats,
+            stats_df=fact_index_stats(spark, sf_dir) if index_stats is None else None,
+            prepared=index_stats,
         )
         .select(
             "fact_key",
@@ -525,18 +556,25 @@ def build_star(
             from concurrent.futures import ThreadPoolExecutor
 
             dim_names = ("dim_date", "dim_customer", "dim_location", "dim_product")
-            with ThreadPoolExecutor(max_workers=len(dim_names)) as pool:
+            with ThreadPoolExecutor(max_workers=len(dim_names) + 1) as pool:
+                # the fact's surrogate-key stats depend on no dim — run
+                # their two jobs concurrently with the dim loads too
+                stats_fut = pool.submit(
+                    prepare_global_index, fact_index_stats(spark, sf_dir), "l_orderkey"
+                )
                 futures = {
                     name: pool.submit(_write, name, tables[name]) for name in dim_names
                 }
                 for name, fut in futures.items():
                     tables[name] = fut.result()
+                index_stats = stats_fut.result()
             fact = build_fact_sales(
                 spark,
                 sf_dir,
                 dim_customer=tables["dim_customer"],
                 dim_location=tables["dim_location"],
                 dim_product=tables["dim_product"],
+                index_stats=index_stats,
             )
             tables["fact_sales"] = _write("fact_sales", fact, partition_by="year")
         else:

@@ -87,7 +87,9 @@ def ext_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(o_totalprice AS DECIMAL(18,4)) AS v
       FROM orders
     )
-    SELECT prio, year, GROUPING(prio, year) AS gid,
+    SELECT COALESCE(prio, 'ALL') AS prio,
+           COALESCE(year, -1) AS year,
+           GROUPING(prio, year) AS gid,
            COUNT(*) AS n_orders,
            CAST(SUM(v) AS DECIMAL(38,4)) AS total_revenue
     FROM src
@@ -110,7 +112,9 @@ def ext_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return spark.sql(
         """
-        SELECT prio, year, grouping_id(prio, year) AS gid,
+        SELECT COALESCE(prio, 'ALL') AS prio,
+               COALESCE(year, -1) AS year,
+               grouping_id(prio, year) AS gid,
                COUNT(*) AS n_orders,
                CAST(SUM(v) AS DECIMAL(38,4)) AS total_revenue
         FROM _gs_orders

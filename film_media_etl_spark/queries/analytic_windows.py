@@ -70,9 +70,10 @@ def ext_window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_custkey, o_orderkey,
            o_totalprice,
-           LAG(o_totalprice)  OVER w AS prev_price,
-           LEAD(o_totalprice) OVER w AS next_price,
-           o_totalprice - LAG(o_totalprice) OVER w AS delta_vs_prev,
+           COALESCE(LAG(o_totalprice)  OVER w, -1.0) AS prev_price,
+           COALESCE(LEAD(o_totalprice) OVER w, -1.0) AS next_price,
+           COALESCE(o_totalprice - LAG(o_totalprice) OVER w, 0.0)
+             AS delta_vs_prev,
            CAST(NTILE(4) OVER w AS INT) AS spend_quartile
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
@@ -83,16 +84,21 @@ def ext_window_leadlag(spark: SparkSession, sf_dir: str) -> DataFrame:
     history in date order. delta_vs_prev is a single double subtraction of
     two exact inputs — deterministic across engines. The frame ordering
     carries a full (date, key) tiebreak so lag/lead/ntile are all
-    reproducible under any physical row order."""
+    reproducible under any physical row order. Partition-edge offsets
+    carry sentinels (-1.0 price / 0.0 delta) instead of NULL doubles
+    (NaN-vs-None at the driver boundary, queries/registry.py); prices
+    are strictly positive so -1.0 is unambiguous."""
     orders = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     return orders.select(
         "o_custkey",
         "o_orderkey",
         "o_totalprice",
-        F.lag("o_totalprice").over(w).alias("prev_price"),
-        F.lead("o_totalprice").over(w).alias("next_price"),
-        (F.col("o_totalprice") - F.lag("o_totalprice").over(w)).alias("delta_vs_prev"),
+        F.coalesce(F.lag("o_totalprice").over(w), F.lit(-1.0)).alias("prev_price"),
+        F.coalesce(F.lead("o_totalprice").over(w), F.lit(-1.0)).alias("next_price"),
+        F.coalesce(
+            F.col("o_totalprice") - F.lag("o_totalprice").over(w), F.lit(0.0)
+        ).alias("delta_vs_prev"),
         F.ntile(4).over(w).alias("spend_quartile"),
     )
 

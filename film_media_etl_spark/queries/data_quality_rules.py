@@ -133,10 +133,12 @@ def ext_dq_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
       CROSS JOIN types t
       LEFT JOIN agg a ON a.hour = s.hour AND a.event_type = t.event_type
     )
-    SELECT hour, event_type, reading,
-           LAST_VALUE(reading IGNORE NULLS) OVER (
+    SELECT hour, event_type,
+           COALESCE(reading, -1.0) AS reading,
+           COALESCE(LAST_VALUE(reading IGNORE NULLS) OVER (
              PARTITION BY event_type ORDER BY hour ASC
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1.0)
+             AS filled,
            reading IS NULL AS was_gap
     FROM dense
     """,
@@ -172,10 +174,16 @@ def ext_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc("hour"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # Gap cells carry sentinel -1.0 with the was_gap flag, not NULL
+    # doubles (NaN-vs-None at the driver boundary, queries/registry.py);
+    # event values are non-negative so -1.0 is unambiguous. Leading gaps
+    # (nothing to carry yet) sentinel the same way in `filled`.
     return dense.select(
         "hour",
         "event_type",
-        "reading",
-        F.last("reading", ignorenulls=True).over(w).alias("filled"),
+        F.coalesce(F.col("reading"), F.lit(-1.0)).alias("reading"),
+        F.coalesce(
+            F.last("reading", ignorenulls=True).over(w), F.lit(-1.0)
+        ).alias("filled"),
         F.col("reading").isNull().alias("was_gap"),
     )

@@ -150,8 +150,8 @@ def ext_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT o_orderkey, o_custkey,
            CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
-           CAST(date_diff('day', o_orderdate, next_dt) AS BIGINT)
-             AS days_to_next,
+           COALESCE(CAST(date_diff('day', o_orderdate, next_dt) AS BIGINT),
+                    CAST(-1 AS BIGINT)) AS days_to_next,
            (next_dt IS NULL
             OR date_diff('day', o_orderdate, next_dt) > 90) AS churned_90d
     FROM nxt
@@ -173,10 +173,13 @@ def ext_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nxt = o.withColumn("next_dt", F.lead("o_orderdate").over(w))
     gap = F.datediff("next_dt", "o_orderdate").cast("long")
+    # Right-censored rows carry sentinel -1, not NULL: a NULL bigint
+    # column would cross the driver boundary as pandas float64
+    # (queries/registry.py); churned_90d already encodes censoring.
     return nxt.select(
         "o_orderkey",
         "o_custkey",
         "o_orderdate",
-        gap.alias("days_to_next"),
+        F.coalesce(gap, F.lit(-1).cast("long")).alias("days_to_next"),
         (F.col("next_dt").isNull() | (gap > 90)).alias("churned_90d"),
     )

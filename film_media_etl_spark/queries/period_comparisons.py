@@ -32,12 +32,13 @@ from .registry import register
       FROM orders GROUP BY 1, 2
     )
     SELECT year, quarter, revenue,
-           LAG(revenue, 4) OVER w AS revenue_prior_year,
-           CASE WHEN LAG(revenue, 4) OVER w IS NOT NULL THEN
+           COALESCE(LAG(revenue, 4) OVER w,
+                    CAST(-1 AS DECIMAL(38,4))) AS revenue_prior_year,
+           COALESCE(CASE WHEN LAG(revenue, 4) OVER w IS NOT NULL THEN
              (CAST(revenue AS DOUBLE)
               - CAST(LAG(revenue, 4) OVER w AS DOUBLE))
              / CAST(LAG(revenue, 4) OVER w AS DOUBLE)
-           END AS yoy_growth
+           END, -99.0) AS yoy_growth
     FROM q
     WINDOW w AS (ORDER BY year, quarter)
     """,
@@ -60,11 +61,18 @@ def ext_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "year",
         "quarter",
         "revenue",
-        prior.alias("revenue_prior_year"),
-        F.when(
-            prior.isNotNull(),
-            (F.col("revenue").cast("double") - prior.cast("double"))
-            / prior.cast("double"),
+        # sentinels, not NULL doubles, for quarters with no year-ago
+        # comparison (NaN-vs-None at the driver boundary,
+        # queries/registry.py): revenue is positive so -1 is impossible,
+        # and growth = rev/prior - 1 > -1 strictly, so -99.0 is too.
+        F.coalesce(prior, F.lit(-1).cast(AGG_DECIMAL)).alias("revenue_prior_year"),
+        F.coalesce(
+            F.when(
+                prior.isNotNull(),
+                (F.col("revenue").cast("double") - prior.cast("double"))
+                / prior.cast("double"),
+            ),
+            F.lit(-99.0),
         ).alias("yoy_growth"),
     )
 

@@ -641,7 +641,8 @@ def op25_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "op26_rollup",
     oracle=f"""
-    SELECT r.r_name AS region, CAST(year(o.o_orderdate) AS INT) AS year,
+    SELECT COALESCE(r.r_name, 'ALL') AS region,
+           COALESCE(CAST(year(o.o_orderdate) AS INT), -1) AS year,
            GROUPING(r.r_name, CAST(year(o.o_orderdate) AS INT)) AS gid,
            CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total_units,
            CAST(SUM(CAST(({REVENUE}) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total_revenue
@@ -653,7 +654,12 @@ def op26_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-level totals via ROLLUP (reference computes grand totals and
     subtotals client-side in R — rowSums/rowMeans loops,
     BusinessAnalysis...Rmd:287-288,459-490 — the one computation the
-    reference does outside SQL that Spark has as a native operator)."""
+    reference does outside SQL that Spark has as a native operator).
+    Subtotal rows carry SENTINELS ('ALL' / -1) instead of NULL group
+    keys: the gid column already disambiguates levels, and a NULL in an
+    integer column would cross the driver boundary as pandas float64
+    (the decimal trap again, queries/registry.py); the source columns
+    are never null so the sentinels are unambiguous."""
     sales = _sales_geo(spark, sf_dir).select(
         F.col("r_name").alias("region"),
         F.year("o_orderdate").alias("year"),
@@ -667,7 +673,13 @@ def op26_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("units").cast(AGG_DECIMAL).alias("total_units"),
             F.sum("rev").cast(AGG_DECIMAL).alias("total_revenue"),
         )
-        .select("region", "year", "gid", "total_units", "total_revenue")
+        .select(
+            F.coalesce(F.col("region"), F.lit("ALL")).alias("region"),
+            F.coalesce(F.col("year"), F.lit(-1)).alias("year"),
+            "gid",
+            "total_units",
+            "total_revenue",
+        )
     )
 
 

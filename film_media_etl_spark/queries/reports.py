@@ -228,7 +228,9 @@ REPORTS: dict[str, tuple[str, str]] = {
         "Rmd:459-490 — the reference's client-side rowSums/grand totals as "
         "one native ROLLUP.",
         f"""
-        SELECT country, quarter, GROUPING_ID(country, quarter) AS gid,
+        SELECT COALESCE(country, 'ALL') AS country,
+               COALESCE(quarter, -1) AS quarter,
+               GROUPING_ID(country, quarter) AS gid,
                {_SREV} AS revenue, {_SUNIT} AS units
         FROM sales_summary GROUP BY ROLLUP(country, quarter)
         """,

@@ -19,7 +19,8 @@ from .registry import register
 @register(
     "ext_cube",
     oracle="""
-    SELECT event_type, CAST(year(ts) AS INT) AS year,
+    SELECT COALESCE(event_type, 'ALL') AS event_type,
+           COALESCE(CAST(year(ts) AS INT), -1) AS year,
            GROUPING(event_type, CAST(year(ts) AS INT)) AS gid,
            COUNT(*) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total_value
@@ -30,7 +31,10 @@ from .registry import register
 def ext_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE — all grouping-set combinations in one pass (the reference
     has ROLLUP-shaped client-side totals only, SURVEY §2 op 26; CUBE
-    completes the grouping-sets family)."""
+    completes the grouping-sets family). Subtotal rows carry sentinels
+    ('ALL' / -1) instead of NULL group keys — gid disambiguates, and a
+    NULL integer column would cross the driver boundary as pandas
+    float64 (queries/registry.py)."""
     ev = load_table(spark, sf_dir, "events").select(
         "event_type", F.year("ts").alias("year"), F.col("value").cast("decimal(18,4)").alias("v")
     )
@@ -41,7 +45,13 @@ def ext_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.sum("v").cast("decimal(38,4)").alias("total_value"),
         )
-        .select("event_type", "year", "gid", "n_events", "total_value")
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type"),
+            F.coalesce(F.col("year"), F.lit(-1)).alias("year"),
+            "gid",
+            "n_events",
+            "total_value",
+        )
     )
 
 

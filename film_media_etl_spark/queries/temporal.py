@@ -27,14 +27,20 @@ from .registry import register
       FROM events WHERE event_type = 'purchase'
       GROUP BY user_id, CAST(ts AS TIMESTAMP)
     )
-    SELECT v.event_id, v.user_id, v.ts, p.pvalue AS pvalue_asof
+    SELECT v.event_id, v.user_id, v.ts,
+           p.pvalue IS NOT NULL AS has_prior,
+           COALESCE(p.pvalue, -1.0) AS pvalue_asof
     FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.ts >= p.ts
     """,
 )
 def ext_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each view event carries the value of the user's most
     recent purchase at-or-before it (union+last-value window — one
-    shuffle, linear state; operators/temporal.py)."""
+    shuffle, linear state; operators/temporal.py). Views with no prior
+    purchase carry has_prior=false and sentinel -1.0 instead of a NULL
+    double — a NULL float crosses the driver boundary as pandas NaN vs
+    DuckDB None (queries/registry.py); event values are non-negative so
+    the sentinel is unambiguous."""
     ev = load_table(spark, sf_dir, "events")
     views = ev.where(F.col("event_type") == "view").select("event_id", "user_id", "ts")
     purchases = (
@@ -42,7 +48,14 @@ def ext_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "ts")
         .agg(F.max("value").alias("pvalue"))
     )
-    return asof_join(views, purchases, key="user_id", ts="ts", value_cols=["pvalue"])
+    joined = asof_join(views, purchases, key="user_id", ts="ts", value_cols=["pvalue"])
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("pvalue_asof").isNotNull().alias("has_prior"),
+        F.coalesce(F.col("pvalue_asof"), F.lit(-1.0)).alias("pvalue_asof"),
+    )
 
 
 @register(

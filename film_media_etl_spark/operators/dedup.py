@@ -198,7 +198,12 @@ def minhash_lsh_pairs(
     )
     sig = (
         docs.select(
-            F.col(id_col).alias("doc_id"), F.explode(F.array(sig_arr)).alias("mhs")
+            F.col(id_col).alias("doc_id"),
+            # token-set size rides along so the size-ratio prune can run
+            # INSIDE the candidate join (J >= t forces |A|/|B| >= t), cutting
+            # pairs before they are even emitted
+            F.size(_token_set(F.col(text_col))).alias("nt"),
+            F.explode(F.array(sig_arr)).alias("mhs"),
         )
         # empty token set -> untouched init slots; drop (they would all
         # band-collide with each other on the sentinel minima)
@@ -210,7 +215,7 @@ def minhash_lsh_pairs(
         ).alias(f"bh{b}")
         for b in range(bands)
     ]
-    with_bands = sig.select("doc_id", *bhash)
+    with_bands = sig.select("doc_id", "nt", *bhash)
     band_structs = F.array(
         *[
             F.struct(
@@ -230,8 +235,11 @@ def minhash_lsh_pairs(
     # carry every EARLIER band hash so a pair is emitted only at its
     # first colliding band — exactly-once candidates with no distinct()
     # shuffle (bands is small, so the prev columns are a few longs).
-    banded = with_bands.select("doc_id", F.explode(band_structs).alias("bb")).select(
+    banded = with_bands.select(
+        "doc_id", "nt", F.explode(band_structs).alias("bb")
+    ).select(
         "doc_id",
+        "nt",
         F.col("bb.band").alias("band"),
         F.col("bb.bhash").alias("bhash"),
         *[F.col(f"bb.prev{p}").alias(f"prev{p}") for p in range(bands - 1)],
@@ -248,6 +256,13 @@ def minhash_lsh_pairs(
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bhash") == F.col("b.bhash"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # size-ratio prune inside the join: J(A,B) <= min/max, so pairs
+            # whose set sizes already violate the threshold never leave the
+            # join — cheaper than pruning after the candidate rows exist
+            & (
+                F.least(F.col("a.nt"), F.col("b.nt")).cast("double")
+                >= F.lit(threshold) * F.greatest(F.col("a.nt"), F.col("b.nt")).cast("double")
+            )
             & first_band_only,
         )
         .select(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))

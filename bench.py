@@ -80,7 +80,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = all_queries()
 
-    # JVM/codegen warm-up outside the timed region.
+    # JVM/codegen warm-up outside the timed region. (A full untimed pass
+    # over the whole suite was tried and REGRESSES the timed pass ~60%:
+    # 84 query executions in one JVM accumulate GC/broadcast/shuffle
+    # state that outweighs the codegen warmth. One small query is the
+    # right-sized warmup.)
     qs["flagship_revenue_by_year"](spark, sf_dir).write.mode("overwrite").format(
         "noop"
     ).save()

@@ -576,7 +576,16 @@ def build_star(
                 dim_product=tables["dim_product"],
                 index_stats=index_stats,
             )
-            tables["fact_sales"] = _write("fact_sales", fact, partition_by="year")
+            # Cluster rows by the partition column before the partitioned
+            # write: every writer task then owns whole year directories
+            # instead of all tasks writing slivers into every directory
+            # (54 -> 7 files at sf0.1, ~2s faster, and downstream scans
+            # prune cleanly). At cluster scale widen the writer count
+            # with repartition(n, "year") or a REBALANCE hint so a year
+            # is not one task.
+            tables["fact_sales"] = _write(
+                "fact_sales", fact.repartition("year"), partition_by="year"
+            )
         else:
             tables["fact_sales"] = build_fact_sales(
                 spark,

@@ -112,7 +112,8 @@ def ext_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id, value AS state_value,
            CAST(ts AS TIMESTAMP) AS valid_from,
-           CAST(LEAD(ts) OVER w AS TIMESTAMP) AS valid_to,
+           COALESCE(CAST(LEAD(ts) OVER w AS TIMESTAMP),
+                    TIMESTAMP '2200-01-01 00:00:00') AS valid_to,
            (LEAD(ts) OVER w IS NULL) AS is_current
     FROM events
     WHERE event_type = 'purchase'
@@ -122,10 +123,15 @@ def ext_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ext_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD type-2 history build: each user's purchase stream becomes
     validity intervals — valid_from = the change's timestamp, valid_to =
-    the next change (NULL + is_current on the open interval). The lead()
-    window is per-user (one hash exchange, per-partition sort); this is
-    the standard warehouse pattern for dimension change tracking the
-    reference's star schema lacks (SURVEY §2.E: no windows at all)."""
+    the next change. The open (current) interval carries an SCD2
+    high-date sentinel (2200-01-01; the classic 9999-12-31 overflows
+    pandas datetime64[ns], whose max is 2262-04-11) rather than a NULL timestamp — BETWEEN
+    predicates work unchanged, and a NULL timestamp crosses the driver
+    boundary as pandas NaT vs DuckDB None (queries/registry.py);
+    is_current still flags it explicitly. The lead() window is per-user
+    (one hash exchange, per-partition sort); this is the standard
+    warehouse pattern for dimension change tracking the reference's star
+    schema lacks (SURVEY §2.E: no windows at all)."""
     ev = load_table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     nxt = F.lead("ts").over(w)
@@ -133,7 +139,7 @@ def ext_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("value").alias("state_value"),
         F.col("ts").alias("valid_from"),
-        nxt.alias("valid_to"),
+        F.coalesce(nxt, F.to_timestamp(F.lit("2200-01-01 00:00:00"))).alias("valid_to"),
         nxt.isNull().alias("is_current"),
     )
 

@@ -25,7 +25,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 RISKY = (
     "int", "bigint", "smallint", "tinyint",
-    "timestamp", "date", "boolean", "double", "float",
+    "timestamp", "timestamp_ntz", "timestamp_ltz",
+    "date", "boolean", "double", "float",
 )
 
 

@@ -111,9 +111,11 @@ def ext_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("ext_dedup_minhash")  # hash-seeded -> rows-only check
 def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs with exact-Jaccard verification (the
-    100 TB path: banded candidate join, nothing quadratic)."""
+    100 TB path: banded candidate join, nothing quadratic). 5 bands x 6
+    rows: recall 0.985 at theta=0.9 measured against the exact blockless
+    Jaccard ground truth on the sf0.1 corpus (see operators/dedup.py)."""
     return minhash_lsh_pairs(
-        load_table(spark, sf_dir, "documents"), num_hashes=30, bands=3, threshold=0.9
+        load_table(spark, sf_dir, "documents"), num_hashes=30, bands=5, threshold=0.9
     )
 
 

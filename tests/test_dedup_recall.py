@@ -1,0 +1,71 @@
+"""Pinned recall floor for the MinHash LSH near-dup operator.
+
+The driver checks ``ext_dedup_minhash`` rows-only (hash-seeded), so
+nothing upstream catches a silent recall collapse — a banding change
+that stops surfacing true near-dup pairs would still "pass". This test
+pins recall against the exact blockless Jaccard ground truth (the same
+verify metric the operator itself uses), mirroring the kNN recall-floor
+pattern in test_graph_ops.py.
+
+Measured recall of the default 5 bands x 6 rows at theta=0.9:
+0.991 (sf0.001), 0.987 (sf0.01), 0.985 (sf0.1). Floor set at 0.95 —
+tight enough to catch a tuning regression to the old 3x10 banding
+(recall 0.886), loose enough to survive hash-scheme jitter.
+"""
+
+from pyspark.sql import functions as F
+
+from film_media_etl_spark.operators.dedup import _token_set, minhash_lsh_pairs
+from film_media_etl_spark.sources import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+THETA = 0.9
+
+
+def _exact_pairs(docs):
+    """Blockless exact token-Jaccard pairs at THETA — quadratic, fine at
+    fixture scale; this is ground truth, not the scale path."""
+    t = docs.select(
+        F.col("doc_id"),
+        F.array_distinct(
+            F.transform(_token_set(F.col("text")), lambda x: F.xxhash64(x))
+        ).alias("toks"),
+    ).withColumn("nt", F.size("toks"))
+    a, b = t.alias("a"), t.alias("b")
+    cond = (F.col("a.doc_id") < F.col("b.doc_id")) & (
+        F.least(F.col("a.nt"), F.col("b.nt")).cast("double")
+        >= F.lit(THETA) * F.greatest(F.col("a.nt"), F.col("b.nt")).cast("double")
+    )
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+    jac = inter.cast("double") / (F.col("a.nt") + F.col("b.nt") - inter).cast("double")
+    return (
+        a.join(b, cond)
+        .select(F.col("a.doc_id").alias("x"), F.col("b.doc_id").alias("y"), jac.alias("j"))
+        .where(F.col("j") >= THETA)
+    )
+
+
+def test_minhash_recall_floor(spark):
+    docs = load_table(spark, SF_DIR, "documents").cache()
+    gt = _exact_pairs(docs).cache()
+    n_gt = gt.count()
+    assert n_gt > 0, "fixture corpus must contain true near-dup pairs"
+
+    found = minhash_lsh_pairs(docs, num_hashes=30, bands=5, threshold=THETA).select(
+        F.col("doc_id_a").alias("x"), F.col("doc_id_b").alias("y")
+    )
+    hits = found.join(gt, ["x", "y"], "inner").count()
+    recall = hits / n_gt
+    assert recall >= 0.95, f"MinHash recall collapsed: {recall:.4f} < 0.95"
+
+
+def test_minhash_precision_exact(spark):
+    """The exact-Jaccard verify stage makes every emitted pair a true
+    pair — precision is 1.0 by construction; pin it."""
+    docs = load_table(spark, SF_DIR, "documents").cache()
+    gt = _exact_pairs(docs)
+    found = minhash_lsh_pairs(docs, num_hashes=30, bands=5, threshold=THETA).select(
+        F.col("doc_id_a").alias("x"), F.col("doc_id_b").alias("y")
+    )
+    false_pos = found.join(gt.select("x", "y"), ["x", "y"], "left_anti").count()
+    assert false_pos == 0

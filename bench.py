@@ -6,12 +6,21 @@ Prints ONE JSON line:
 
 Execution is forced with a noop sink (full computation, no driver collect)
 so timings measure the distributed plan, not result serialization.
+
+Each query runs $SPARK_GRAFT_REPS times (default 3) BACK-TO-BACK and
+reports the per-query MEDIAN; "spread" records max-min per query so a
+reader can tell a real regression from single-sample JVM jitter (the
+round-1/round-2 comparison was uninterpretable for exactly this reason).
+Repetitions are consecutive per query — not whole-suite passes — because
+a full extra suite pass accumulates JVM/GC/broadcast state that
+systematically inflates later queries (measured ~60% in round 2).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -43,7 +52,7 @@ HEADLINE = [
     "ext_vocab_prune",
     "ext_merge_upsert",
     "ext_ewma",
-    "ext_fuzzy_match",
+    "ext_fuzzy_match_passjoin",  # scale path; quadratic twin is the special case
     "ext_tpch_q1_pricing_summary",
     "ext_tpch_q5_regional_volume",
     "ext_market_basket",
@@ -89,11 +98,17 @@ def main() -> None:
         "noop"
     ).save()
 
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_REPS", "3")))
     timings: dict[str, float] = {}
+    spread: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        samples = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples), 3)
+        spread[name] = round(max(samples) - min(samples), 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -103,6 +118,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
+                "reps": reps,
                 "sf": _sf_from_dir(sf_dir),
             }
         )

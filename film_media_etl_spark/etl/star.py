@@ -123,15 +123,18 @@ def build_dim_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     both = _geo_chain(spark, sf_dir, "film").unionByName(_geo_chain(spark, sf_dir, "music"))
     # Surrogate keys in (customer_type, customer_id) order WITHOUT a
     # single-partition global window (#customers at warehouse scale is
-    # dim-sized but unbounded): collapse the two-column sort to one
-    # numeric key — 'film' sorts before 'music' and ids are unique per
-    # source, so id + (music ? 2^40 : 0) is order-isomorphic — and let
-    # _global_index parallelize the row_number.
-    sort_id = F.col("customer_id") + F.when(
-        F.col("customer_type") == "music", F.lit(1 << 40)
-    ).otherwise(F.lit(0))
-    # The index's two auxiliary jobs (key range, per-bucket counts) need
-    # only the _sort_id DISTRIBUTION — serve them from a key-only
+    # dim-sized but unbounded). Each source is indexed over ITS OWN key
+    # range and the music block is offset by the film row count —
+    # equivalent to one row_number over the two-column sort ('film' <
+    # 'music', ids unique per source). NOT the old single-index trick of
+    # sort_id = id + (music ? 2^40 : 0): a uniform bucket split over a
+    # range dominated by the 2^40 type offset puts every film row in
+    # bucket 0 and every music row in the last bucket — two
+    # single-partition sorts, exactly the bottleneck _global_index exists
+    # to remove (round-2 advisory). Per-source ranges are dense, so the
+    # 64 buckets stay balanced within each source.
+    # The index's auxiliary jobs (key range, per-bucket counts, total)
+    # need only the id DISTRIBUTION — serve them from a key-only
     # projection semi-joined against the geo chain's dimension keys
     # (exactly the rows the inner joins keep, at 1-column scan cost)
     # instead of re-running the 4-way join three times.
@@ -156,23 +159,33 @@ def build_dim_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s_nationkey") == F.col("n_nationkey"),
             "left_semi",
         )
-        .select((offset_music_id(F.col("s_suppkey")) + F.lit(1 << 40)).alias("_sort_id"))
+        .select(offset_music_id(F.col("s_suppkey")).alias("_sort_id"))
     )
-    return (
-        _global_index(
-            both.withColumn("_sort_id", sort_id), ["_sort_id"], "_sort_id",
-            out_col="customer_key",
-            stats_df=film_ids.unionByName(music_ids),
-        )
-        .select(
-            F.col("customer_key").cast("int").alias("customer_key"),
-            "customer_id",
-            "name",
-            "country",
-            "city",
-            "state",
-            "customer_type",
-        )
+    prep_film = prepare_global_index(film_ids, "_sort_id")
+    prep_music = prepare_global_index(music_ids, "_sort_id")
+    n_film = prep_film[3]
+    film_keyed = _global_index(
+        both.where(F.col("customer_type") == "film"),
+        ["customer_id"],
+        "customer_id",
+        out_col="customer_key",
+        prepared=prep_film,
+    )
+    music_keyed = _global_index(
+        both.where(F.col("customer_type") == "music"),
+        ["customer_id"],
+        "customer_id",
+        out_col="customer_key",
+        prepared=prep_music,
+    ).withColumn("customer_key", F.col("customer_key") + F.lit(n_film))
+    return film_keyed.unionByName(music_keyed).select(
+        F.col("customer_key").cast("int").alias("customer_key"),
+        "customer_id",
+        "name",
+        "country",
+        "city",
+        "state",
+        "customer_type",
     )
 
 
@@ -228,7 +241,7 @@ def _global_index(
     nbuckets: int = 64,
     out_col: str = "_idx",
     stats_df: DataFrame | None = None,
-    prepared: tuple[int, int, dict[int, int]] | None = None,
+    prepared: tuple[int, int, dict[int, int], int] | None = None,
 ) -> DataFrame:
     """Deterministic global row_number over ``order_cols``, computed in
     parallel — the scale-safe replacement for a global (single-partition)
@@ -259,7 +272,9 @@ def _global_index(
         prepared = prepare_global_index(
             stats_df if stats_df is not None else df, leading_key, nbuckets=nbuckets
         )
-    lo, span, offsets = prepared
+    lo, span, offsets = prepared[0], prepared[1], prepared[2]
+    if not offsets:  # empty input: emit the schema, no rows to index
+        return df.withColumn(out_col, F.lit(None).cast("long"))
 
     def bucket(c):
         return F.floor((c - F.lit(lo)) / F.lit(span)).cast("int")
@@ -274,10 +289,16 @@ def _global_index(
 
 def prepare_global_index(
     sdf: DataFrame, leading_key: str, *, nbuckets: int = 64
-) -> tuple[int, int, dict[int, int]]:
+) -> tuple[int, int, dict[int, int], int]:
     """Run _global_index's two auxiliary jobs (key range, per-bucket
-    counts) and return (lo, span, cumulative offsets)."""
+    counts) and return (lo, span, cumulative offsets, total rows).
+
+    An EMPTY stats input (min/max NULL) returns (0, 1, {}, 0) rather than
+    raising — reachable from thread-pooled callers (build_star's fact
+    stats future) where a TypeError would surface only at .result()."""
     lo, hi = sdf.agg(F.min(leading_key), F.max(leading_key)).first()
+    if lo is None:
+        return 0, 1, {}, 0
     lo = int(lo)
     span = max(1, ((int(hi) - lo) // nbuckets) + 1)
     counts = (
@@ -294,7 +315,7 @@ def prepare_global_index(
     for row in sorted(counts, key=lambda r: r["_bucket"]):
         offsets[row["_bucket"]] = acc
         acc += row["cnt"]
-    return lo, span, offsets
+    return lo, span, offsets, acc
 
 
 # Canonical total order for the fact surrogate key: every lineitem column,

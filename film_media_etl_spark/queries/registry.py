@@ -117,24 +117,39 @@ def _oracle_typing_connection():
     import duckdb
 
     con = duckdb.connect()
+    missing = [
+        t for t in _ORACLE_TABLES if not os.path.exists(f"{_ORACLE_TYPING_SF}/{t}.parquet")
+    ]
+    if missing:
+        raise RuntimeError(
+            f"oracle typing views unavailable: {_ORACLE_TYPING_SF} is missing "
+            f"{missing}. Set SPARK_GRAFT_ORACLE_SF to a directory holding all "
+            f"of {_ORACLE_TABLES}. Typing must not fail silently: the Spark "
+            "side unconditionally casts decimal outputs to double, so an "
+            "untyped oracle would hash-mismatch every decimal-output query."
+        )
     for t in _ORACLE_TABLES:
-        path = f"{_ORACLE_TYPING_SF}/{t}.parquet"
-        if os.path.exists(path):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{_ORACLE_TYPING_SF}/{t}.parquet'")
     return con
 
 
 def _undecimal_oracle(sql: str) -> str:
     """Wrap an oracle so decimal result columns come back as DOUBLE.
 
-    Column types are discovered with a DESCRIBE (plan-only, reads no data);
-    if typing fails the original SQL is returned unchanged.
+    Column types are discovered with a DESCRIBE (plan-only, reads no data).
+    Typing failures RAISE rather than fall back: ``_wrap_fn`` always casts
+    Spark-side decimals to double, so silently returning the untyped SQL
+    here would make every decimal-output query hash-mismatch its oracle —
+    a total, quiet correctness regression (round-2 advisory). A loud error
+    at ``oracle_sql()`` time is diagnosable; a hash mismatch is not.
     """
+    con = _oracle_typing_connection()
     try:
-        con = _oracle_typing_connection()
         cols = con.execute(f"DESCRIBE ({sql})").fetchall()
-    except Exception:  # noqa: BLE001 — typing is best-effort; driver still runs sql
-        return sql
+    except Exception as exc:  # noqa: BLE001
+        raise RuntimeError(
+            f"oracle DESCRIBE failed while typing decimal outputs: {exc}\nSQL: {sql[:500]}"
+        ) from exc
     if not any(t.upper().startswith("DECIMAL") for _, t, *_ in cols):
         return sql
 

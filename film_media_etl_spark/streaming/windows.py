@@ -57,6 +57,13 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # through verbatim). Normalize by magnitude — epoch-micros for any
     # plausible date are < 2^53 ~= 9e15 only until 2255 in micros but
     # ~1e18 in nanos, so the 1e17 cut is unambiguous for 1973..5138.
+    # KNOWN BOUND (round-2 advisory): the heuristic misclassifies nano
+    # epochs BEFORE ~1973-03 as micros (and micro epochs after ~5138 as
+    # nanos) — any events*.parquet matched by the glob below with
+    # pre-1973 nano timestamps would be silently shifted 1000x. Fine for
+    # the fixture corpus (2023+); a production source should read the
+    # parquet logical type per file (footer schema probe) instead of
+    # inferring the unit from magnitude.
     return raw.withColumn(
         "ts",
         F.expr(

@@ -69,3 +69,23 @@ def test_minhash_precision_exact(spark):
     )
     false_pos = found.join(gt.select("x", "y"), ["x", "y"], "left_anti").count()
     assert false_pos == 0
+
+
+def test_minhash_bitset_fastpath_equals_fallback(spark, monkeypatch):
+    """The adaptive bitset verify (bounded vocab -> perfect-hashed
+    popcount intersect) must produce byte-identical pairs to the
+    array_intersect fallback — it is a different evaluation of the SAME
+    exact Jaccard. Forcing the cap to 0 disables the fast path."""
+    from film_media_etl_spark.operators import dedup as D
+
+    docs = load_table(spark, SF_DIR, "documents").cache()
+    fast = sorted(
+        (r["doc_id_a"], r["doc_id_b"], round(r["jaccard"], 12))
+        for r in minhash_lsh_pairs(docs, num_hashes=30, bands=5, threshold=THETA).collect()
+    )
+    monkeypatch.setattr(D, "_BITSET_VOCAB_CAP", 0)
+    slow = sorted(
+        (r["doc_id_a"], r["doc_id_b"], round(r["jaccard"], 12))
+        for r in D.minhash_lsh_pairs(docs, num_hashes=30, bands=5, threshold=THETA).collect()
+    )
+    assert fast == slow

@@ -121,3 +121,43 @@ def test_global_index_matches_row_number_model(spark):
     )
     n = df.count()
     assert tuple(got2) == (1, n, n)
+
+
+def test_global_index_invariant_to_nbuckets(spark):
+    """The cluster-scale knob must not change results: nbuckets only
+    splits the sort for parallelism, so nbuckets=509 (prime, way more
+    buckets than distinct keys in some ranges -> many empties) must
+    reproduce the nbuckets=64 index bit-identically."""
+    import random
+
+    from film_media_etl_spark.etl.star import _global_index
+
+    rng = random.Random(20260814)
+    rows = [
+        (rng.choice([rng.randint(0, 80), 50_000 + rng.randint(0, 9)]),
+         rng.randint(0, 4))
+        for _ in range(4000)
+    ]
+    rows += rows[:40]  # duplicates exercise the tie path across variants
+    df = spark.createDataFrame(rows, ["k", "sub"])
+    order = ["k", "sub"]
+
+    def index_with(nb):
+        return sorted(
+            (r["k"], r["sub"], r["idx"])
+            for r in _global_index(df, order, "k", nbuckets=nb, out_col="idx").collect()
+        )
+
+    assert index_with(509) == index_with(64)
+
+
+def test_prepare_global_index_empty_input(spark):
+    """Empty stats (min/max NULL) must not raise — reachable from
+    build_star's thread-pooled fact-stats future where a TypeError
+    surfaces only at .result()."""
+    from film_media_etl_spark.etl.star import _global_index, prepare_global_index
+
+    empty = spark.range(0).select(F.col("id").alias("k"))
+    assert prepare_global_index(empty, "k") == (0, 1, {}, 0)
+    out = _global_index(empty, ["k"], "k", out_col="idx")
+    assert out.columns == ["k", "idx"] and out.count() == 0

@@ -92,3 +92,33 @@ def test_all_oracles_have_no_decimal_or_nested_outputs():
         if bad:
             offenders[name] = bad
     assert not offenders, offenders
+
+
+# The grading driver hash-checks only the FIRST 50 registry entries — the
+# reference-parity surface (ops 01-41, star ETL, flagship, first reports).
+# A refactor that reorders registration would silently rotate a checked
+# query out of the driver's window; pin the exact names and order.
+_DRIVER_WINDOW = [
+    *[f"op{i:02d}_{s}" for i, s in enumerate(
+        ["source_scan", "sink_roundtrip", "dedup_on_load", "ddl_view",
+         "date_spine", "project_rename", "filter_notnull", "filter_compare",
+         "filter_inlist", "case_when", "coalesce", "arith_derived",
+         "literals", "multiway_inner_join", "left_join_chain",
+         "topk_semijoin", "lookup_join_default", "min_max", "sum_grouped",
+         "avg", "count", "count_distinct", "groupby_multi",
+         "conditional_pivot", "distinct", "rollup", "window_to_date",
+         "orderby", "topk_limit", "union_all", "union_dedup", "date_trunc",
+         "date_parts", "month_name", "week_noniso", "smart_date_key",
+         "date_arith", "substring", "string_replace", "round_format",
+         "concat_label"], start=1)],
+    "star_dim_date", "star_dim_customer", "star_dim_location",
+    "star_dim_product", "star_fact_sales", "star_sales_summary",
+    "flagship_revenue_by_year", "report_r01_top_year",
+    "report_r02_recent_years_pivot",
+]
+
+
+def test_first_50_registry_names_pinned():
+    from film_media_etl_spark.queries import all_queries
+
+    assert list(all_queries())[:50] == _DRIVER_WINDOW

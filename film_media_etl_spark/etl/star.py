@@ -518,6 +518,67 @@ def build_sales_summary(fact: DataFrame) -> DataFrame:
     )
 
 
+SUMMARY_GRAIN = ["year", "quarter", "month", "product_type", "country"]
+
+
+def summary_support(fact: DataFrame) -> DataFrame:
+    """Finer-grain support materialization for INCREMENTAL sales_summary
+    maintenance: per (grain, customer_key) additive partials.
+
+    ``n_customers`` (COUNT DISTINCT) is not additive across increments,
+    so the classic incremental-view-maintenance answer is a support
+    table one level finer than the view: every summary measure becomes
+    additive at (grain, customer) granularity, and the summary itself is
+    a cheap rollup (count(*) of support rows IS the distinct-customer
+    count). Support size is bounded by grain x active customers — far
+    smaller than the fact, and each refresh touches only batch keys."""
+    return fact.groupBy(*SUMMARY_GRAIN, "customer_key").agg(
+        F.sum("revenue").cast(AGG_DECIMAL).alias("revenue"),
+        F.sum("units_sold").cast("long").alias("units"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def merge_summary_support(snapshot: DataFrame | None, batch: DataFrame) -> DataFrame:
+    """MERGE (SCD1 accumulate) a new batch of support partials into the
+    snapshot: matched keys add, unmatched insert. Decimal adds keep the
+    accumulation order-proof across any merge sequence."""
+    if snapshot is None:
+        return batch
+    keys = [*SUMMARY_GRAIN, "customer_key"]
+    s, b = snapshot.alias("s"), batch.alias("b")
+    cond = F.lit(True)
+    for k in keys:
+        cond = cond & F.col(f"s.{k}").eqNullSafe(F.col(f"b.{k}"))
+    return s.join(b, cond, "full_outer").select(
+        *[F.coalesce(F.col(f"s.{k}"), F.col(f"b.{k}")).alias(k) for k in keys],
+        (
+            F.coalesce(F.col("s.revenue"), F.lit(0).cast(AGG_DECIMAL))
+            + F.coalesce(F.col("b.revenue"), F.lit(0).cast(AGG_DECIMAL))
+        ).cast(AGG_DECIMAL).alias("revenue"),
+        (F.coalesce(F.col("s.units"), F.lit(0)) + F.coalesce(F.col("b.units"), F.lit(0)))
+        .cast("long")
+        .alias("units"),
+        (F.coalesce(F.col("s.n_rows"), F.lit(0)) + F.coalesce(F.col("b.n_rows"), F.lit(0)))
+        .cast("long")
+        .alias("n_rows"),
+    )
+
+
+def summary_from_support(support: DataFrame) -> DataFrame:
+    """Roll the support table up to the sales_summary grain — identical
+    output schema to build_sales_summary (full recompute)."""
+    return support.groupBy(*SUMMARY_GRAIN).agg(
+        F.sum("revenue").cast(AGG_DECIMAL).alias("total_revenue"),
+        F.sum("units").cast("long").alias("total_units"),
+        F.sum("n_rows").cast("long").alias("n_transactions"),
+        # one support row per distinct (grain, customer); count the KEY,
+        # not the row — COUNT(DISTINCT customer_key) ignores NULL keys
+        # (unresolved customers), and so must the rollup
+        F.count(F.col("customer_key")).alias("n_customers"),
+    )
+
+
 _STAR_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
 
 

@@ -260,9 +260,12 @@ def ext_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("ext_knn_ivf")  # approximate recall -> rows-only check
 def ext_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 neighbors via IVF: KMeans cells + nprobe search
-    (operators/similarity.py:cosine_knn_ivf)."""
+    (operators/similarity.py:cosine_knn_ivf). nprobe=6/16 cells measures
+    recall 0.775 at sf0.01 vs brute force (the fixture's embeddings are
+    uniform random — no cluster structure for the coarse quantizer to
+    exploit, so recall at fixed nprobe is a floor, not typical)."""
     return cosine_knn_ivf(
-        load_table(spark, sf_dir, "embeddings"), query_ids_below=8, k=5, nlist=16, nprobe=4
+        load_table(spark, sf_dir, "embeddings"), query_ids_below=8, k=5, nlist=16, nprobe=6
     )
 
 

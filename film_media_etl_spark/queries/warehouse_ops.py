@@ -356,3 +356,48 @@ def ext_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(38,2)")
         .alias("total_qty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental sales_summary maintenance (reference README:22,52 claims the
+# pre-aggregate; etl/star.py materializes it batch-only — this query proves
+# the MERGE-maintained incremental path converges to the same table)
+# ---------------------------------------------------------------------------
+
+
+def _summary_incremental_oracle() -> str:
+    from ..etl.star import STAR_CTES
+
+    return f"WITH {STAR_CTES} SELECT * FROM sales_summary"
+
+
+@register(
+    "ext_summary_incremental_refresh",
+    oracle=_summary_incremental_oracle(),
+)
+def ext_summary_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sales_summary maintained INCREMENTALLY and verified against the
+    full-recompute oracle: the fact is replayed as three arrival batches
+    (split orthogonally to the summary grain so every merge exercises
+    the matched-accumulate path), each batch's support partials MERGE
+    into the snapshot (etl.star.merge_summary_support), and the final
+    summary is rolled up from the support table. COUNT DISTINCT customers
+    is made additive by keeping the support one level finer — the
+    textbook incremental-view-maintenance construction; at 100 TB each
+    refresh touches only the partitions holding batch keys. The
+    streaming twin (streaming.sinks.start_incremental_summary) feeds the
+    same merge from micro-batches; tests pin both against the batch
+    build."""
+    from ..etl.star import (
+        build_star,
+        merge_summary_support,
+        summary_from_support,
+        summary_support,
+    )
+
+    fact = build_star(spark, sf_dir)["fact_sales"]
+    support = None
+    for i in range(3):
+        inc = fact.where(F.coalesce(F.pmod(F.col("customer_key"), F.lit(3)), F.lit(0)) == i)
+        support = merge_summary_support(support, summary_support(inc))
+    return summary_from_support(support)

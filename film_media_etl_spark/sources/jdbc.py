@@ -7,8 +7,10 @@ Spark's JDBC connector subsumes all of that: partitioned parallel reads
 (``partitionColumn``/``numPartitions``) and batched writes (``batchsize``)
 are engine features, not user code.
 
-Kept import-light and unexercised by the test harness (no JDBC driver jar
-ships in this environment); the parquet layer is the tested path.
+Exercised live by tests/test_jdbc.py against PySpark's bundled embedded
+Derby driver (batched write, plain read, partitioned bounded read); no
+SQLite/MySQL jar ships in this container, so those exact dialects remain
+untested here — the connector options are dialect-independent.
 """
 
 from __future__ import annotations

@@ -1,6 +1,11 @@
 from .incremental import incremental_fact, read_lineitem_stream, start_incremental_load
 from .joins import stream_interval_join
-from .sinks import merge_user_totals, read_snapshot, start_upsert_totals
+from .sinks import (
+    merge_user_totals,
+    read_snapshot,
+    start_incremental_summary,
+    start_upsert_totals,
+)
 from .windows import (
     read_events_stream,
     stream_dedup,
@@ -21,5 +26,6 @@ __all__ = [
     "stream_interval_join",
     "merge_user_totals",
     "read_snapshot",
+    "start_incremental_summary",
     "start_upsert_totals",
 ]

@@ -38,9 +38,12 @@ def read_lineitem_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     (never inference on a stream), one file per trigger to emulate
     daily-drop ingestion."""
     schema = load_table(spark, sf_dir, "lineitem").schema
+    # lineitem*.parquet (not the exact single name): a daily-drop source
+    # is many files, and the kill/resume test stages one file per "day" —
+    # same widening as the events stream glob.
     return (
         spark.readStream.schema(schema)
-        .option("pathGlobFilter", "lineitem.parquet")
+        .option("pathGlobFilter", "lineitem*.parquet")
         .option("maxFilesPerTrigger", "1")
         .parquet(sf_dir)
     )

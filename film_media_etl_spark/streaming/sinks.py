@@ -102,3 +102,58 @@ def start_upsert_totals(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_incremental_summary(
+    spark: SparkSession,
+    sf_dir: str,
+    snapshot_path: str,
+    checkpoint: str,
+    *,
+    available_now: bool = True,
+):
+    """Incrementally-maintained sales_summary fed by the streaming fact
+    appends (the reference claims the pre-aggregate, README:22,52; this
+    keeps it fresh per micro-batch instead of batch-only).
+
+    Each micro-batch of fact rows is enriched with its summary
+    dimensions (product_type, country — broadcast dim joins, stream side
+    never shuffles), reduced to (grain, customer) support partials, and
+    MERGEd into the versioned support snapshot (etl.star.
+    merge_summary_support — matched accumulate, unmatched insert). The
+    summary itself is summary_from_support over the latest snapshot —
+    COUNT DISTINCT customers stays exact because the support is one
+    level finer than the view. Snapshot-per-batch versioning makes
+    foreachBatch re-delivery idempotent (same batch_id rewrites the same
+    version from the same input)."""
+    from ..etl.star import (
+        build_dim_location,
+        build_dim_product,
+        merge_summary_support,
+        summary_support,
+    )
+    from .incremental import incremental_fact
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        dp = build_dim_product(spark, sf_dir).select("product_key", "product_type")
+        dl = build_dim_location(spark, sf_dir).select("location_key", "country")
+        enriched = (
+            batch_df.join(F.broadcast(dp), "product_key", "left")
+            .join(F.broadcast(dl), "location_key", "left")
+        )
+        merged = merge_summary_support(
+            read_snapshot(spark, snapshot_path), summary_support(enriched)
+        )
+        merged.write.mode("overwrite").parquet(
+            os.path.join(snapshot_path, f"v{batch_id}")
+        )
+
+    writer = (
+        incremental_fact(spark, sf_dir)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

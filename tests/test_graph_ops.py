@@ -120,3 +120,29 @@ def test_approx_knn_recall_vs_bruteforce(spark):
         ]
         mean_recall = sum(recalls) / len(recalls)
         assert mean_recall >= floor, (fn.__name__, mean_recall)
+
+
+def test_registered_knn_recall_floors(spark):
+    """Same recall check, but through the REGISTERED queries — pins what
+    the driver actually runs (ext_knn_ivf's nlist/nprobe, ext_knn_lsh's
+    nplanes), not the operator defaults. Measured at sf0.001:
+    ivf 0.750 (nprobe=6), lsh 0.400; floors leave jitter room. The
+    fixture embeddings are uniform random (no cluster structure), which
+    bounds achievable ANN recall at fixed probe budgets."""
+    from film_media_etl_spark.queries import all_queries
+
+    qs = all_queries()
+    sf = "/root/testdata/sf0.001"
+
+    def topk(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["nbr_id"])
+        return out
+
+    exact = topk(qs["ext_knn_bruteforce"](spark, sf))
+    for name, floor in (("ext_knn_ivf", 0.6), ("ext_knn_lsh", 0.3)):
+        approx = topk(qs[name](spark, sf))
+        recalls = [len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact]
+        mean_recall = sum(recalls) / len(recalls)
+        assert mean_recall >= floor, (name, mean_recall)

@@ -246,3 +246,86 @@ def test_foreachbatch_upsert_is_incremental(spark, tmp_path):
     got = {r["user_id"]: r["n_events"] for r in twice.collect()}
     want = {r["user_id"]: 2 * r["n_events"] for r in once.collect()}
     assert got == want
+
+
+def test_incremental_load_kill_and_resume(spark, tmp_path):
+    """Exactly-once across a mid-stream KILL: stage the lineitem source
+    as four daily-drop files, stop the query after the first committed
+    micro-batch (not a clean drain), restart from the same checkpoint,
+    and require the final warehouse to equal the batch build exactly —
+    no lost files, no duplicated appends. The parquet sink's
+    _spark_metadata log means even a mid-batch kill leaves only
+    committed files visible to readers."""
+    import os
+    import time
+
+    import pyarrow.parquet as pq
+
+    from film_media_etl_spark.etl.star import build_fact_sales
+    from film_media_etl_spark.streaming import start_incremental_load
+
+    src = tmp_path / "src"
+    src.mkdir()
+    # four "daily" lineitem drops + symlinks for the static tables
+    t = pq.read_table(f"{PARITY_SF_DIR}/lineitem.parquet")
+    quarter = (t.num_rows + 3) // 4
+    for i in range(4):
+        name = "lineitem.parquet" if i == 0 else f"lineitem-{i}.parquet"
+        pq.write_table(t.slice(i * quarter, quarter), src / name)
+    for table in ("region", "nation", "customer", "supplier", "part", "orders"):
+        os.symlink(f"{PARITY_SF_DIR}/{table}.parquet", src / f"{table}.parquet")
+
+    out = str(tmp_path / "warehouse_fact")
+    ckpt = str(tmp_path / "ckpt")
+
+    q = start_incremental_load(spark, str(src), out, ckpt)
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if any(p["numInputRows"] > 0 for p in (q.recentProgress or []) if p):
+            break
+        time.sleep(0.2)
+    q.stop()  # kill after >=1 committed batch, before the drain finishes
+    q.awaitTermination(60)
+
+    batch = build_fact_sales(spark, PARITY_SF_DIR)
+    expected = batch.count()
+    partial = spark.read.parquet(out).count()
+    assert 0 < partial <= expected
+
+    q2 = start_incremental_load(spark, str(src), out, ckpt)
+    q2.awaitTermination(240)
+    assert not q2.isActive
+    got = spark.read.parquet(out)
+    assert got.count() == expected, f"resume lost/duplicated rows: {got.count()} vs {expected}"
+    g = got.agg(F.sum("revenue").alias("r"), F.sum("units_sold").alias("u")).first()
+    b = batch.agg(F.sum("revenue").alias("r"), F.sum("units_sold").alias("u")).first()
+    assert g["r"] == b["r"] and g["u"] == b["u"]
+
+
+def test_incremental_summary_matches_batch(spark, tmp_path):
+    """The streaming-maintained sales_summary (micro-batch MERGE into the
+    support snapshot) must equal the batch full recompute on the same
+    input — including the non-additive COUNT DISTINCT customers, which
+    the finer-grain support makes exact."""
+    from film_media_etl_spark.etl.star import build_fact_sales, build_sales_summary, summary_from_support
+    from film_media_etl_spark.streaming import read_snapshot, start_incremental_summary
+
+    snap = str(tmp_path / "summary_support")
+    ckpt = str(tmp_path / "ckpt")
+    q = start_incremental_summary(spark, PARITY_SF_DIR, snap, ckpt)
+    q.awaitTermination(240)
+    assert not q.isActive
+
+    got = summary_from_support(read_snapshot(spark, snap))
+    want = build_sales_summary(build_fact_sales(spark, PARITY_SF_DIR))
+    keys = ["year", "quarter", "month", "product_type", "country"]
+
+    def norm(df):
+        return {
+            tuple(str(r[c]) for c in keys): (
+                str(r["total_revenue"]), r["total_units"], r["n_transactions"], r["n_customers"]
+            )
+            for r in df.collect()
+        }
+
+    assert norm(got) == norm(want)

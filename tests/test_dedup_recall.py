@@ -13,6 +13,7 @@ tight enough to catch a tuning regression to the old 3x10 banding
 (recall 0.886), loose enough to survive hash-scheme jitter.
 """
 
+import pytest
 from pyspark.sql import functions as F
 
 from film_media_etl_spark.operators.dedup import _token_set, minhash_lsh_pairs
@@ -20,6 +21,17 @@ from film_media_etl_spark.sources import load_table
 
 SF_DIR = "/root/testdata/sf0.001"
 THETA = 0.9
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    """Cached corpus, UNPERSISTED at module teardown — the session is
+    shared across the suite and a lingering cache entry would swap later
+    plan tests' FileScan for InMemoryTableScan (observed: the bm25
+    pruned-scan audit fails if this cache outlives the module)."""
+    df = load_table(spark, SF_DIR, "documents").cache()
+    yield df
+    df.unpersist()
 
 
 def _exact_pairs(docs):
@@ -45,8 +57,7 @@ def _exact_pairs(docs):
     )
 
 
-def test_minhash_recall_floor(spark):
-    docs = load_table(spark, SF_DIR, "documents").cache()
+def test_minhash_recall_floor(spark, docs):
     gt = _exact_pairs(docs).cache()
     n_gt = gt.count()
     assert n_gt > 0, "fixture corpus must contain true near-dup pairs"
@@ -55,14 +66,14 @@ def test_minhash_recall_floor(spark):
         F.col("doc_id_a").alias("x"), F.col("doc_id_b").alias("y")
     )
     hits = found.join(gt, ["x", "y"], "inner").count()
+    gt.unpersist()
     recall = hits / n_gt
     assert recall >= 0.95, f"MinHash recall collapsed: {recall:.4f} < 0.95"
 
 
-def test_minhash_precision_exact(spark):
+def test_minhash_precision_exact(spark, docs):
     """The exact-Jaccard verify stage makes every emitted pair a true
     pair — precision is 1.0 by construction; pin it."""
-    docs = load_table(spark, SF_DIR, "documents").cache()
     gt = _exact_pairs(docs)
     found = minhash_lsh_pairs(docs, num_hashes=30, bands=5, threshold=THETA).select(
         F.col("doc_id_a").alias("x"), F.col("doc_id_b").alias("y")
@@ -71,14 +82,13 @@ def test_minhash_precision_exact(spark):
     assert false_pos == 0
 
 
-def test_minhash_bitset_fastpath_equals_fallback(spark, monkeypatch):
+def test_minhash_bitset_fastpath_equals_fallback(spark, docs, monkeypatch):
     """The adaptive bitset verify (bounded vocab -> perfect-hashed
     popcount intersect) must produce byte-identical pairs to the
     array_intersect fallback — it is a different evaluation of the SAME
     exact Jaccard. Forcing the cap to 0 disables the fast path."""
     from film_media_etl_spark.operators import dedup as D
 
-    docs = load_table(spark, SF_DIR, "documents").cache()
     fast = sorted(
         (r["doc_id_a"], r["doc_id_b"], round(r["jaccard"], 12))
         for r in minhash_lsh_pairs(docs, num_hashes=30, bands=5, threshold=THETA).collect()

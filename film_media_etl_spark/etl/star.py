@@ -161,8 +161,15 @@ def build_dim_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(offset_music_id(F.col("s_suppkey")).alias("_sort_id"))
     )
-    prep_film = prepare_global_index(film_ids, "_sort_id")
-    prep_music = prepare_global_index(music_ids, "_sort_id")
+    # Each prepare is two small driver-blocking jobs; the film and music
+    # stats are independent, so submit them concurrently (same pattern as
+    # build_star's dim pool) — dim_customer is the dim-phase critical path.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        _f = _pool.submit(prepare_global_index, film_ids, "_sort_id")
+        _m = _pool.submit(prepare_global_index, music_ids, "_sort_id")
+        prep_film, prep_music = _f.result(), _m.result()
     n_film = prep_film[3]
     film_keyed = _global_index(
         both.where(F.col("customer_type") == "film"),

@@ -425,6 +425,27 @@ def ext_fuzzy_match_passjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(al >= 3)
         .withColumn("_k", F.explode(F.array(*[F.lit(k) for k in (1, 2, 3)])))
         .withColumn("_dpos", F.explode(F.array(*[F.lit(d) for d in range(-tau, tau + 1)])))
+        # Multi-match-aware window (PassJoin Lemma 3): for segment k of a
+        # string with assumed length alen probed against r (len lb,
+        # delta = lb - alen), a match within tau edits can only start at
+        # shift d in [max(-(k-1), delta-(tau+1-k)), min(k-1, delta+(tau+1-k))]
+        # — earlier segments can be displaced only by edits BEFORE them
+        # (<= k-1) and later ones must leave room for the remaining
+        # tau+1-k segments to absorb the rest of delta. A strict subset
+        # of the naive +-tau enumeration, so completeness is untouched;
+        # it cuts probe rows ~2.5x and raw candidate duplication ~3x
+        # (measured 7.7M -> 2.6M raw candidates at sf0.1) before the
+        # distinct shuffle, which is the stage that dominates.
+        .where(
+            (
+                F.col("_dpos")
+                >= F.greatest(-(F.col("_k") - 1), (lb - al) - (F.lit(tau + 1) - F.col("_k")))
+            )
+            & (
+                F.col("_dpos")
+                <= F.least(F.col("_k") - 1, (lb - al) + (F.lit(tau + 1) - F.col("_k")))
+            )
+        )
         .select(
             "key_p",
             "brand",

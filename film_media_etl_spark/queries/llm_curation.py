@@ -13,7 +13,7 @@ sketches.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.dedup import _shingle_set
@@ -223,4 +223,158 @@ def ext_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) "
             "% 2048"
         ).alias("shard_offset"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (training-data governance: scrub before training)
+# ---------------------------------------------------------------------------
+
+# Driver testdata carries no native PII columns (slim customer table), so
+# the contact text is RENDERED deterministically from keys on both
+# engines: a phone in NN-NNN-NNN-NNNN layout plus an account-id digit
+# run, then redacted. Simple character-class regexes evaluate
+# identically in Java (Spark) and RE2 (DuckDB); DuckDB's regexp_replace
+# needs the 'g' flag to match Spark's replace-all.
+_PHONE_RE = "[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+_DIGITS_RE = "[0-9]{5,}"
+
+_PHONE_SQL = (
+    "concat(CAST(10 + c_custkey % 90 AS STRING), '-', "
+    "lpad(CAST(c_custkey % 1000 AS STRING), 3, '0'), '-', "
+    "lpad(CAST((c_custkey * 7) % 1000 AS STRING), 3, '0'), '-', "
+    "lpad(CAST((c_custkey * 13) % 10000 AS STRING), 4, '0'))"
+)
+_TXT_SQL = (
+    "concat_ws(' ', c_name, 'reach at', " + _PHONE_SQL + ", "
+    "'account', concat('ref', lpad(CAST(c_custkey * 17 AS STRING), 8, '0')), "
+    "c_mktsegment)"
+)
+
+
+@register(
+    "ext_pii_redact",
+    oracle=f"""
+    WITH t AS (
+      SELECT c_custkey, {_TXT_SQL} AS txt FROM customer
+    )
+    SELECT c_custkey,
+           regexp_replace(regexp_replace(txt, '{_PHONE_RE}', '[PHONE]', 'g'),
+                          '{_DIGITS_RE}', '[NUM]', 'g') AS redacted,
+           CAST(len(regexp_extract_all(txt, '{_PHONE_RE}')) AS INT) AS n_phones,
+           CAST(len(regexp_extract_all(txt, '{_DIGITS_RE}')) AS INT) AS n_digit_runs
+    FROM t
+    """,
+)
+def ext_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over a customer-contact text rendering: phone
+    patterns and long digit runs are replaced with typed placeholders,
+    with per-row redaction counts for audit. Pure regexp expressions in
+    whole-stage codegen — a map-only pass at any corpus size (the
+    standard pre-training scrub step; redaction is deterministic so
+    reruns are idempotent). Phones redact BEFORE digit runs so the
+    narrower typed pattern wins where both match. The contact text
+    itself is rendered from keys (identical SQL on both engines) because
+    the slim driver testdata ships no native PII columns."""
+    c = load_table(spark, sf_dir, "customer")
+    t = c.selectExpr("c_custkey", f"{_TXT_SQL} AS txt")
+    return t.select(
+        "c_custkey",
+        F.regexp_replace(
+            F.regexp_replace("txt", _PHONE_RE, "[PHONE]"), _DIGITS_RE, "[NUM]"
+        ).alias("redacted"),
+        F.size(F.regexp_extract_all("txt", F.lit(_PHONE_RE), 0)).cast("int").alias("n_phones"),
+        F.size(F.regexp_extract_all("txt", F.lit(_DIGITS_RE), 0)).cast("int").alias("n_digit_runs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-level dedup (C4-style: drop repeated passages corpus-wide,
+# keep the first occurrence, reassemble documents)
+# ---------------------------------------------------------------------------
+
+_PARA = 16  # tokens per paragraph-proxy chunk (the corpus has no line breaks)
+
+
+@register(
+    "ext_dedup_paragraphs",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+    ), n AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             GREATEST(1, CAST(ceil(len(toks) / {_PARA}.0) AS INT)) AS nc
+      FROM t
+    ), c AS (
+      SELECT doc_id, i AS chunk_idx,
+             array_to_string(
+               list_slice(toks, 1 + i*{_PARA}, LEAST((i+1)*{_PARA}, n)), ' ')
+               AS chunk_text
+      FROM n, LATERAL unnest(generate_series(0, nc - 1)) AS u(i)
+    ), k AS (
+      SELECT doc_id, chunk_idx, chunk_text,
+             (doc_id * 100000 + chunk_idx) =
+               MIN(doc_id * 100000 + chunk_idx) OVER (PARTITION BY chunk_text)
+               AS kept
+      FROM c
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS INT) AS n_paragraphs,
+           CAST(COUNT(*) FILTER (WHERE kept) AS INT) AS n_kept,
+           CAST(COUNT(*) FILTER (WHERE kept) AS DOUBLE) / COUNT(*) AS retained_frac,
+           COALESCE(string_agg(CASE WHEN kept THEN chunk_text END, ' '
+                               ORDER BY chunk_idx), '') AS retained_text
+    FROM k GROUP BY doc_id
+    """,
+)
+def ext_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style passage-level dedup: documents split into {_PARA}-token
+    paragraph proxies (the fixture corpus has no line breaks), each
+    distinct passage kept only at its FIRST corpus occurrence (min
+    (doc_id, chunk_idx), collapsed to one sortable long), documents
+    reassembled from surviving passages with a retained fraction for
+    downstream quality filtering. The dedup decision is one shuffle on
+    passage text (hash-aggregatable window, no sort); reassembly is a
+    per-document sort of a bounded chunk list. This is the sub-document
+    twin of ext_dedup_exact — repeated boilerplate dies corpus-wide even
+    when full documents differ."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.split(F.lower("text"), " ").alias("toks"))
+    n = F.size("toks")
+    nc = F.greatest(F.lit(1), F.ceil(n / F.lit(float(_PARA))).cast("int"))
+    chunks = t.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), nc - 1)).alias("chunk_idx"),
+        "toks",
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        F.array_join(F.slice("toks", F.col("chunk_idx") * _PARA + 1, _PARA), " ").alias(
+            "chunk_text"
+        ),
+    )
+    okey = F.col("doc_id") * 100000 + F.col("chunk_idx")
+    w = Window.partitionBy("chunk_text")
+    k = chunks.withColumn("kept", okey == F.min(okey).over(w))
+    kept_struct = F.when(
+        F.col("kept"), F.struct(F.col("chunk_idx"), F.col("chunk_text"))
+    )
+    return (
+        k.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_paragraphs"),
+            F.count(F.when(F.col("kept"), 1)).cast("int").alias("n_kept"),
+            F.sort_array(F.collect_list(kept_struct)).alias("_kept"),
+        )
+        .select(
+            "doc_id",
+            "n_paragraphs",
+            "n_kept",
+            (F.col("n_kept").cast("double") / F.col("n_paragraphs").cast("double")).alias(
+                "retained_frac"
+            ),
+            F.array_join(
+                F.transform("_kept", lambda s: s["chunk_text"]), " "
+            ).alias("retained_text"),
+        )
     )

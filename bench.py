@@ -38,6 +38,8 @@ HEADLINE = [
     "op26_rollup",
     "ext_dedup_minhash",
     "ext_dedup_exact",
+    "ext_dedup_paragraphs",
+    "ext_summary_incremental_refresh",
     "ext_knn_bruteforce",
     "ext_window_sliding",
     "ext_text_stats",

@@ -496,15 +496,19 @@ def connected_components(
     Pair generation (exact/Jaccard/MinHash/SimHash) finds EDGES; keeping
     one survivor per transitive duplicate *cluster* needs components —
     A~B, B~C must collapse to one cluster even though A~C was never
-    emitted. Algorithm: iterative neighbor-min label propagation —
-    each round every node takes the min label among itself and its
-    neighbors; converges in O(graph diameter) rounds. Every round is one
-    shuffle-on-key join + groupBy (nothing quadratic), and lineage is cut
-    per round with localCheckpoint so the plan doesn't grow unboundedly.
-    At 100 TB with adversarially long chains, swap the inner loop for
-    alternating large-star/small-star contraction (Kiveris et al.,
-    "Connected Components in MapReduce"), which converges in O(log n)
-    rounds over the same join/agg primitives.
+    emitted. Algorithm: neighbor-min label propagation PLUS pointer
+    doubling — each round every node takes the min of (its label, its
+    neighbors' labels, ITS LABEL'S label). The jump step L(L(v)) is the
+    classic path-halving trick: the distance a min label travels doubles
+    per round, so convergence is O(log n) even on an adversarial
+    duplicate CHAIN (pure neighbor propagation is O(diameter) and a
+    500-link chain would blow any sane round cap — pinned by test).
+    Every round is two shuffle-on-key joins + a groupBy (nothing
+    quadratic; the jump join is labels⋈labels, the same table), and
+    lineage is cut per round with localCheckpoint so the plan doesn't
+    grow unboundedly. Invariant kept by both steps: L(v) is always the
+    id of a node in v's own component, so the fixpoint is the component
+    minimum.
 
     Returns (doc_id, cluster_id) for every node that appears in a pair.
     """
@@ -522,11 +526,22 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
+        tentative = labels.join(nbr_min, labels["node"] == nbr_min["src"], "left").select(
+            "node",
+            F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+        )
+        # pointer doubling: follow the label one hop (L(L(v))). The
+        # parent's label is itself >= the component min and belongs to
+        # the same component, so taking the min is safe — and halves the
+        # remaining path length every round.
+        parent = tentative.select(
+            F.col("node").alias("p_node"), F.col("label").alias("p_label")
+        )
         new_labels = (
-            labels.join(nbr_min, labels["node"] == nbr_min["src"], "left")
+            tentative.join(parent, tentative["label"] == parent["p_node"], "left")
             .select(
                 "node",
-                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+                F.least(F.col("label"), F.coalesce("p_label", "label")).alias("label"),
             )
             .localCheckpoint(eager=True)
         )

@@ -146,3 +146,17 @@ def test_registered_knn_recall_floors(spark):
         recalls = [len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact]
         mean_recall = sum(recalls) / len(recalls)
         assert mean_recall >= floor, (name, mean_recall)
+
+
+def test_connected_components_long_chain_converges(spark):
+    """Adversarial duplicate CHAIN (path graph, diameter 600): pure
+    neighbor-min propagation needs ~600 rounds and would blow the
+    25-round cap; the pointer-doubling step must converge in O(log n).
+    All nodes collapse to cluster 0."""
+    n = 600
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], ["doc_id_a", "doc_id_b"]
+    )
+    got = connected_components(chain, max_iters=25).collect()
+    assert len(got) == n + 1
+    assert {r["cluster_id"] for r in got} == {0}

@@ -629,7 +629,12 @@ def build_star(
                 if partition_by:
                     writer = writer.partitionBy(partition_by)
                 writer.parquet(path)
-                return spark.read.parquet(path)
+                # Read back with the KNOWN schema: skips the inference
+                # file-listing pass, and an EMPTY input (no part files
+                # written) still yields a correctly-shaped empty table
+                # instead of an AnalysisException. Partition columns are
+                # part of df.schema, so partitioned reads line up too.
+                return spark.read.schema(df.schema).parquet(path)
 
             # Dims land first and the fact builds FROM the read-back
             # parquet dims — the warehouse load order (dims before facts,

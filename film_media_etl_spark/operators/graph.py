@@ -60,6 +60,8 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n = nodes.count()
+    if n == 0:  # empty graph: no nodes, no rank mass to distribute
+        return nodes.withColumn("rank", F.lit(0.0))
     # Size the per-iteration shuffles to the NODE set, not the input:
     # a 5-node transition graph iterated 15 times under the session's 32
     # shuffle partitions pays 15 rounds of empty-partition scheduling.

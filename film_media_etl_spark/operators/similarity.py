@@ -157,6 +157,10 @@ def cosine_knn_ivf(
         F.col(id_col).alias("nbr_id"), to_double_vec(F.col(vec_col)).alias("nvec")
     )
     ml = base.withColumn("fv", array_to_vector("nvec"))
+    if ml.isEmpty():  # KMeans.fit raises on an empty corpus
+        return base.sparkSession.createDataFrame(
+            [], "query_id long, nbr_id long, score double, rank int"
+        )
     model = KMeans(k=nlist, seed=seed, featuresCol="fv", predictionCol="cell").fit(ml)
     assigned = model.transform(ml).select("nbr_id", "nvec", "cell")
 

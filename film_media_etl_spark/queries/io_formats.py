@@ -100,7 +100,9 @@ def ext_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _tmp(sf_dir, "orders_by_year")
     write_partitioned(o, path, ["year"])
     top_year = o.agg(F.max("year")).first()[0]
-    back = spark.read.parquet(path).where(F.col("year") == top_year)
+    # explicit schema: skips inference (and an empty input yields an
+    # empty frame instead of an AnalysisException on schema inference)
+    back = spark.read.schema(o.schema).parquet(path).where(F.col("year") == top_year)
     return back.select(
         "o_orderkey", "o_custkey", "o_totalprice", F.col("year").cast("int").alias("year")
     )
@@ -256,7 +258,11 @@ def ext_multiline_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("value")
     )
     arr.coalesce(1).write.mode("overwrite").text(path)
-    doc = spark.read.option("multiLine", "true").json(path)
+    doc = (
+        spark.read.option("multiLine", "true")
+        .schema("r_regionkey long, r_name string")
+        .json(path)
+    )
     return doc.select(
         F.col("r_regionkey").cast("int").alias("r_regionkey"), "r_name"
     )

@@ -1,0 +1,74 @@
+"""Empty-input robustness: every query must yield a correctly-shaped
+EMPTY result on zero-row tables, never raise — the behavior an engine
+needs for empty partitions, fresh warehouses, and filtered-to-nothing
+upstreams at scale. Round-3 sweep of all 234 queries found 26 failures
+(schema inference on empty materialized writes, KMeans.fit on an empty
+corpus, a driver-side division by node count); this pins the fixed ones
+plus representatives of each query family. The full-registry sweep is
+scripted at tools-level (see git history) and stays out of the suite for
+runtime reasons.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from film_media_etl_spark.queries import all_queries
+from film_media_etl_spark.sources import TABLES
+
+# every query that failed the round-3 empty sweep, plus family reps
+QUERIES = [
+    "star_dim_date",
+    "star_dim_customer",
+    "star_dim_location",
+    "star_dim_product",
+    "star_fact_sales",
+    "star_sales_summary",
+    "report_r01_top_year",
+    "report_r13_rollup_totals",
+    "report_r15_summary_kpis",
+    "ext_summary_incremental_refresh",
+    "ext_knn_ivf",
+    "ext_partitioned_scan",
+    "ext_multiline_json",
+    "ext_pagerank_transitions",
+    # family representatives that already passed — keep them passing
+    "flagship_revenue_by_year",
+    "op27_window_to_date",
+    "ext_dedup_minhash",
+    "ext_dedup_paragraphs",
+    "ext_knn_bruteforce",
+    "ext_fuzzy_match_passjoin",
+    "ext_decontamination",
+    "ext_asof_join",
+    "ext_tpch_q1_pricing_summary",
+]
+
+
+@pytest.fixture(scope="module")
+def empty_sf_dir(tmp_path_factory):
+    src = "/root/testdata/sf0.001"
+    dst = tmp_path_factory.mktemp("sf_empty")
+    for t in TABLES:
+        tb = pq.read_table(os.path.join(src, f"{t}.parquet"))
+        pq.write_table(tb.slice(0, 0), os.path.join(dst, f"{t}.parquet"))
+    return str(dst)
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_query_survives_empty_input(spark, empty_sf_dir, name):
+    from film_media_etl_spark.etl import star
+
+    star._STAR_CACHE.clear()  # don't reuse a populated warehouse
+    df = all_queries()[name](spark, empty_sf_dir)
+    assert df.count() == 0 or name in {
+        # aggregates without GROUP BY legally return one (empty-stats) row
+        "report_r14_year_range",
+        "report_r15_summary_kpis",
+        # the dim's constant 'Unknown' fallback row exists by definition
+        # even over an empty source (reference ` loadAnalyticsDB...R`:472)
+        "star_dim_location",
+    }

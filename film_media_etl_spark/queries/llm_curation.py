@@ -354,8 +354,16 @@ def ext_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     okey = F.col("doc_id") * 100000 + F.col("chunk_idx")
-    w = Window.partitionBy("chunk_text")
-    k = chunks.withColumn("kept", okey == F.min(okey).over(w))
+    # groupBy+join, NOT a window over chunk_text: a boilerplate passage
+    # repeated millions of times is one hot key — a window partition is
+    # unsplittable, while the aggregate gets map-side combine (min) and
+    # the join back gets AQE skew-splitting. Same result, skew-safe.
+    firsts = (
+        chunks.groupBy("chunk_text").agg(F.min(okey).alias("_first_key"))
+    )
+    k = chunks.join(firsts, "chunk_text").withColumn(
+        "kept", okey == F.col("_first_key")
+    )
     kept_struct = F.when(
         F.col("kept"), F.struct(F.col("chunk_idx"), F.col("chunk_text"))
     )

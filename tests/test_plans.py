@@ -892,3 +892,26 @@ def test_activity_bitmap_pure_aggregate(spark):
     s = plan_summary(df)
     assert s["window_nodes"] == 0
     assert s["cartesian_products"] == 0
+
+
+def test_dedup_paragraphs_skew_safe_no_window(spark):
+    """Passage dedup must use aggregate+join (map-side combine, AQE
+    skew-splittable), not a window over passage text — a hot boilerplate
+    passage would be one unsplittable window partition at scale."""
+    from film_media_etl_spark.plans import physical_plan
+
+    df = _q("ext_dedup_paragraphs", spark)
+    plan = physical_plan(df)
+    assert "Window" not in plan
+    assert "HashAggregate" in plan
+    assert_no_cartesian(df)
+
+
+def test_pii_redact_map_only(spark):
+    """Redaction is a pure map pass: no exchange, no join, no Python."""
+    from film_media_etl_spark.plans import physical_plan, plan_summary
+
+    df = _q("ext_pii_redact", spark)
+    s = plan_summary(df)
+    assert s["exchanges"] == 0 and s["broadcast_hash_joins"] == 0
+    assert "EvalPython" not in physical_plan(df)

@@ -625,6 +625,18 @@ def build_star(
 
             def _write(name: str, df: DataFrame, partition_by: str | None = None) -> DataFrame:
                 path = os.path.join(base, name)
+                if partition_by is None:
+                    # Dims are dimension-sized: landing them as one file
+                    # per write avoids the small-files tax on every
+                    # downstream broadcast read (38 part files for a
+                    # 16k-row dim measured locally). repartition, NOT
+                    # coalesce — coalesce(1) would propagate up and run
+                    # the parallel surrogate-key window on one partition;
+                    # the explicit exchange keeps upstream parallel and
+                    # only the dim-sized result moves. A catalog-scale
+                    # dim on a cluster should raise this toward one file
+                    # per ~128MB — keep the knob next to the write.
+                    df = df.repartition(1)
                 writer = df.write.mode("overwrite")
                 if partition_by:
                     writer = writer.partitionBy(partition_by)

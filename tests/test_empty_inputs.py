@@ -5,8 +5,7 @@ upstreams at scale. Round-3 sweep of all 234 queries found 26 failures
 (schema inference on empty materialized writes, KMeans.fit on an empty
 corpus, a driver-side division by node count); this pins the fixed ones
 plus representatives of each query family. The full-registry sweep is
-scripted at tools-level (see git history) and stays out of the suite for
-runtime reasons.
+tools/empty_sweep.py (a few minutes; out of the suite for runtime).
 """
 
 from __future__ import annotations

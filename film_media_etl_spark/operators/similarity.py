@@ -243,3 +243,133 @@ def embedding_near_dup_pairs(
         )
         .where(F.col("score") >= threshold)
     )
+
+
+def cosine_knn_pq(
+    embeddings: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_ids_below: int = 8,
+    k: int = 5,
+    m: int = 8,
+    codebook_k: int = 16,
+    rerank: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Product-quantization ANN (the FAISS-style compression path).
+
+    The 100 TB problem PQ solves is STORAGE-BANDWIDTH, not candidate
+    generation: scanning raw float vectors is dim*4 bytes/row; PQ codes
+    are ``m`` bytes/row (here 8 vs 256 — 32x less scan I/O). Pipeline:
+
+      1. Normalize (cosine -> monotone in L2 over unit vectors).
+      2. Split into ``m`` subvectors; per subspace fit a ``codebook_k``-
+         centroid KMeans (distributed fit, centroids are tiny driver
+         state — m*codebook_k*dim/m doubles).
+      3. Encode the corpus once: codes = array<int> of m bytes. At scale
+         this column is what the warehouse stores and scans.
+      4. Query side: build the asymmetric-distance table (query
+         subvector vs every centroid per subspace — m*codebook_k doubles,
+         inlined as literal arrays) and score each code row with m
+         element_at lookups + adds. No float vector is touched.
+      5. Exact re-rank of the top ``rerank*k`` by true cosine — the
+         standard accuracy backstop; touches only rerank*k raw vectors
+         per query.
+
+    Approximate by construction -> rows-only driver check; tests pin a
+    recall floor vs brute force. Uniform random fixture embeddings are
+    the PQ worst case (no subspace structure), so the floor is loose.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    sub = dim // m
+    base = embeddings.select(
+        F.col(id_col).alias("nbr_id"), to_double_vec(F.col(vec_col)).alias("raw")
+    )
+    norm = F.sqrt(
+        F.aggregate(F.col("raw"), F.lit(0.0), lambda a, x: a + x * x)
+    )
+    unit = base.select(
+        "nbr_id", F.transform("raw", lambda x: x / norm).alias("v")
+    )
+    if unit.isEmpty():
+        return base.sparkSession.createDataFrame(
+            [], "query_id long, nbr_id long, score double, rank int"
+        )
+
+    # per-subspace codebooks: m small distributed fits; sliced feature col
+    sub_cols = [
+        F.slice("v", s * sub + 1, sub).alias(f"s{s}") for s in range(m)
+    ]
+    sliced = unit.select("nbr_id", "v", *sub_cols).cache()
+    codebooks: list[list[list[float]]] = []
+    encoded = sliced
+    for s in range(m):
+        ml = encoded.withColumn("_fv", array_to_vector(f"s{s}"))
+        model = KMeans(
+            k=codebook_k, seed=seed + s, featuresCol="_fv", predictionCol=f"c{s}"
+        ).fit(ml)
+        codebooks.append([c.tolist() for c in model.clusterCenters()])
+        encoded = model.transform(ml).drop("_fv")
+    codes = encoded.select(
+        "nbr_id", "v", F.array(*[F.col(f"c{s}") for s in range(m)]).alias("code")
+    )
+
+    # asymmetric distance: for each query, per-subspace table of
+    # ||q_s - centroid||^2, inlined as literals; approx dist = sum of
+    # table lookups by code byte
+    queries = sliced.where(F.col("nbr_id") < query_ids_below).select(
+        F.col("nbr_id").alias("query_id"), F.col("v").alias("qvec"), *[
+            F.col(f"s{s}").alias(f"qs{s}") for s in range(m)
+        ],
+    )
+
+    def _tbl(s: int):
+        # array<double>[codebook_k]: squared L2 from query subvector s to
+        # each centroid (centroids are literals; the subtraction runs on
+        # the query's subvector column)
+        cents = codebooks[s]
+        return F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        F.col(f"qs{s}"),
+                        F.array(*[F.lit(float(x)) for x in c]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                for c in cents
+            ]
+        )
+
+    qt = queries.select(
+        "query_id", "qvec", *[_tbl(s).alias(f"t{s}") for s in range(m)]
+    )
+    adc = None
+    for s in range(m):
+        term = F.element_at(f"t{s}", F.element_at("code", s + 1) + 1)
+        adc = term if adc is None else adc + term
+    scored = (
+        codes.join(F.broadcast(qt), F.col("nbr_id") != F.col("query_id"))
+        .select("query_id", "qvec", "nbr_id", "v", adc.alias("approx_d2"))
+    )
+    w_pre = Window.partitionBy("query_id").orderBy(F.asc("approx_d2"), F.asc("nbr_id"))
+    shortlist = scored.withColumn("prerank", F.row_number().over(w_pre)).where(
+        F.col("prerank") <= rerank * k
+    )
+    # exact re-rank on unit vectors: cosine == dot
+    dot = F.aggregate(
+        F.zip_with("qvec", "v", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("nbr_id"))
+    return (
+        shortlist.withColumn("score", dot)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "score", "rank")
+    )

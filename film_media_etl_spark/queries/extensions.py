@@ -257,6 +257,19 @@ def ext_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_knn_lsh(load_table(spark, sf_dir, "embeddings"), query_ids_below=8, k=5)
 
 
+@register("ext_knn_pq")  # approximate recall -> rows-only check
+def ext_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 neighbors via product quantization with exact
+    re-rank (operators/similarity.py:cosine_knn_pq) — the compressed-
+    storage ANN path: 8-byte codes instead of 256-byte vectors at scan
+    time, asymmetric-distance lookups, top-20 re-ranked exactly."""
+    from ..operators.similarity import cosine_knn_pq
+
+    return cosine_knn_pq(
+        load_table(spark, sf_dir, "embeddings"), query_ids_below=8, k=5, rerank=16
+    )
+
+
 @register("ext_knn_ivf")  # approximate recall -> rows-only check
 def ext_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 neighbors via IVF: KMeans cells + nprobe search

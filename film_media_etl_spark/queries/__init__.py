@@ -50,5 +50,6 @@ from . import monitoring_ops  # noqa: E402,F401  peak detection + CUSUM drift
 from . import collocations  # noqa: E402,F401  token bigrams + rolling corr
 from . import weighted_stats  # noqa: E402,F401  weighted median + activity bitmap
 from . import tpch_extended  # noqa: E402,F401  Q4/Q6/Q8/Q9/Q11-Q17/Q19-Q22 shapes
+from . import semantic_curation  # noqa: E402,F401  SemDeDup + DSIR weighting
 
 __all__ = ["EngineQuery", "register", "get", "all_queries", "all_oracles"]

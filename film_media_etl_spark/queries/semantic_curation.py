@@ -1,0 +1,226 @@
+"""Semantic-level corpus curation: SemDeDup-style embedding dedup and
+DSIR-style importance weighting — the two published techniques a modern
+LLM training-data pipeline layers on top of the lexical dedup/quality
+stack (ext_dedup_* / ext_quality / ext_corpus_rebalance).
+
+- ``ext_dedup_semantic`` re-expresses SemDeDup (Abbas et al., 2023,
+  arXiv:2303.09540): cluster the embedding space with a coarse
+  quantizer, then prune near-duplicate *meanings* inside each cluster by
+  pairwise cosine — the cluster assignment bounds the quadratic to
+  cluster-sized blocks, which is the whole scaling argument of the
+  paper.
+- ``ext_dsir_weights`` re-expresses DSIR (Xie et al., 2023,
+  arXiv:2302.03169): score every raw document by the log-likelihood
+  ratio of a target-domain unigram LM vs the raw-corpus unigram LM;
+  high-weight documents are the ones importance resampling keeps.
+
+Cross-engine exactness: distances/cosines are the strict left-to-right
+double folds of functions/vectors.py (bit-identical in DuckDB's
+list_reduce); per-token log-ratios are rounded to 6 decimals and summed
+as DECIMAL (order-independent — the charlm.py convention).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import dot, l2sq, oracle_dot, oracle_l2sq, to_double_vec
+from ..sources import load_table
+from .registry import register
+
+# Coarse-quantizer size. At fixture scale 8 seed centroids (vec_id < 8)
+# stand in for a trained IVF codebook; at 100 TB K grows with the corpus
+# (K ~ N / target_cluster_size, trained by the ext_knn_ivf Lloyd step) so
+# per-cluster block size — and with it the quadratic's bound — stays
+# constant. Deterministic seeds keep the whole query oracle-checkable;
+# centroid TRAINING is iterative and lives in operators/similarity.py
+# with tolerance-tested coverage instead.
+_K = 8
+_SEM_THETA = 0.3  # uniform-random fixture embeddings: cosines concentrate
+# near 0 (std ~ 1/sqrt(64)), so 0.3 marks genuine outlier similarity —
+# same threshold as ext_dedup_embedding for comparability.
+
+
+@register(
+    "ext_dedup_semantic",
+    oracle=f"""
+    WITH seeds AS (
+      SELECT vec_id AS centroid_id, embedding AS ce
+      FROM embeddings WHERE vec_id < {_K}
+    ),
+    scored AS (
+      SELECT v.vec_id, s.centroid_id,
+             {oracle_l2sq("v.embedding", "s.ce")} AS dist2
+      FROM embeddings v CROSS JOIN seeds s
+    ),
+    assigned AS (
+      SELECT a.vec_id, a.centroid_id, e.embedding,
+             sqrt({oracle_dot("e.embedding", "e.embedding")}) AS nrm
+      FROM (
+        SELECT vec_id, centroid_id
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY vec_id ORDER BY dist2 ASC, centroid_id ASC) AS rn
+          FROM scored
+        ) WHERE rn = 1
+      ) a JOIN embeddings e ON a.vec_id = e.vec_id
+    ),
+    dup_counts AS (
+      SELECT b.vec_id AS vid, CAST(COUNT(*) AS INT) AS n
+      FROM assigned a JOIN assigned b
+        ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+      WHERE {oracle_dot("a.embedding", "b.embedding")} / (a.nrm * b.nrm)
+            >= {_SEM_THETA}
+      GROUP BY b.vec_id
+    )
+    SELECT s.vec_id, s.centroid_id AS cluster_id,
+           d.vid IS NOT NULL AS pruned,
+           COALESCE(d.n, 0) AS n_sim_lower
+    FROM assigned s LEFT JOIN dup_counts d ON s.vec_id = d.vid
+    """,
+)
+def ext_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: coarse-quantizer clustering + within-cluster cosine
+    pruning. A vector is ``pruned`` when a LOWER-id vector in its
+    cluster sits above the similarity threshold (greedy min-id survivor
+    — the same convention as ext_dedup_survivors; chains prune
+    everything but each block's first member).
+
+    Scale shape: centroids broadcast, so assignment is a map-only pass
+    (K folds per row, argmin over a K-row window keyed by vec_id). The
+    pairwise stage shuffles once on cluster_id and is quadratic ONLY
+    inside a cluster — the coarse quantizer is the blocking key, and at
+    100 TB K scales with the corpus so blocks stay bounded (the
+    SemDeDup paper's argument verbatim). Norms are computed once per
+    vector, so each pair costs one dot fold, not three."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = F.broadcast(
+        emb.where(F.col("vec_id") < _K).select(
+            F.col("vec_id").alias("centroid_id"),
+            to_double_vec(F.col("embedding")).alias("ce"),
+        )
+    )
+    scored = (
+        emb.select("vec_id", to_double_vec(F.col("embedding")).alias("ve"))
+        .crossJoin(seeds)
+        .select(
+            "vec_id", "ve", "centroid_id", l2sq(F.col("ve"), F.col("ce")).alias("dist2")
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("dist2"), F.asc("centroid_id"))
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "centroid_id",
+            "ve",
+            F.sqrt(dot(F.col("ve"), F.col("ve"))).alias("nrm"),
+        )
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    cos = dot(F.col("a.ve"), F.col("b.ve")) / (F.col("a.nrm") * F.col("b.nrm"))
+    dup_counts = (
+        a.join(
+            b,
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .where(cos >= _SEM_THETA)
+        .groupBy(F.col("b.vec_id").alias("vid"))
+        .agg(F.count(F.lit(1)).cast("int").alias("n"))
+    )
+    return assigned.join(
+        dup_counts, assigned["vec_id"] == dup_counts["vid"], "left"
+    ).select(
+        "vec_id",
+        F.col("centroid_id").alias("cluster_id"),
+        F.col("vid").isNotNull().alias("pruned"),
+        F.coalesce("n", F.lit(0)).alias("n_sim_lower"),
+    )
+
+
+# DSIR target domain: English documents (the dominant, highest-quality
+# slice of the fixture corpus). The raw distribution is the whole corpus.
+_DSIR_TARGET = "lang = 'en'"
+
+
+@register(
+    "ext_dsir_weights",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents WHERE text IS NOT NULL
+    ),
+    raw AS (SELECT tok, COUNT(*) AS cr FROM tk GROUP BY tok),
+    tgt AS (SELECT tok, COUNT(*) AS ct FROM tk WHERE {_DSIR_TARGET} GROUP BY tok),
+    tot AS (
+      SELECT (SELECT SUM(cr) FROM raw) AS nr,
+             (SELECT COALESCE(SUM(ct), 0) FROM tgt) AS nt,
+             (SELECT COUNT(*) FROM raw) AS v
+    ),
+    model AS (
+      SELECT r.tok,
+             CAST(ROUND(
+               log10((COALESCE(t.ct, 0) + 1) / CAST(nt + v AS DOUBLE))
+               - log10((r.cr + 1) / CAST(nr + v AS DOUBLE)), 6)
+               AS DECIMAL(12,6)) AS lr
+      FROM raw r LEFT JOIN tgt t ON r.tok = t.tok CROSS JOIN tot
+    )
+    SELECT tk.doc_id, tk.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(m.lr) AS DOUBLE) AS dsir_weight
+    FROM tk JOIN model m ON tk.tok = m.tok
+    GROUP BY tk.doc_id, tk.lang
+    """,
+)
+def ext_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights: per-document log-likelihood ratio of the
+    target-domain (English) unigram LM against the raw-corpus unigram
+    LM, add-one smoothed over the shared vocabulary. High weight =
+    target-like; importance resampling keeps documents with probability
+    increasing in this weight (selection itself is a TakeOrdered /
+    threshold downstream — deliberately not a global sort here).
+
+    Scale shape: two token-count aggregates (explode -> map-side partial
+    agg -> vocab-sized result), a vocab-sized model join, and one
+    corpus-sized groupBy(doc_id) with map-side DECIMAL partial sums. The
+    model table is vocabulary-bounded; the paper's hashed-n-gram variant
+    (bucket tokens with a hash to cap the model at 10k rows) drops in by
+    replacing `tok` with `pmod(xxhash64(tok), B)` on the Spark side —
+    kept un-hashed here so the oracle shares the exact token keys.
+    Per-token log-ratios round to 6 decimals and sum as DECIMAL, so the
+    result is fold-order-independent and bit-identical across engines
+    (charlm.py convention)."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    tk = docs.select(
+        "doc_id", "lang", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    )
+    raw = tk.groupBy("tok").agg(F.count(F.lit(1)).alias("cr"))
+    tgt = (
+        tk.where(F.expr(_DSIR_TARGET)).groupBy("tok").agg(F.count(F.lit(1)).alias("ct"))
+    )
+    tot = raw.join(tgt, "tok", "left").agg(
+        F.sum("cr").alias("nr"),
+        F.coalesce(F.sum("ct"), F.lit(0)).alias("nt"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    lr = F.round(
+        F.log10((F.coalesce("ct", F.lit(0)) + 1) / (F.col("nt") + F.col("v")).cast("double"))
+        - F.log10((F.col("cr") + 1) / (F.col("nr") + F.col("v")).cast("double")),
+        6,
+    ).cast("decimal(12,6)")
+    model = (
+        raw.join(tgt, "tok", "left")
+        .crossJoin(F.broadcast(tot))
+        .select("tok", lr.alias("lr"))
+    )
+    return (
+        tk.join(model, "tok")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("lr").cast("double").alias("dsir_weight"),
+        )
+    )

@@ -22,7 +22,7 @@ as DECIMAL (order-independent — the charlm.py convention).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.vectors import dot, l2sq, oracle_dot, oracle_l2sq, to_double_vec
@@ -95,29 +95,45 @@ def ext_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     SemDeDup paper's argument verbatim). Norms are computed once per
     vector, so each pair costs one dot fold, not three."""
     emb = load_table(spark, sf_dir, "embeddings")
-    seeds = F.broadcast(
-        emb.where(F.col("vec_id") < _K).select(
-            F.col("vec_id").alias("centroid_id"),
-            to_double_vec(F.col("embedding")).alias("ce"),
-        )
+    # Codebook as LITERALS: K centroids collected once at plan-build time
+    # (8 rows — same driver-side pattern as the IVF/PQ trainers), so the
+    # assignment is a pure map expression instead of a crossJoin + argmin
+    # window. The first formulation triplicated a scan+window subtree
+    # (Spark does not CSE across DataFrame reuse) and paid two shuffles
+    # per copy; this one is zero-shuffle until the pair join. At a
+    # production K (thousands), switch the codebook to an F.broadcast
+    # join — the literal form is for codebooks small enough to inline.
+    codebook = (
+        emb.where(F.col("vec_id") < _K)
+        .select(F.col("vec_id").alias("cid"), to_double_vec(F.col("embedding")).alias("ce"))
+        .collect()
     )
-    scored = (
-        emb.select("vec_id", to_double_vec(F.col("embedding")).alias("ve"))
-        .crossJoin(seeds)
-        .select(
-            "vec_id", "ve", "centroid_id", l2sq(F.col("ve"), F.col("ce")).alias("dist2")
-        )
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.asc("dist2"), F.asc("centroid_id"))
-    assigned = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select(
+    if not codebook:  # empty corpus: emit the schema, nothing to cluster
+        return emb.select(
             "vec_id",
-            "centroid_id",
-            "ve",
-            F.sqrt(dot(F.col("ve"), F.col("ve"))).alias("nrm"),
+            F.lit(None).cast("long").alias("cluster_id"),
+            F.lit(False).alias("pruned"),
+            F.lit(0).cast("int").alias("n_sim_lower"),
         )
+    ve = to_double_vec(F.col("embedding"))
+    # least() over (dist2, centroid_id) structs compares lexicographically
+    # — identical semantics (and tie-break) to the oracle's ROW_NUMBER
+    # ORDER BY dist2 ASC, centroid_id ASC. Each dist2 is the same strict
+    # fold as the oracle's list_reduce, against the centroid literal.
+    best = F.least(
+        *[
+            F.struct(
+                l2sq(ve, F.array(*[F.lit(x) for x in row["ce"]])).alias("dist2"),
+                F.lit(int(row["cid"])).cast("long").alias("cid"),
+            )
+            for row in sorted(codebook, key=lambda r: r["cid"])
+        ]
+    )
+    assigned = emb.select(
+        "vec_id",
+        best["cid"].alias("centroid_id"),
+        ve.alias("ve"),
+        F.sqrt(dot(ve, ve)).alias("nrm"),
     )
     a, b = assigned.alias("a"), assigned.alias("b")
     cos = dot(F.col("a.ve"), F.col("b.ve")) / (F.col("a.nrm") * F.col("b.nrm"))

@@ -915,3 +915,26 @@ def test_pii_redact_map_only(spark):
     s = plan_summary(df)
     assert s["exchanges"] == 0 and s["broadcast_hash_joins"] == 0
     assert "EvalPython" not in physical_plan(df)
+
+
+def test_dedup_semantic_map_only_assignment_blocked_pairs(spark):
+    """SemDeDup's cluster assignment must be a pure map expression (the
+    codebook is inlined — no crossJoin, no argmin window, no shuffle
+    before the pair stage), and the pairwise stage must be an equi-join
+    on cluster_id — never a cartesian over the corpus."""
+    df = _q("ext_dedup_semantic", spark)
+    s = plan_summary(df)
+    assert s["cartesian_products"] == 0
+    assert s["nested_loop_joins"] == 0  # no crossJoin against the codebook
+    assert s["window_nodes"] == 0  # argmin is least(), not row_number
+
+
+def test_dsir_weights_no_cartesian_jvm_only(spark):
+    """DSIR scoring is explode -> two vocab aggs -> model join -> one
+    per-doc aggregate; all JVM expressions, no Python eval, and the
+    totals row arrives by broadcast."""
+    from film_media_etl_spark.plans import physical_plan
+
+    df = _q("ext_dsir_weights", spark)
+    assert_no_cartesian(df)
+    assert "EvalPython" not in physical_plan(df)

@@ -39,6 +39,8 @@ HEADLINE = [
     "ext_dedup_minhash",
     "ext_dedup_exact",
     "ext_dedup_paragraphs",
+    "ext_dedup_semantic",
+    "ext_dsir_weights",
     "ext_summary_incremental_refresh",
     "ext_knn_bruteforce",
     "ext_window_sliding",

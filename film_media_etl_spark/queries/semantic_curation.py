@@ -40,6 +40,8 @@ _K = 8
 _SEM_THETA = 0.3  # uniform-random fixture embeddings: cosines concentrate
 # near 0 (std ~ 1/sqrt(64)), so 0.3 marks genuine outlier similarity —
 # same threshold as ext_dedup_embedding for comparability.
+_TILES = 4  # pairwise-stage parallelism multiplier (see triangle tiling
+# comment in ext_dedup_semantic): tasks = K * TILES*(TILES+1)/2.
 
 
 @register(
@@ -135,16 +137,54 @@ def ext_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         ve.alias("ve"),
         F.sqrt(dot(ve, ve)).alias("nrm"),
     )
-    a, b = assigned.alias("a"), assigned.alias("b")
+    # Triangle tiling for the pairwise stage: joining on cluster_id alone
+    # shuffles onto K keys, so the biggest stage runs at most K tasks (at
+    # K=8 that idles 3/4 of a 32-core box, and one hot cluster is one
+    # unsplittable task). Split each cluster into S vec_id-hash subgroups
+    # and run the unordered-pair triangle as its S(S+1)/2 tiles: the LEFT
+    # side replicates to the tiles where its subgroup is the ROW (t1=g),
+    # the RIGHT side to those where it is the COLUMN (t2=g). An
+    # off-diagonal tile (i,j) then joins exactly subgroup-i x subgroup-j
+    # — every cross-subgroup pair lands in exactly ONE tile with no
+    # ordering guard, and candidate volume equals the untiled a<b count
+    # (a both-sides-to-all-tiles spelling was measured 2.5x MORE
+    # candidate cosine folds — the guard discards them only after the
+    # join emits them). Diagonal tiles keep the vec_id< constraint.
+    # Result: K*S(S+1)/2-way parallelism, <=S-fold replication of tiny
+    # (id, vec) rows, identical pair set.
+    grp = F.pmod(F.xxhash64("vec_id"), F.lit(_TILES)).cast("int")
+
+    def _tiled(side: str) -> DataFrame:
+        structs = [
+            F.struct(
+                (F.col("g") if side == "row" else F.lit(i).cast("int")).alias("t1"),
+                (F.lit(i).cast("int") if side == "row" else F.col("g")).alias("t2"),
+            )
+            for i in range(_TILES)
+        ]
+        return (
+            assigned.withColumn("g", grp)
+            .withColumn("t", F.explode(F.array(*structs)))
+            .where(F.col("t.t1") <= F.col("t.t2"))
+            .select("vec_id", "centroid_id", "ve", "nrm", "t.t1", "t.t2")
+        )
+
+    a, b = _tiled("row").alias("a"), _tiled("col").alias("b")
     cos = dot(F.col("a.ve"), F.col("b.ve")) / (F.col("a.nrm") * F.col("b.nrm"))
+    pair_ok = (F.col("a.t1") != F.col("a.t2")) | (F.col("a.vec_id") < F.col("b.vec_id"))
     dup_counts = (
         a.join(
             b,
             (F.col("a.centroid_id") == F.col("b.centroid_id"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+            & (F.col("a.t1") == F.col("b.t1"))
+            & (F.col("a.t2") == F.col("b.t2"))
+            & pair_ok,
         )
         .where(cos >= _SEM_THETA)
-        .groupBy(F.col("b.vec_id").alias("vid"))
+        # the pruned member of an (unordered) pair is the HIGHER vec_id
+        .groupBy(
+            F.greatest(F.col("a.vec_id"), F.col("b.vec_id")).alias("vid")
+        )
         .agg(F.count(F.lit(1)).cast("int").alias("n"))
     )
     return assigned.join(

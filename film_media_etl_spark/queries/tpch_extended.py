@@ -3,13 +3,14 @@ TPC-H-ish schema (no partsupp table, no commit/receipt dates, no
 shipmode/container columns — each adaptation keeps the query's CLASS
 intact and is documented per query).
 
-Together with tpch_classics (Q1/Q3/Q5/Q7/Q10/Q18) this completes the
-22-query families the reference's BI workload never exercises
+Together with tpch_classics (Q1/Q3/Q5/Q7/Q10/Q18) this completes ALL
+22 query families the reference's BI workload never exercises
 (BusinessAnalysis...Rmd stops at grouped sums + pivots, rmd:90-165):
-EXISTS / NOT EXISTS decorrelation (Q4, Q21), correlated scalar
-subqueries (Q15, Q17, Q22), NOT IN anti-joins (Q16), scalar-vs-total
-HAVING (Q11), disjunctive multi-conjunct pushdown (Q19), conditional
-ratio aggregates (Q8, Q12, Q14), and a left-join histogram (Q13).
+argmin-by-join min-cost supplier (Q2), EXISTS / NOT EXISTS
+decorrelation (Q4, Q21), correlated scalar subqueries (Q15, Q17, Q22),
+NOT IN anti-joins (Q16), scalar-vs-total HAVING (Q11), disjunctive
+multi-conjunct pushdown (Q19), conditional ratio aggregates (Q8, Q12,
+Q14), and a left-join histogram (Q13).
 
 Scale notes common to all: dimension sides (part 2k rows, supplier 100,
 customer 1.5k, nation/region tiny) broadcast — lineitem/orders never
@@ -758,4 +759,79 @@ def ext_tpch_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFram
             F.count(F.lit(1)).alias("numcust"),
             F.sum("bal").cast("decimal(38,2)").alias("totacctbal"),
         )
+    )
+
+
+@register(
+    "ext_tpch_q2_min_cost_supplier",
+    oracle=f"""
+    WITH supply AS (
+      SELECT l.l_partkey AS partkey, l.l_suppkey AS suppkey,
+             CAST(MIN({_EXT}) AS DECIMAL(18,2)) AS supplycost
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      JOIN region r   ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'EUROPE'
+      GROUP BY 1, 2
+    ),
+    min_cost AS (
+      SELECT partkey, MIN(supplycost) AS min_cost FROM supply GROUP BY partkey
+    )
+    SELECT s.s_acctbal, s.s_name, n.n_name AS nation, p.p_partkey,
+           p.p_type, sp.supplycost
+    FROM supply sp
+    JOIN min_cost mc ON sp.partkey = mc.partkey AND sp.supplycost = mc.min_cost
+    JOIN part p      ON sp.partkey = p.p_partkey
+    JOIN supplier s  ON sp.suppkey = s.s_suppkey
+    JOIN nation n    ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_size = 15 AND p.p_type = 'LARGE'
+    """,
+)
+def ext_tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 minimum-cost supplier, adapted: with no partsupp table,
+    the supply relation is derived from lineitem — a (part, supplier)
+    pair supplies at MIN(l_extendedprice) (exact decimal; a unit-price
+    division would drift between engines). For LARGE size-15 parts, emit
+    every European supplier achieving the per-part minimum cost (ties
+    all qualify, as in the original).
+
+    The correlated MIN subquery decorrelates to a per-part aggregate of
+    the supply relation joined back on (part, cost=min) — the classic
+    argmin-by-join; the supply relation itself is one lineitem shuffle
+    on (part, supplier) with all dimension lookups (supplier 100 rows,
+    nation/region tiny, filtered part) riding broadcast, so the fact
+    scans once and never shuffles for a lookup. At 100 TB the supply
+    agg gets map-side combine and the min-cost re-agg runs over the
+    already-collapsed (part, supplier) rows — both AQE-coalesced."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    euro_supp = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"), "left_semi")
+        .select("s_suppkey", "s_name", "s_acctbal", F.col("n_name").alias("nation"))
+    )
+    supply = (
+        li.join(F.broadcast(euro_supp.select("s_suppkey")), li.l_suppkey == F.col("s_suppkey"), "left_semi")
+        .groupBy(F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey"))
+        .agg(F.min(F.expr(_EXT)).cast("decimal(18,2)").alias("supplycost"))
+    )
+    min_cost = supply.groupBy("partkey").agg(F.min("supplycost").alias("min_cost"))
+    p = load_table(spark, sf_dir, "part").where(
+        (F.col("p_size") == 15) & (F.col("p_type") == "LARGE")
+    )
+    return (
+        supply.join(
+            min_cost,
+            (supply.partkey == min_cost.partkey)
+            & (supply.supplycost == min_cost.min_cost),
+        )
+        .drop(min_cost.partkey)
+        .join(F.broadcast(p), F.col("partkey") == p.p_partkey)
+        .join(F.broadcast(euro_supp), F.col("suppkey") == F.col("s_suppkey"))
+        .select("s_acctbal", "s_name", "nation", "p_partkey", "p_type", "supplycost")
     )

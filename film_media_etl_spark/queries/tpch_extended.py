@@ -785,14 +785,14 @@ def ext_tpch_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFram
     JOIN part p      ON sp.partkey = p.p_partkey
     JOIN supplier s  ON sp.suppkey = s.s_suppkey
     JOIN nation n    ON s.s_nationkey = n.n_nationkey
-    WHERE p.p_size = 15 AND p.p_type = 'LARGE'
+    WHERE p.p_size <= 15 AND p.p_type IN ('LARGE', 'SMALL')
     """,
 )
 def ext_tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 minimum-cost supplier, adapted: with no partsupp table,
     the supply relation is derived from lineitem — a (part, supplier)
     pair supplies at MIN(l_extendedprice) (exact decimal; a unit-price
-    division would drift between engines). For LARGE size-15 parts, emit
+    division would drift between engines). For small-size LARGE/SMALL-class parts, emit
     every European supplier achieving the per-part minimum cost (ties
     all qualify, as in the original).
 
@@ -822,7 +822,7 @@ def ext_tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     min_cost = supply.groupBy("partkey").agg(F.min("supplycost").alias("min_cost"))
     p = load_table(spark, sf_dir, "part").where(
-        (F.col("p_size") == 15) & (F.col("p_type") == "LARGE")
+        (F.col("p_size") <= 15) & F.col("p_type").isin("LARGE", "SMALL")
     )
     return (
         supply.join(

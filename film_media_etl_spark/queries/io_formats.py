@@ -266,3 +266,126 @@ def ext_multiline_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc.select(
         F.col("r_regionkey").cast("int").alias("r_regionkey"), "r_name"
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) clustering — the multi-column data-skipping layout
+# ---------------------------------------------------------------------------
+
+def _morton_sql(x: str, y: str) -> str:
+    """SQL (valid in BOTH Spark SQL and DuckDB) interleaving the low 16
+    bits of ``x`` and ``y`` into a 32-bit Morton key — pure 64-bit
+    integer shifts/masks, bit-identical everywhere. The classic
+    bit-spread ladder; the expression text duplicates subterms, but both
+    engines CSE them and integer ops are ~free next to the scan."""
+
+    def spread(c: str) -> str:
+        e = f"(({c}) & 65535)"
+        for shift, mask in ((8, 0x00FF00FF), (4, 0x0F0F0F0F), (2, 0x33333333), (1, 0x55555555)):
+            e = f"((({e} | ({e} << {shift}))) & {mask})"
+        return e
+
+    return f"({spread(x)} | ({spread(y)} << 1))"
+
+
+_ZB = 6  # 2^6 = 64 layout buckets (a stand-in for files / row groups)
+
+# Key normalization to the full 16-bit Morton domain (raw keys fill only
+# ~11/7 bits at fixture scale, which would park every row in z-bucket 0).
+# Double multiply-then-divide + FLOOR is IEEE-identical in both engines
+# (products < 2^53 are exact); +1 in the denominator keeps the max key
+# inside 0..65535.
+_NORM_P = "CAST(FLOOR((l_partkey - minp) * 65535.0 / (maxp - minp + 1)) AS BIGINT)"
+_NORM_S = "CAST(FLOOR((l_suppkey - mins) * 65535.0 / (maxs - mins + 1)) AS BIGINT)"
+_STATS = ("SELECT MIN(l_partkey) AS minp, MAX(l_partkey) AS maxp, "
+          "MIN(l_suppkey) AS mins, MAX(l_suppkey) AS maxs FROM lineitem")
+
+
+@register(
+    "ext_zorder_layout",
+    oracle=f"""
+    WITH stats AS ({_STATS}),
+    norm AS (
+      SELECT l_partkey, l_suppkey, {_NORM_P} AS p16, {_NORM_S} AS s16
+      FROM lineitem CROSS JOIN stats
+    ),
+    keyed AS (
+      SELECT l_partkey, l_suppkey, p16,
+             {_morton_sql("p16", "s16")} AS zval
+      FROM norm
+    ),
+    buckets AS (
+      SELECT 'zorder' AS layout, (zval >> {32 - _ZB}) AS bucket,
+             l_partkey, l_suppkey FROM keyed
+      UNION ALL
+      SELECT 'linear' AS layout, (p16 >> {16 - _ZB}) AS bucket,
+             l_partkey, l_suppkey FROM keyed
+    ),
+    per_bucket AS (
+      SELECT layout, bucket, COUNT(*) AS n,
+             MAX(l_partkey) - MIN(l_partkey) AS partkey_span,
+             MAX(l_suppkey) - MIN(l_suppkey) AS suppkey_span
+      FROM buckets GROUP BY layout, bucket
+    )
+    SELECT layout,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           CAST(SUM(partkey_span) AS DOUBLE) / COUNT(*) AS avg_partkey_span,
+           CAST(SUM(suppkey_span) AS DOUBLE) / COUNT(*) AS avg_suppkey_span
+    FROM per_bucket GROUP BY layout
+    """,
+)
+def ext_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering audit: normalize two lookup keys to
+    the 16-bit Morton domain, interleave their bits into one sort key,
+    bucket the table by its high bits (a stand-in for file/row-group
+    assignment under a clustered write), and report each layout's
+    per-bucket min/max ENVELOPE — the statistic parquet footers store
+    and scans prune on. Z-ordered buckets bound BOTH key columns at
+    once (each bucket is a small rectangle in key space: ~1/8 of each
+    key range at 64 buckets), while a linear single-key sort bounds
+    only its own column (1/64 of partkey, ALL of suppkey) — the
+    measurable reason a 100 TB table z-ordered on (partkey, suppkey)
+    skips row groups for predicates on EITHER key. The Morton key is a
+    pure integer expression (no UDF; the only shuffles are the 4-value
+    stats agg broadcast back and the bucket agg); applying the layout
+    for real is sortWithinPartitions(zval) before a clustered write
+    (sources/maintenance.py compaction + this key)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    stats = li.agg(
+        F.min("l_partkey").alias("minp"),
+        F.max("l_partkey").alias("maxp"),
+        F.min("l_suppkey").alias("mins"),
+        F.max("l_suppkey").alias("maxs"),
+    )
+    norm = li.crossJoin(F.broadcast(stats)).selectExpr(
+        "l_partkey", "l_suppkey", f"{_NORM_P} AS p16", f"{_NORM_S} AS s16"
+    )
+    keyed = norm.withColumn("zval", F.expr(_morton_sql("p16", "s16")))
+    z = keyed.select(
+        F.lit("zorder").alias("layout"),
+        F.shiftright("zval", 32 - _ZB).alias("bucket"),
+        "l_partkey",
+        "l_suppkey",
+    )
+    lin = keyed.select(
+        F.lit("linear").alias("layout"),
+        F.shiftright("p16", 16 - _ZB).alias("bucket"),
+        "l_partkey",
+        "l_suppkey",
+    )
+    per_bucket = (
+        z.unionByName(lin)
+        .groupBy("layout", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.max("l_partkey") - F.min("l_partkey")).alias("partkey_span"),
+            (F.max("l_suppkey") - F.min("l_suppkey")).alias("suppkey_span"),
+        )
+    )
+    return per_bucket.groupBy("layout").agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum("n").cast("long").alias("n_rows"),
+        (F.sum("partkey_span").cast("double") / F.count(F.lit(1))).alias("avg_partkey_span"),
+        (F.sum("suppkey_span").cast("double") / F.count(F.lit(1))).alias("avg_suppkey_span"),
+    )

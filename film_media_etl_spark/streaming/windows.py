@@ -158,3 +158,87 @@ def stream_stateful_user_totals(events: DataFrame, *, watermark: str = "1 hour")
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+_TOPK_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("rank", T.IntegerType(), False),
+        T.StructField("value", T.DoubleType(), False),
+    ]
+)
+
+
+def stream_stateful_topk(
+    events: DataFrame, *, k: int = 3, watermark: str = "1 hour"
+) -> DataFrame:
+    """Per-user running top-k event values on the transformWithState API
+    (Spark 4's successor to applyInPandasWithState): typed ValueState
+    holds each user's current top-k array, updated per micro-batch, and
+    the operator re-emits the user's full top-k ranking after every
+    update (update output mode).
+
+    Why this operator: a running top-k is the canonical aggregation NO
+    built-in window expresses on a stream (max() loses the runners-up;
+    collect_list state would be unbounded) — bounding state at k values
+    per key is exactly what the custom-state escape hatch is for. State
+    size: k doubles per user, independent of stream length; a TTL
+    (ttlDurationMs on the state handle) is the production knob for
+    evicting dormant users.
+
+    ENVIRONMENT NOTE: executing this operator requires the
+    ``protobuf`` package (the transformWithState state-server protocol
+    is protobuf-framed) — absent in this container, so the pytest twin
+    (tests/test_streaming.py::test_stream_stateful_topk_matches_batch)
+    skips with an explicit reason; the applyInPandasWithState twin
+    (stream_stateful_user_totals) covers the custom-state path end-to-
+    end on the older protocol, which has no such dependency."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    # transformWithState requires the RocksDB state store (typed state +
+    # TTL live on its column families; the default HDFS-backed store has
+    # no support and the query crashes at start). Session-level conf —
+    # also the right store at scale: state spills off-heap.
+    events.sparkSession.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+
+    class TopKProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("topk", "vals ARRAY<DOUBLE>")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            cur = list(self._state.get()[0]) if self._state.exists() else []
+            for pdf in rows:
+                cur.extend(float(v) for v in pdf["value"].dropna())
+            # deterministic under ties: sort desc, stable on value only —
+            # equal values are interchangeable in a value-ranking
+            cur = sorted(cur, reverse=True)[:k]
+            self._state.update((cur,))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(cur),
+                    "rank": list(range(1, len(cur) + 1)),
+                    "value": cur,
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            TopKProcessor(),
+            outputStructType=_TOPK_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

@@ -329,3 +329,39 @@ def test_incremental_summary_matches_batch(spark, tmp_path):
         }
 
     assert norm(got) == norm(want)
+
+
+def test_stream_stateful_topk_matches_batch(spark, batch_events):
+    """transformWithState top-k: after draining the stream, each user's
+    LAST emitted ranking must equal the batch top-3 of their values.
+
+    Requires protobuf (the transformWithState state-server protocol);
+    skipped where absent — see the operator docstring."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState state server needs protobuf (absent in container)",
+    )
+    from film_media_etl_spark.streaming import stream_stateful_topk
+
+    s = stream_stateful_topk(read_events_stream(spark, PARITY_SF_DIR))
+    _run_to_memory(s, "t_topk", output_mode="update")
+    got: dict[int, list[float]] = {}
+    for r in (
+        spark.table("t_topk").orderBy("user_id", "rank").collect()
+    ):
+        got.setdefault(r["user_id"], [])
+        # update-mode re-emits full rankings; later emissions overwrite
+        if r["rank"] == 1:
+            got[r["user_id"]] = []
+        got[r["user_id"]].append(r["value"])
+    want = {
+        r["user_id"]: sorted(
+            [v for v in r["vals"] if v is not None], reverse=True
+        )[:3]
+        for r in batch_events.groupBy("user_id")
+        .agg(F.collect_list("value").alias("vals"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for u in want:
+        assert got[u] == pytest.approx(want[u])

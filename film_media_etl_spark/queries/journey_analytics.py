@@ -181,3 +181,113 @@ def ext_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             - ((F.count(F.lit(1)) + F.lit(1)).cast("double") / F.count(F.lit(1)))
         ).alias("gini"),
     )
+
+
+@register(
+    "ext_survival_km",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             list_sort(list(o_orderdate))[1] AS d1,
+             CASE WHEN COUNT(*) >= 2
+                  THEN list_sort(list(o_orderdate))[2] END AS d2
+      FROM orders GROUP BY o_custkey
+    ),
+    mx AS (SELECT MAX(o_orderdate) AS dmax FROM orders),
+    dur AS (
+      SELECT CASE WHEN d2 IS NOT NULL THEN date_diff('day', d1, d2)
+                  ELSE date_diff('day', d1, dmax) END AS duration,
+             (d2 IS NOT NULL) AS event
+      FROM per_cust CROSS JOIN mx
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM dur),
+    by_t AS (
+      SELECT duration, COUNT(*) AS n_obs,
+             COUNT(*) FILTER (WHERE event) AS d
+      FROM dur GROUP BY duration
+    ),
+    risk AS (
+      SELECT duration, d,
+             n - COALESCE(SUM(n_obs) OVER (ORDER BY duration ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+      FROM by_t CROSS JOIN tot
+    ),
+    factors AS (
+      SELECT duration, d, n_risk,
+             CAST(ROUND(log10(1.0 - CAST(d AS DOUBLE) / n_risk), 6)
+                  AS DECIMAL(12,6)) AS lf
+      FROM risk WHERE d > 0 AND d < n_risk
+    )
+    SELECT CAST(duration AS BIGINT) AS duration_days,
+           CAST(n_risk AS BIGINT) AS n_at_risk,
+           CAST(d AS BIGINT) AS n_events,
+           CAST(SUM(lf) OVER (ORDER BY duration ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS log10_survival
+    FROM factors
+    """,
+)
+def ext_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival estimator for time-to-repeat-order: per
+    customer, duration = days from first to second order (event) or to
+    the observation horizon (right-censored, no second order yet); the
+    KM product over event times is emitted as a cumulative LOG — each
+    per-step factor log10(1 - d/n_risk) rounds to 6 decimals and sums
+    as exact DECIMAL (the charlm.py convention), because a cross-engine
+    pow()/product would drift by ulps while log-survival compares
+    bit-exactly. Event times where survival would hit exactly zero
+    (d = n_risk, possible only at the last event with no censoring
+    beyond) are excluded on both sides — standard KM support is S > 0.
+
+    Scale shape: the per-customer first/second order dates come from
+    one groupBy with a bounded sort_array(collect_list) (orders per
+    customer, ~10), the duration histogram collapses the corpus to
+    #distinct durations (<= the date-range span in days), and the two
+    cumulative windows run over that bounded histogram — the only
+    unpartitioned windows in the query are over ~2.5k rows at ANY
+    corpus size, which is the documented bounded-key exception."""
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    arr = F.sort_array(F.collect_list("o_orderdate"))
+    per_cust = o.groupBy("o_custkey").agg(
+        arr.alias("ds"), F.count(F.lit(1)).alias("n_orders")
+    ).select(
+        F.element_at("ds", 1).alias("d1"),
+        F.when(F.col("n_orders") >= 2, F.element_at("ds", 2)).alias("d2"),
+    )
+    mx = o.agg(F.max("o_orderdate").alias("dmax"))
+    dur = per_cust.crossJoin(F.broadcast(mx)).select(
+        F.when(
+            F.col("d2").isNotNull(), F.datediff("d2", "d1")
+        ).otherwise(F.datediff("dmax", "d1")).alias("duration"),
+        F.col("d2").isNotNull().alias("event"),
+    )
+    tot = dur.agg(F.count(F.lit(1)).alias("n"))
+    by_t = dur.groupBy("duration").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.count(F.when(F.col("event"), 1)).alias("d"),
+    )
+    w_prior = (
+        Window.orderBy(F.asc("duration")).rowsBetween(Window.unboundedPreceding, -1)
+    )
+    risk = by_t.crossJoin(F.broadcast(tot)).select(
+        "duration",
+        "d",
+        (F.col("n") - F.coalesce(F.sum("n_obs").over(w_prior), F.lit(0))).alias("n_risk"),
+    )
+    lf = F.round(
+        F.log10(F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk")), 6
+    ).cast("decimal(12,6)")
+    factors = risk.where((F.col("d") > 0) & (F.col("d") < F.col("n_risk"))).select(
+        "duration", "d", "n_risk", lf.alias("lf")
+    )
+    w_cum = (
+        Window.orderBy(F.asc("duration")).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+    )
+    return factors.select(
+        F.col("duration").cast("long").alias("duration_days"),
+        F.col("n_risk").cast("long").alias("n_at_risk"),
+        F.col("d").cast("long").alias("n_events"),
+        F.sum("lf").over(w_cum).cast("double").alias("log10_survival"),
+    )

@@ -253,25 +253,25 @@ def ext_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     tk = docs.select(
         "doc_id", "lang", F.explode(F.split(F.lower("text"), " ")).alias("tok")
     )
-    raw = tk.groupBy("tok").agg(F.count(F.lit(1)).alias("cr"))
-    tgt = (
-        tk.where(F.expr(_DSIR_TARGET)).groupBy("tok").agg(F.count(F.lit(1)).alias("ct"))
+    # BOTH unigram models in one pass: conditional count for the target
+    # inside the raw count's aggregate — one corpus explode+shuffle
+    # instead of two, and no raw⋈target join (the oracle keeps the
+    # two-CTE spelling for clarity; the arithmetic is identical).
+    counts = tk.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.count(F.when(F.expr(_DSIR_TARGET), 1)).alias("ct"),
     )
-    tot = raw.join(tgt, "tok", "left").agg(
+    tot = counts.agg(
         F.sum("cr").alias("nr"),
-        F.coalesce(F.sum("ct"), F.lit(0)).alias("nt"),
+        F.sum("ct").alias("nt"),
         F.count(F.lit(1)).alias("v"),
     )
     lr = F.round(
-        F.log10((F.coalesce("ct", F.lit(0)) + 1) / (F.col("nt") + F.col("v")).cast("double"))
+        F.log10((F.col("ct") + 1) / (F.col("nt") + F.col("v")).cast("double"))
         - F.log10((F.col("cr") + 1) / (F.col("nr") + F.col("v")).cast("double")),
         6,
     ).cast("decimal(12,6)")
-    model = (
-        raw.join(tgt, "tok", "left")
-        .crossJoin(F.broadcast(tot))
-        .select("tok", lr.alias("lr"))
-    )
+    model = counts.crossJoin(F.broadcast(tot)).select("tok", lr.alias("lr"))
     return (
         tk.join(model, "tok")
         .groupBy("doc_id", "lang")

@@ -2,12 +2,15 @@
 
 Images/audio/video are opaque ``binary`` payload columns with a typed
 metadata struct riding alongside. The Spark-side machinery — schema,
-partition-preserving mapInPandas, Arrow batch shapes — is real and tested;
-the actual media decode is STUBBED (``decode_media`` raises
-NotImplementedError: no image/audio libraries ship in this container) and
-replaced by a deterministic fake feature extractor so the pipeline is
-exercisable end-to-end and oracle-checkable (payloads here are UTF-8 text
-bytes, so byte arithmetic is reproducible in SQL).
+partition-preserving mapInPandas, Arrow batch shapes — is real and tested.
+Media decode (``decode_media``) is REAL for the uncompressed Netpbm
+family (P6/P5 parsed byte-for-byte in pure numpy, fed by a deterministic
+P6 renderer and oracle-checked end-to-end via ext_multimodal_decode);
+compressed formats (JPEG/PNG/audio/video) would need PIL/torchaudio/pyav
+— absent in this container — and raise NotImplementedError, with a
+deterministic fake feature extractor keeping those pipelines exercisable
+and oracle-checkable (payloads are UTF-8 text bytes there, so byte
+arithmetic is reproducible in SQL).
 
 At scale: mapInPandas streams Arrow batches — constant memory per task,
 no driver collection; binary payloads stay columnar in parquet and are
@@ -48,16 +51,50 @@ def attach_binary_payload(docs: DataFrame, *, id_col: str = "doc_id", text_col: 
     )
 
 
-def decode_media(payload: bytes, mime: str):  # pragma: no cover - documented stub
-    """Real media decode (PIL / torchaudio / pyav) — STUB.
+def decode_media(payload: bytes, mime: str):
+    """Decode a media payload to a numpy pixel array.
 
-    The container ships no media libraries; a deployment would swap this
-    for the actual decoder. The deterministic fake path below keeps the
-    distributed plumbing testable.
-    """
+    REAL for the Netpbm family — ``image/x-portable-pixmap`` (P6, RGB)
+    and ``image/x-portable-graymap`` (P5) are parsed byte-for-byte in
+    pure numpy (header tokenizing incl. comments, maxval check, raw
+    raster reshape), so the decode path is genuinely exercised and
+    oracle-checked (queries/extensions.py:ext_multimodal_decode renders
+    P6 bytes and validates the decoded channel means against a closed-
+    form oracle). Compressed formats (JPEG/PNG/audio/video) would need
+    PIL/torchaudio/pyav — not in this container — and still raise."""
+    import numpy as np
+
+    if mime in ("image/x-portable-pixmap", "image/x-portable-graymap"):
+        # Netpbm header: magic, width, height, maxval as whitespace-
+        # separated tokens; '#' starts a comment to end-of-line; the
+        # raster begins after the single whitespace byte following maxval.
+        tokens: list[bytes] = []
+        i = 0
+        while len(tokens) < 4:
+            while i < len(payload) and payload[i : i + 1].isspace():
+                i += 1
+            if i < len(payload) and payload[i : i + 1] == b"#":
+                while i < len(payload) and payload[i : i + 1] != b"\n":
+                    i += 1
+                continue
+            start = i
+            while i < len(payload) and not payload[i : i + 1].isspace():
+                i += 1
+            if start == i:
+                raise ValueError("truncated Netpbm header")
+            tokens.append(payload[start:i])
+        i += 1  # exactly one whitespace byte separates maxval from raster
+        magic, w, h, maxval = tokens[0], int(tokens[1]), int(tokens[2]), int(tokens[3])
+        if maxval != 255:
+            raise ValueError(f"unsupported Netpbm maxval {maxval}")
+        channels = {b"P6": 3, b"P5": 1}.get(magic)
+        if channels is None:
+            raise ValueError(f"unsupported Netpbm magic {magic!r}")
+        raster = np.frombuffer(payload, dtype=np.uint8, count=w * h * channels, offset=i)
+        return raster.reshape(h, w, channels)
     raise NotImplementedError(
-        "media decoding requires image/audio libraries not present in this "
-        "environment; use extract_fake_features for the tested pipeline"
+        f"decoding {mime!r} requires media libraries (PIL/torchaudio/pyav) "
+        "not present in this environment; Netpbm (P5/P6) decodes natively"
     )
 
 
@@ -157,3 +194,88 @@ def sample_frames(media: DataFrame, *, n_frames: int = 4) -> DataFrame:
             yield pd.DataFrame({"media_id": ids, "frame_no": nos, "frame": frames})
 
     return media.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Real decode path: deterministic P6 rendering + numpy decode + stats
+# ---------------------------------------------------------------------------
+
+_IMG_W = _IMG_H = 8
+# pixel value formula shared (textually) with the SQL oracle: channel c of
+# pixel (x, y) in image `id` is (id*7 + x*3 + y*5 + c*11) % 256
+_PIXEL = "({id} * 7 + {x} * 3 + {y} * 5 + {c} * 11) % 256"
+
+
+def render_ppm_media(ids: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """Render a deterministic 8x8 P6 (binary RGB) image per id — REAL
+    PPM bytes (magic + dims + maxval header, raw raster), so downstream
+    decode exercises an actual byte-level parser, while the pixel values
+    stay closed-form reproducible for the SQL oracle."""
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        header = f"P6\n{_IMG_W} {_IMG_H}\n255\n".encode()
+        y, x, c = np.mgrid[0:_IMG_H, 0:_IMG_W, 0:3]
+        for pdf in it:
+            payloads = [
+                header + ((int(i) * 7 + x * 3 + y * 5 + c * 11) % 256).astype(np.uint8).tobytes()
+                for i in pdf[id_col]
+            ]
+            yield pd.DataFrame(
+                {"media_id": pdf[id_col].astype("int64"), "payload": payloads}
+            )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+    rendered = ids.select(F.col(id_col)).mapInPandas(batches, schema=out_schema)
+    return rendered.withColumn(
+        "meta",
+        F.struct(
+            F.lit("image/x-portable-pixmap").alias("mime"),
+            F.length("payload").alias("declared_bytes"),
+        ),
+    )
+
+
+CHANNEL_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("mean_r", T.DoubleType(), False),
+        T.StructField("mean_g", T.DoubleType(), False),
+        T.StructField("mean_b", T.DoubleType(), False),
+    ]
+)
+
+
+def image_channel_stats(media: DataFrame) -> DataFrame:
+    """mapInPandas over Arrow batches: decode each payload with the REAL
+    Netpbm parser (decode_media) and emit per-channel means. Integer
+    pixel sums stay exact in float64 at any summation order, so the
+    mean is bit-identical to the oracle's closed-form AVG."""
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            rows = {k: [] for k in ("media_id", "width", "height", "mean_r", "mean_g", "mean_b")}
+            for mid, payload, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
+                px = decode_media(bytes(payload), meta["mime"])
+                h, w, _ = px.shape
+                means = px.reshape(-1, 3).mean(axis=0)
+                rows["media_id"].append(mid)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["mean_r"].append(float(means[0]))
+                rows["mean_g"].append(float(means[1]))
+                rows["mean_b"].append(float(means[2]))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batches, schema=CHANNEL_STATS_SCHEMA)

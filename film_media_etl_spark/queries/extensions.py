@@ -459,3 +459,39 @@ def ext_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.where(F.length("frame") > 0).select(
         "media_id", "frame_no", F.length("frame").cast("int").alias("frame_bytes")
     )
+
+
+@register(
+    "ext_multimodal_decode",
+    oracle="""
+    WITH g AS (
+      SELECT d.doc_id AS media_id, x.x, y.y
+      FROM documents d
+      CROSS JOIN generate_series(0, 7) AS x(x)
+      CROSS JOIN generate_series(0, 7) AS y(y)
+      WHERE d.doc_id < 200
+    )
+    SELECT media_id,
+           CAST(8 AS INT) AS width,
+           CAST(8 AS INT) AS height,
+           AVG(CAST((media_id * 7 + x * 3 + y * 5) % 256 AS DOUBLE)) AS mean_r,
+           AVG(CAST((media_id * 7 + x * 3 + y * 5 + 11) % 256 AS DOUBLE)) AS mean_g,
+           AVG(CAST((media_id * 7 + x * 3 + y * 5 + 22) % 256 AS DOUBLE)) AS mean_b
+    FROM g GROUP BY media_id
+    """,
+)
+def ext_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end: render a deterministic 8x8 P6
+    (binary RGB PPM) per document id, then parse the actual bytes back
+    — magic/dims/maxval header, raw raster — with the pure-numpy Netpbm
+    decoder (operators/multimodal.py:decode_media) and emit per-channel
+    means. The oracle recomputes the means closed-form from the pixel
+    formula, so a decoder that misparses the header, strides the raster
+    wrong, or swaps channels fails the hash check. Both stages are
+    partition-preserving Arrow-batched mapInPandas — constant memory,
+    no shuffle at any corpus size (integer pixel sums are exact in
+    float64 at any summation order, so means compare bit-identically)."""
+    from ..operators.multimodal import image_channel_stats, render_ppm_media
+
+    ids = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    return image_channel_stats(render_ppm_media(ids))

@@ -285,3 +285,30 @@ def test_compaction_reduces_files_and_preserves_rows(spark, tmp_path):
     )
     spans = sorted((r["lo"], r["hi"]) for r in per_file)
     assert all(a[1] <= b[0] for a, b in zip(spans, spans[1:]))
+
+
+def test_netpbm_decoder_contract():
+    """decode_media parses real Netpbm bytes: P6/P5, header comments,
+    and loud failures on malformed input or unsupported formats."""
+    import numpy as np
+    import pytest as _pt
+
+    from film_media_etl_spark.operators.multimodal import decode_media
+
+    px = decode_media(b"P6\n2 2\n255\n" + bytes(range(12)), "image/x-portable-pixmap")
+    assert px.shape == (2, 2, 3) and px.flatten().tolist() == list(range(12))
+    # comments anywhere in the header are skipped
+    px = decode_media(
+        b"P6\n# a comment\n2 # inline\n2\n255\n" + bytes(range(12)),
+        "image/x-portable-pixmap",
+    )
+    assert px.shape == (2, 2, 3)
+    gray = decode_media(b"P5\n3 1\n255\n" + bytes([9, 8, 7]), "image/x-portable-graymap")
+    assert gray.shape == (1, 3, 1) and gray.flatten().tolist() == [9, 8, 7]
+    with _pt.raises(ValueError):
+        decode_media(b"P6\n2 2\n65535\n" + bytes(24), "image/x-portable-pixmap")
+    with _pt.raises(ValueError):
+        decode_media(b"P6\n2", "image/x-portable-pixmap")
+    with _pt.raises(NotImplementedError):
+        decode_media(b"\x89PNG...", "image/png")
+    assert np is not None

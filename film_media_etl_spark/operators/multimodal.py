@@ -279,3 +279,152 @@ def image_channel_stats(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(batches, schema=CHANNEL_STATS_SCHEMA)
+
+
+def thumbnail_stats(media: DataFrame, *, stride: int = 2) -> DataFrame:
+    """REAL thumbnailing: decode each Netpbm payload, nearest-neighbor
+    subsample (every ``stride``-th pixel — output (x,y) = input
+    (stride*x, stride*y)), and emit the thumbnail's channel means. The
+    whole op is decode -> numpy strided view -> stats inside one
+    partition-preserving mapInPandas."""
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            rows = {k: [] for k in ("media_id", "thumb_w", "thumb_h", "mean_r", "mean_g", "mean_b")}
+            for mid, payload, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
+                px = decode_media(bytes(payload), meta["mime"])
+                thumb = px[::stride, ::stride, :]
+                h, w, _ = thumb.shape
+                means = thumb.reshape(-1, 3).mean(axis=0)
+                rows["media_id"].append(mid)
+                rows["thumb_w"].append(w)
+                rows["thumb_h"].append(h)
+                rows["mean_r"].append(float(means[0]))
+                rows["mean_g"].append(float(means[1]))
+                rows["mean_b"].append(float(means[2]))
+            yield pd.DataFrame(rows)
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("thumb_w", T.IntegerType(), False),
+            T.StructField("thumb_h", T.IntegerType(), False),
+            T.StructField("mean_r", T.DoubleType(), False),
+            T.StructField("mean_g", T.DoubleType(), False),
+            T.StructField("mean_b", T.DoubleType(), False),
+        ]
+    )
+    return media.mapInPandas(batches, schema=schema)
+
+
+# --- Real audio path: deterministic PCM WAV rendering + RIFF decode -------
+
+_WAV_N = 64  # samples per rendered clip
+# sample formula shared with the SQL oracle: s[n] = ((id*13 + n*7) % 2001) - 1000
+_WAV_RATE = 8000
+
+
+def render_wav_media(ids: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """Render a deterministic 16-bit mono PCM WAV per id — a REAL RIFF
+    container (RIFF/WAVE header, fmt chunk, data chunk, little-endian
+    int16 samples), closed-form sample values for the SQL oracle."""
+
+    def batches(it: Iterator) -> Iterator:
+        import struct
+
+        import numpy as np
+        import pandas as pd
+
+        def wav_bytes(i: int) -> bytes:
+            n = np.arange(_WAV_N, dtype=np.int64)
+            samples = (((i * 13 + n * 7) % 2001) - 1000).astype("<i2")
+            data = samples.tobytes()
+            fmt = struct.pack("<HHIIHH", 1, 1, _WAV_RATE, _WAV_RATE * 2, 2, 16)
+            body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            body += b"data" + struct.pack("<I", len(data)) + data
+            return b"RIFF" + struct.pack("<I", len(body)) + body
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "payload": [wav_bytes(int(i)) for i in pdf[id_col]],
+                }
+            )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+    rendered = ids.select(F.col(id_col)).mapInPandas(batches, schema=out_schema)
+    return rendered.withColumn(
+        "meta",
+        F.struct(F.lit("audio/wav").alias("mime"), F.length("payload").alias("declared_bytes")),
+    )
+
+
+def decode_wav(payload: bytes):
+    """REAL PCM WAV decode in pure numpy/struct: validate the RIFF/WAVE
+    magic, WALK the chunk list (fmt/data can be preceded by LIST/fact
+    chunks in real files), require uncompressed 16-bit PCM, and return
+    (samples ndarray, sample_rate, channels)."""
+    import struct
+
+    import numpy as np
+
+    if payload[0:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    i, fmt, data = 12, None, None
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        (size,) = struct.unpack("<I", payload[i + 4 : i + 8])
+        body = payload[i + 8 : i + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, channels, rate, _, _, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise NotImplementedError(
+            f"only uncompressed 16-bit PCM decodes natively (format={audio_format}, "
+            f"bits={bits}); compressed audio needs torchaudio/ffmpeg"
+        )
+    samples = np.frombuffer(data, dtype="<i2")
+    return samples.reshape(-1, channels), rate, channels
+
+
+def audio_stats(media: DataFrame) -> DataFrame:
+    """Per-clip stats off the REAL WAV decode: sample count, mean
+    amplitude, and peak |amplitude| — integer sums, exact in float64."""
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            rows = {k: [] for k in ("media_id", "n_samples", "sample_rate", "mean_amp", "peak_amp")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                samples, rate, _ = decode_wav(bytes(payload))
+                rows["media_id"].append(mid)
+                rows["n_samples"].append(samples.shape[0])
+                rows["sample_rate"].append(rate)
+                rows["mean_amp"].append(float(samples.astype("int64").mean()))
+                rows["peak_amp"].append(int(abs(samples.astype("int64")).max()))
+            yield pd.DataFrame(rows)
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("n_samples", T.IntegerType(), False),
+            T.StructField("sample_rate", T.IntegerType(), False),
+            T.StructField("mean_amp", T.DoubleType(), False),
+            T.StructField("peak_amp", T.IntegerType(), False),
+        ]
+    )
+    return media.mapInPandas(batches, schema=schema)

@@ -495,3 +495,68 @@ def ext_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ids = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
     return image_channel_stats(render_ppm_media(ids))
+
+
+@register(
+    "ext_multimodal_thumbnail",
+    oracle="""
+    WITH g AS (
+      SELECT d.doc_id AS media_id, x.x, y.y
+      FROM documents d
+      CROSS JOIN generate_series(0, 3) AS x(x)
+      CROSS JOIN generate_series(0, 3) AS y(y)
+      WHERE d.doc_id < 200
+    )
+    SELECT media_id,
+           CAST(4 AS INT) AS thumb_w,
+           CAST(4 AS INT) AS thumb_h,
+           AVG(CAST((media_id * 7 + (2*x) * 3 + (2*y) * 5) % 256 AS DOUBLE)) AS mean_r,
+           AVG(CAST((media_id * 7 + (2*x) * 3 + (2*y) * 5 + 11) % 256 AS DOUBLE)) AS mean_g,
+           AVG(CAST((media_id * 7 + (2*x) * 3 + (2*y) * 5 + 22) % 256 AS DOUBLE)) AS mean_b
+    FROM g GROUP BY media_id
+    """,
+)
+def ext_multimodal_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL thumbnailing end-to-end: render P6 bytes, decode with the
+    numpy Netpbm parser, nearest-neighbor subsample 8x8 -> 4x4 (output
+    pixel (x,y) = input (2x,2y) — a strided numpy view, no resampling
+    kernel), and emit the thumbnail's channel means. The oracle
+    recomputes the means from the pixel formula at the STRIDED
+    coordinates, so an off-by-one in the stride or a wrong raster
+    orientation fails the hash. Partition-preserving mapInPandas
+    (decode->view->stats fused in one pass, no shuffle)."""
+    from ..operators.multimodal import render_ppm_media, thumbnail_stats
+
+    ids = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    return thumbnail_stats(render_ppm_media(ids), stride=2)
+
+
+@register(
+    "ext_multimodal_audio",
+    oracle="""
+    WITH g AS (
+      SELECT d.doc_id AS media_id, n.n
+      FROM documents d
+      CROSS JOIN generate_series(0, 63) AS n(n)
+      WHERE d.doc_id < 200
+    )
+    SELECT media_id,
+           CAST(64 AS INT) AS n_samples,
+           CAST(8000 AS INT) AS sample_rate,
+           AVG(CAST((media_id * 13 + n * 7) % 2001 - 1000 AS DOUBLE)) AS mean_amp,
+           CAST(MAX(ABS((media_id * 13 + n * 7) % 2001 - 1000)) AS INT) AS peak_amp
+    FROM g GROUP BY media_id
+    """,
+)
+def ext_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end: render a 16-bit mono PCM WAV per
+    id (RIFF container with fmt/data chunks), parse the actual bytes
+    back with the pure-numpy RIFF chunk walker (decode_wav), and emit
+    per-clip amplitude stats. The oracle recomputes them closed-form
+    from the sample formula — a decoder that misreads chunk sizes,
+    byte order, or sample width fails the hash. Same constant-memory
+    mapInPandas shape as the image path."""
+    from ..operators.multimodal import audio_stats, render_wav_media
+
+    ids = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    return audio_stats(render_wav_media(ids))

@@ -312,3 +312,33 @@ def test_netpbm_decoder_contract():
     with _pt.raises(NotImplementedError):
         decode_media(b"\x89PNG...", "image/png")
     assert np is not None
+
+
+def test_wav_decoder_contract():
+    """decode_wav walks RIFF chunks (extra chunks before data), requires
+    16-bit PCM, and round-trips little-endian samples exactly."""
+    import struct
+
+    import numpy as np
+    import pytest as _pt
+
+    from film_media_etl_spark.operators.multimodal import decode_wav
+
+    samples = np.array([-3, 0, 7, 32767, -32768], dtype="<i2")
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    junk = b"LIST" + struct.pack("<I", 4) + b"INFO"  # pre-data chunk
+    body = b"WAVE" + junk + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", samples.nbytes) + samples.tobytes()
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+
+    out, rate, channels = decode_wav(payload)
+    assert rate == 8000 and channels == 1
+    assert out.flatten().tolist() == samples.tolist()
+
+    with _pt.raises(ValueError):
+        decode_wav(b"OGGS" + payload[4:])
+    bad_fmt = struct.pack("<HHIIHH", 85, 1, 8000, 16000, 2, 16)  # mp3 format tag
+    bad = b"RIFF" + struct.pack("<I", 36) + b"WAVE" + b"fmt " + struct.pack("<I", 16) + bad_fmt
+    bad += b"data" + struct.pack("<I", 0)
+    with _pt.raises(NotImplementedError):
+        decode_wav(bad)

@@ -1,0 +1,72 @@
+"""Property-based tests (hypothesis) for the byte-level codecs and the
+Morton interleave — pure driver-side checks, no Spark session, so they
+run in milliseconds and explore the input space the fixture corpus
+doesn't."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from film_media_etl_spark.operators.multimodal import decode_media, decode_wav
+from film_media_etl_spark.queries.io_formats import _morton_sql
+
+
+def _interleave_py(x: int, y: int) -> int:
+    z = 0
+    for b in range(16):
+        z |= ((x >> b) & 1) << (2 * b)
+        z |= ((y >> b) & 1) << (2 * b + 1)
+    return z
+
+
+@given(st.integers(0, 65535), st.integers(0, 65535))
+@settings(max_examples=200, deadline=None)
+def test_morton_sql_matches_bitwise_reference(x, y):
+    """The magic-number spread ladder in _morton_sql must equal the
+    naive bit-by-bit interleave for every 16-bit pair (DuckDB evaluates
+    the same SQL text the Spark side runs through F.expr).
+
+    Inputs are CAST to BIGINT exactly as ext_zorder_layout's p16/s16
+    are — found by this very test: a bare INT32-typed literal overflows
+    DuckDB's left shift at y >= 2^15 (the y<<1 step lands on bit 31),
+    so the 64-bit input typing is load-bearing, not cosmetic."""
+    (got,) = duckdb.sql(
+        f"SELECT {_morton_sql(f'CAST({x} AS BIGINT)', f'CAST({y} AS BIGINT)')}"
+    ).fetchone()
+    assert got == _interleave_py(x, y)
+
+
+@given(
+    st.integers(1, 9),
+    st.integers(1, 9),
+    st.binary(min_size=0, max_size=0),
+)
+@settings(max_examples=50, deadline=None)
+def test_ppm_roundtrip_any_dims(w, h, _):
+    """Render-then-decode round-trips pixel-exactly for arbitrary small
+    dimensions (the fixture only exercises 8x8)."""
+    rng = np.random.default_rng(w * 100 + h)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    payload = f"P6\n{w} {h}\n255\n".encode() + px.tobytes()
+    out = decode_media(payload, "image/x-portable-pixmap")
+    assert (out == px).all()
+
+
+@given(st.lists(st.integers(-32768, 32767), min_size=1, max_size=64))
+@settings(max_examples=50, deadline=None)
+def test_wav_roundtrip_any_samples(samples):
+    """WAV encode/decode round-trips int16 samples exactly, including
+    the extremes and odd-length data chunks (word-alignment padding)."""
+    import struct
+
+    arr = np.array(samples, dtype="<i2")
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", arr.nbytes) + arr.tobytes()
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    out, rate, channels = decode_wav(payload)
+    assert rate == 8000 and channels == 1
+    assert out.flatten().tolist() == samples

@@ -41,6 +41,7 @@ HEADLINE = [
     "ext_dedup_paragraphs",
     "ext_dedup_semantic",
     "ext_dsir_weights",
+    "ext_multimodal_decode",  # Arrow/mapInPandas path in the timed mix
     "ext_summary_incremental_refresh",
     "ext_knn_bruteforce",
     "ext_window_sliding",

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources import load_table
+from ..sources.maintenance import morton_sql as _morton_sql
 from ..sources.formats import (
     read_csv,
     read_jsonl,
@@ -271,22 +272,6 @@ def ext_multiline_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Z-order (Morton) clustering — the multi-column data-skipping layout
 # ---------------------------------------------------------------------------
-
-def _morton_sql(x: str, y: str) -> str:
-    """SQL (valid in BOTH Spark SQL and DuckDB) interleaving the low 16
-    bits of ``x`` and ``y`` into a 32-bit Morton key — pure 64-bit
-    integer shifts/masks, bit-identical everywhere. The classic
-    bit-spread ladder; the expression text duplicates subterms, but both
-    engines CSE them and integer ops are ~free next to the scan."""
-
-    def spread(c: str) -> str:
-        e = f"(({c}) & 65535)"
-        for shift, mask in ((8, 0x00FF00FF), (4, 0x0F0F0F0F), (2, 0x33333333), (1, 0x55555555)):
-            e = f"((({e} | ({e} << {shift}))) & {mask})"
-        return e
-
-    return f"({spread(x)} | ({spread(y)} << 1))"
-
 
 _ZB = 6  # 2^6 = 64 layout buckets (a stand-in for files / row groups)
 

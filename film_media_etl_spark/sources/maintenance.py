@@ -40,6 +40,7 @@ def compact_parquet(
     *,
     target_file_mb: int = 128,
     cluster_by: list[str] | None = None,
+    n_files: int | None = None,
 ) -> DataFrame:
     """Rewrite ``in_path`` into ``out_path`` with ~``target_file_mb``
     files, optionally range-clustered on ``cluster_by``.
@@ -52,8 +53,9 @@ def compact_parquet(
     cluster column. Returns the compacted DataFrame (lazy scan of the
     new directory).
     """
-    _, total_bytes = directory_stats(in_path)
-    n_files = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
+    if n_files is None:
+        _, total_bytes = directory_stats(in_path)
+        n_files = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
     df = spark.read.parquet(in_path)
     if cluster_by:
         df = df.repartitionByRange(n_files, *cluster_by).sortWithinPartitions(
@@ -62,4 +64,63 @@ def compact_parquet(
     else:
         df = df.repartition(n_files)
     df.write.mode("overwrite").parquet(out_path)
+    return spark.read.parquet(out_path)
+
+
+def morton_sql(x: str, y: str) -> str:
+    """SQL (valid in BOTH Spark SQL and DuckDB) interleaving the low 16
+    bits of ``x`` and ``y`` into a 32-bit Morton key — pure 64-bit
+    integer shifts/masks, bit-identical everywhere. The classic
+    bit-spread ladder; the expression text duplicates subterms, but both
+    engines CSE them and integer ops are ~free next to the scan.
+    Inputs MUST be 64-bit-typed expressions: a 32-bit input overflows
+    the final left shift at bit 31 (pinned by
+    tests/test_media_properties.py). Shared by the ext_zorder_layout
+    audit query and zorder_compact's write path."""
+
+    def spread(c: str) -> str:
+        e = f"(({c}) & 65535)"
+        for shift, mask in ((8, 0x00FF00FF), (4, 0x0F0F0F0F), (2, 0x33333333), (1, 0x55555555)):
+            e = f"((({e} | ({e} << {shift}))) & {mask})"
+        return e
+
+    return f"({spread(x)} | ({spread(y)} << 1))"
+
+
+def zorder_compact(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    key_a: str,
+    key_b: str,
+    *,
+    target_file_mb: int = 128,
+    n_files: int | None = None,
+) -> DataFrame:
+    """Compaction with Z-ORDER clustering on two integer keys: normalize
+    both keys to the 16-bit Morton domain (min/max from one tiny stats
+    job), interleave into a Morton key, range-partition + sort on it,
+    and rewrite. Every output file then covers a RECTANGLE in
+    (key_a, key_b) space, so its parquet footer min/max bounds BOTH
+    columns — scans with a predicate on either key skip files
+    (single-key range clustering bounds only its own column; the
+    measurable contrast is the ext_zorder_layout audit query).
+    """
+    from pyspark.sql import functions as F
+
+    if n_files is None:
+        _, total_bytes = directory_stats(in_path)
+        n_files = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(in_path)
+    lo_a, hi_a, lo_b, hi_b = df.agg(
+        F.min(key_a), F.max(key_a), F.min(key_b), F.max(key_b)
+    ).first()
+    if lo_a is None or lo_b is None:  # empty input: plain rewrite
+        df.write.mode("overwrite").parquet(out_path)
+        return spark.read.parquet(out_path)
+    na = f"CAST(FLOOR(({key_a} - {lo_a}) * 65535.0 / {max(1, hi_a - lo_a) + 1}) AS BIGINT)"
+    nb = f"CAST(FLOOR(({key_b} - {lo_b}) * 65535.0 / {max(1, hi_b - lo_b) + 1}) AS BIGINT)"
+    z = df.withColumn("_z", F.expr(morton_sql(na, nb)))
+    out = z.repartitionByRange(n_files, "_z").sortWithinPartitions("_z").drop("_z")
+    out.write.mode("overwrite").parquet(out_path)
     return spark.read.parquet(out_path)

@@ -57,6 +57,11 @@ def get_spark(app_name: str = DEFAULT_APP_NAME, *, cpus: int | None = None) -> S
         # Parquet scans: keep row-group pruning + column pruning on
         # (defaults, pinned here as documentation of intent).
         .config("spark.sql.parquet.filterPushdown", "true")
+        # zstd over default snappy for every parquet the engine writes:
+        # measured on the fact write — same wall (0.50s vs 0.59s) at 38%
+        # smaller files (20.6 vs 33.3 MB at sf0.1). At 100 TB the scan is
+        # IO-bound, so the size win compounds on every downstream read.
+        .config("spark.sql.parquet.compression.codec", "zstd")
         # Runtime bloom-filter join pruning: when one join side is
         # selectively filtered, inject a bloom filter into the other
         # side's scan — at 100 TB this skips row groups that can't match.

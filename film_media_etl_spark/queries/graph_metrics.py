@@ -178,3 +178,143 @@ def ext_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("deg").alias("degree"))
         .agg(F.count(F.lit(1)).alias("n_nodes"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact fixed-point PageRank (oracle-checked iterative dataflow)
+# ---------------------------------------------------------------------------
+
+_PR_ITERS = 8
+_PR_SCALE = 10**12  # ranks in integer picorank units
+
+
+def _pagerank_exact_oracle() -> str:
+    """Unrolled fixed-point PageRank as chained CTEs. All arithmetic is
+    BIGINT (floor division //), so every iteration is bit-exact in any
+    engine — the SQL twin of the Spark loop in ext_pagerank_exact.
+
+    Every r{k} is AS MATERIALIZED: each iteration references its
+    predecessor twice (contribution join + dangling-mass scalar), and
+    DuckDB's default CTE inlining would re-evaluate the whole chain
+    2^iters times (measured 187s at sf0.01; materialized: sub-second —
+    the SQL analogue of the Spark loop's localCheckpoint)."""
+    ctes = [
+        """tr AS (
+      SELECT user_id, event_type AS src,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dst
+      FROM events
+    ),
+    edges_n AS (
+      SELECT src, dst, COUNT(*) AS n FROM tr WHERE dst IS NOT NULL
+      GROUP BY src, dst
+    ),
+    edges AS (
+      SELECT e.src, e.dst, e.n, o.ow
+      FROM edges_n e
+      JOIN (SELECT src, SUM(n) AS ow FROM edges_n GROUP BY src) o
+        ON e.src = o.src
+    ),
+    nodes AS (
+      SELECT DISTINCT src AS node FROM edges_n
+      UNION SELECT DISTINCT dst FROM edges_n
+    ),
+    nn AS (SELECT COUNT(*) AS n_nodes FROM nodes),
+    r0 AS (
+      SELECT node, CAST({scale} AS BIGINT) // (SELECT n_nodes FROM nn) AS r
+      FROM nodes
+    )""".format(scale=_PR_SCALE)
+    ]
+    for k in range(1, _PR_ITERS + 1):
+        ctes.append(
+            """r{k} AS MATERIALIZED (
+      SELECT n.node,
+             (15 * CAST({scale} AS BIGINT) // 100) // (SELECT n_nodes FROM nn)
+             + 85 * (
+                 COALESCE(c.contrib, 0)
+                 + (SELECT COALESCE(SUM(p.r), 0) FROM r{prev} p
+                    WHERE p.node NOT IN (SELECT src FROM edges)) //
+                   (SELECT n_nodes FROM nn)
+               ) // 100 AS r
+      FROM nodes n
+      LEFT JOIN (
+        SELECT e.dst AS node, SUM(p.r * e.n // e.ow) AS contrib
+        FROM edges e JOIN r{prev} p ON e.src = p.node
+        GROUP BY e.dst
+      ) c ON n.node = c.node
+    )""".format(k=k, prev=k - 1, scale=_PR_SCALE)
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"\n    SELECT node, CAST(r AS BIGINT) AS picorank FROM r{_PR_ITERS}"
+    )
+
+
+@register("ext_pagerank_exact", oracle=_pagerank_exact_oracle())
+def ext_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank over the event-transition graph, EXACT:
+    ranks live in integer picorank units (1e-12) and every operation is
+    BIGINT multiply/floor-divide, so the fixpoint iteration — normally
+    the poster child for 'not SQL-expressible, rows-only check' — hash-
+    matches an unrolled {iters}-iteration SQL oracle bit-for-bit. The
+    float twin (ext_pagerank_transitions, operators/graph.py) remains
+    the scale path; this query is the exactness demonstration and the
+    cross-engine regression pin for the iteration structure. Each
+    iteration is one shuffle join (ranks onto pre-normalized edges) +
+    one groupBy(dst) + a scalar dangling-mass aggregate — the same
+    dataflow shape, just quantized arithmetic (floor-division drops
+    sub-pico mass, deterministically).""".format(iters=_PR_ITERS)
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges_n = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .where(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out_w = edges_n.groupBy("src").agg(F.sum("n").alias("ow"))
+    edges = edges_n.join(out_w, "src").localCheckpoint(eager=True)
+    nodes = (
+        edges_n.select(F.col("src").alias("node"))
+        .unionByName(edges_n.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.withColumn("picorank", F.lit(None).cast("long"))
+    has_out = edges.select(F.col("src").alias("node")).distinct()
+    # detect dangling nodes ONCE: when none exist (typical for cleaned
+    # transition graphs) the loop needs no per-iteration driver scalar
+    # and the checkpoints can stay lazy (same fast path as the float op)
+    n_dangling = nodes.join(has_out, "node", "left_anti").count()
+    base = (15 * _PR_SCALE // 100) // n_nodes
+    ranks = nodes.withColumn("r", F.lit(_PR_SCALE // n_nodes).cast("long"))
+    for _ in range(_PR_ITERS):
+        dang = (
+            ranks.join(has_out, "node", "left_anti").agg(F.sum("r")).first()[0] or 0
+        ) if n_dangling else 0
+        contribs = (
+            edges.join(ranks, edges["src"] == ranks["node"])
+            .groupBy(F.col("dst").alias("cnode"))
+            .agg(F.sum(F.expr("r * n div ow")).alias("contrib"))
+        )
+        extra = dang // n_nodes
+        ranks = (
+            nodes.join(contribs, nodes["node"] == F.col("cnode"), "left")
+            .select(
+                "node",
+                F.expr(
+                    f"CAST({base} AS BIGINT) + "
+                    f"85 * (COALESCE(contrib, 0) + {extra}) div 100"
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=bool(n_dangling))
+        )
+    return ranks.select("node", F.col("r").cast("long").alias("picorank"))

@@ -291,3 +291,129 @@ def ext_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").cast("long").alias("n_events"),
         F.sum("lf").over(w_cum).cast("double").alias("log10_survival"),
     )
+
+
+# Channel encoding for Shapley attribution: the four non-conversion
+# event types as power-of-2 bits; 'purchase' is the conversion event.
+_SHAP_CHANNELS = [("view", 1), ("click", 2), ("signup", 4), ("error", 8)]
+_SHAP_N = len(_SHAP_CHANNELS)
+# Shapley coalition weights x n! (n=4): |S|!(n-1-|S|)! for |S| = 0..3
+_SHAP_W = {0: 6, 1: 2, 2: 2, 3: 6}
+_SHAP_FACT = 24  # 4!
+_SHAP_THR = 14  # a channel is "touched" at >= this many events (splits the fixture population)
+
+
+@register(
+    "ext_shapley_attribution",
+    oracle=f"""
+    WITH ch(channel, bit) AS (VALUES {", ".join(f"('{c}', {b})" for c, b in _SHAP_CHANNELS)}),
+    uc AS (
+      SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY 1, 2
+    ),
+    um AS (
+      SELECT u.user_id,
+             COALESCE(SUM(CASE WHEN u.n >= {_SHAP_THR} THEN b.bit END), 0) AS mask,
+             MAX(CASE WHEN u.event_type = 'purchase' AND u.n >= {_SHAP_THR}
+                      THEN 1 ELSE 0 END) AS conv
+      FROM uc u LEFT JOIN ch b ON u.event_type = b.channel
+      GROUP BY u.user_id
+    ),
+    mc AS (SELECT mask, COUNT(*) AS nu, SUM(conv) AS nc FROM um GROUP BY mask),
+    subs AS (SELECT CAST(s.s AS BIGINT) AS smask FROM generate_series(0, {2**_SHAP_N - 1}) s(s)),
+    vt AS (
+      SELECT s.smask,
+             CASE WHEN COALESCE(SUM(mc.nu), 0) = 0 THEN 0.0
+                  ELSE CAST(COALESCE(SUM(mc.nc), 0) AS DOUBLE) / COALESCE(SUM(mc.nu), 0)
+             END AS v
+      FROM subs s LEFT JOIN mc ON (mc.mask & ~s.smask) = 0
+      GROUP BY s.smask
+    ),
+    terms AS (
+      SELECT c.channel,
+             CAST(ROUND(
+               (CASE bit_count(s.smask) {" ".join(f"WHEN {k} THEN {w}" for k, w in _SHAP_W.items())} END)
+               * (vi.v - vs.v) / {_SHAP_FACT}.0, 9) AS DECIMAL(14,9)) AS term
+      FROM ch c
+      JOIN subs s ON (s.smask & c.bit) = 0
+      JOIN vt vs ON vs.smask = s.smask
+      JOIN vt vi ON vi.smask = s.smask + c.bit
+    )
+    SELECT channel, CAST(SUM(term) AS DOUBLE) AS shapley
+    FROM terms GROUP BY channel
+    """,
+)
+def ext_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-driven Shapley-value channel attribution: each channel's
+    credit for conversion is its average marginal lift over every
+    coalition of the other channels — the game-theoretic attribution
+    that first/last-touch (ext_attribution_first_last) approximates.
+    Coalition value v(S) = conversion rate among users whose touched
+    channel set is contained in S (touched/converted = >= {thr} events
+    of that type — a per-user engagement threshold that actually splits
+    the population); with {n} channels the {n2} subsets enumerate
+    EXACTLY (no sampling), so the result is closed-form.
+
+    Scale shape: ONE corpus-sized aggregate (per-user channel bitmask +
+    conversion flag) collapses everything to <= {n2} mask rows; the
+    containment join, coalition values, and marginal terms all run on
+    subset-sized frames that broadcast. Adding channels grows subsets
+    2^n — the documented limit of exact Shapley (sampling or KernelSHAP
+    is the >12-channel path). Exactness: each marginal term rounds to 9
+    decimals and sums as DECIMAL (order-proof); v is a single int/int
+    double division, identical in both engines.""".format(
+        n=_SHAP_N, n2=2**_SHAP_N, thr=_SHAP_THR
+    )
+    ev = load_table(spark, sf_dir, "events")
+    ch = spark.createDataFrame(_SHAP_CHANNELS, "channel string, bit long")
+    uc = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    touched = F.when(F.col("n") >= _SHAP_THR, F.col("bit"))
+    um = (
+        uc.join(F.broadcast(ch), uc.event_type == ch.channel, "left")
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(F.sum(touched), F.lit(0)).alias("mask"),
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("n") >= _SHAP_THR), 1
+                ).otherwise(0)
+            ).alias("conv"),
+        )
+    )
+    mc = um.groupBy("mask").agg(
+        F.count(F.lit(1)).alias("nu"), F.sum("conv").alias("nc")
+    )
+    subs = spark.range(2**_SHAP_N).select(F.col("id").alias("smask"))
+    vt = (
+        subs.join(
+            F.broadcast(mc),
+            F.expr("(mask & ~smask) = 0"),
+            "left",
+        )
+        .groupBy("smask")
+        .agg(
+            F.when(F.coalesce(F.sum("nu"), F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(
+                F.coalesce(F.sum("nc"), F.lit(0)).cast("double")
+                / F.coalesce(F.sum("nu"), F.lit(0))
+            )
+            .alias("v")
+        )
+    )
+    wexpr = "CASE bit_count(smask) " + " ".join(
+        f"WHEN {k} THEN {w}" for k, w in _SHAP_W.items()
+    ) + " END"
+    vs = vt.select(F.col("smask"), F.col("v").alias("v_s"))
+    vi = vt.select(F.col("smask").alias("imask"), F.col("v").alias("v_i"))
+    terms = (
+        ch.join(F.broadcast(subs), F.expr("(smask & bit) = 0"))
+        .join(F.broadcast(vs), "smask")
+        .join(F.broadcast(vi), F.expr("imask = smask + bit"))
+        .select(
+            "channel",
+            F.round(
+                F.expr(wexpr) * (F.col("v_i") - F.col("v_s")) / F.lit(float(_SHAP_FACT)),
+                9,
+            ).cast("decimal(14,9)").alias("term"),
+        )
+    )
+    return terms.groupBy("channel").agg(F.sum("term").cast("double").alias("shapley"))

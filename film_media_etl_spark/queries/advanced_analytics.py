@@ -507,3 +507,148 @@ def ext_fuzzy_match_passjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("edit_dist").cast("int").alias("edit_dist"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance reduction (experimentation analytics)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ext_cuped",
+    oracle="""
+    WITH bounds AS (
+      SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS mid_us FROM events
+    ),
+    um AS (
+      SELECT user_id,
+             COALESCE(SUM(CASE WHEN epoch_us(ts) < (SELECT mid_us FROM bounds)
+                               THEN CAST(ROUND(value, 3) AS DECIMAL(18,3)) END),
+                      0) AS x,
+             COALESCE(SUM(CASE WHEN epoch_us(ts) >= (SELECT mid_us FROM bounds)
+                               THEN CAST(ROUND(value, 3) AS DECIMAL(18,3)) END),
+                      0) AS y
+      FROM events GROUP BY user_id
+    ),
+    armed AS (
+      SELECT CASE WHEN (
+               (instr('0123456789abcdef', substr(md5(CAST(user_id AS STRING)), 1, 1)) - 1) * 1048576
+             + (instr('0123456789abcdef', substr(md5(CAST(user_id AS STRING)), 2, 1)) - 1) * 65536
+             + (instr('0123456789abcdef', substr(md5(CAST(user_id AS STRING)), 3, 1)) - 1) * 4096
+             + (instr('0123456789abcdef', substr(md5(CAST(user_id AS STRING)), 4, 1)) - 1) * 256
+             + (instr('0123456789abcdef', substr(md5(CAST(user_id AS STRING)), 5, 1)) - 1) * 16
+             + (instr('0123456789abcdef', substr(md5(CAST(user_id AS STRING)), 6, 1)) - 1)
+             ) / 16777216.0 < 0.5 THEN 'treat' ELSE 'control' END AS arm,
+             x, y
+      FROM um
+    ),
+    pooled AS (
+      SELECT COUNT(*) AS np,
+             CAST(SUM(x) AS DOUBLE) AS sxp,
+             CAST(SUM(y) AS DOUBLE) AS syp,
+             CAST(SUM(x * y) AS DOUBLE) AS sxyp,
+             CAST(SUM(x * x) AS DOUBLE) AS sxxp
+      FROM armed
+    ),
+    arms AS (
+      SELECT arm, COUNT(*) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx,
+             CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x * y) AS DOUBLE) AS sxy,
+             CAST(SUM(x * x) AS DOUBLE) AS sxx,
+             CAST(SUM(y * y) AS DOUBLE) AS syy
+      FROM armed GROUP BY arm
+    )
+    SELECT arm, CAST(n AS BIGINT) AS n_users,
+           (np * sxyp - sxp * syp) / (np * sxxp - sxp * sxp) AS theta,
+           sy / n AS mean_y,
+           sy / n - (np * sxyp - sxp * syp) / (np * sxxp - sxp * sxp)
+                    * (sx / n - sxp / np) AS mean_y_cuped,
+           (syy - sy * sy / n) / n AS var_y,
+           (syy - sy * sy / n) / n
+             - 2 * ((np * sxyp - sxp * syp) / (np * sxxp - sxp * sxp))
+                 * ((sxy - sx * sy / n) / n)
+             + ((np * sxyp - sxp * syp) / (np * sxxp - sxp * sxp))
+                 * ((np * sxyp - sxp * syp) / (np * sxxp - sxp * sxp))
+                 * ((sxx - sx * sx / n) / n) AS var_y_cuped
+    FROM arms CROSS JOIN pooled
+    """,
+)
+def ext_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction for A/B experiments (Deng et al., WSDM
+    2013): adjust each arm's outcome metric by the pre-period covariate,
+    y_cuped = y - theta*(x - E[x]), theta = cov(x,y)/var(x) pooled —
+    the standard trick that cuts metric variance (and so experiment
+    runtime) by the squared pre/post correlation. Here: users split
+    into deterministic md5-hash arms (the engine's reproducible-
+    sampling convention), x = a user's event value in the first half of
+    the observation window, y = in the second half.
+
+    Exactness: per-user sums quantize value to 3 decimals and sum as
+    DECIMAL (order-proof); arm/pooled moments are decimal sums cast to
+    double once; every derived statistic (theta, adjusted means,
+    variances) is then scalar double algebra spelled identically in
+    both engines — the same moments discipline as ext_corr_ols, because
+    built-in covar()/var() are partition-order-dependent. The midpoint
+    split compares integer epoch microseconds (both engines read the
+    parquet timestamps at microsecond precision). Scale shape: one
+    corpus-sized per-user aggregate, then everything is arm-sized."""
+    from .llm_curation import _uniform_expr
+
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(
+        ((F.min(F.unix_micros(F.col("ts").cast("timestamp"))) + F.max(F.unix_micros(F.col("ts").cast("timestamp")))) / F.lit(2))
+        .cast("long")
+        .alias("mid_us")
+    )
+    val = F.round(F.col("value"), 3).cast("decimal(18,3)")
+    um = (
+        ev.crossJoin(F.broadcast(b))
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.unix_micros(F.col("ts").cast("timestamp")) < F.col("mid_us"), val)), F.lit(0)
+            ).cast("decimal(38,3)").alias("x"),
+            F.coalesce(
+                F.sum(F.when(F.unix_micros(F.col("ts").cast("timestamp")) >= F.col("mid_us"), val)), F.lit(0)
+            ).cast("decimal(38,3)").alias("y"),
+        )
+    )
+    armed = um.select(
+        F.when(F.expr(_uniform_expr("user_id")) < 0.5, F.lit("treat"))
+        .otherwise(F.lit("control"))
+        .alias("arm"),
+        "x",
+        "y",
+    )
+    pooled = armed.agg(
+        F.count(F.lit(1)).alias("np"),
+        F.sum("x").cast("double").alias("sxp"),
+        F.sum("y").cast("double").alias("syp"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxyp"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxxp"),
+    )
+    arms = armed.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    j = arms.crossJoin(F.broadcast(pooled))
+    n, sx, sy, sxy, sxx, syy = (F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx", "syy"))
+    np_, sxp, syp, sxyp, sxxp = (F.col(c) for c in ("np", "sxp", "syp", "sxyp", "sxxp"))
+    theta = (np_ * sxyp - sxp * syp) / (np_ * sxxp - sxp * sxp)
+    var_y = (syy - sy * sy / n) / n
+    cov_a = (sxy - sx * sy / n) / n
+    var_x = (sxx - sx * sx / n) / n
+    return j.select(
+        "arm",
+        F.col("n").cast("long").alias("n_users"),
+        theta.alias("theta"),
+        (sy / n).alias("mean_y"),
+        (sy / n - theta * (sx / n - sxp / np_)).alias("mean_y_cuped"),
+        var_y.alias("var_y"),
+        (var_y - F.lit(2) * theta * cov_a + theta * theta * var_x).alias("var_y_cuped"),
+    )

@@ -938,3 +938,52 @@ def test_dsir_weights_no_cartesian_jvm_only(spark):
     df = _q("ext_dsir_weights", spark)
     assert_no_cartesian(df)
     assert "EvalPython" not in physical_plan(df)
+
+
+def test_shapley_single_corpus_aggregate(spark):
+    """Shapley attribution must touch the corpus once (per-user mask
+    aggregate); coalition/marginal math runs on subset-sized frames
+    riding broadcasts — no cartesian, no second events scan shuffle."""
+    df = _q("ext_shapley_attribution", spark)
+    s = plan_summary(df)
+    assert s["cartesian_products"] == 0
+    assert s["broadcast_hash_joins"] >= 2  # channel map + subset joins
+
+
+def test_cuped_moments_single_pass(spark):
+    """CUPED reduces to per-user decimal sums then arm-sized moment
+    algebra: the only corpus-sized shuffle is the user aggregate; the
+    midpoint scalar and pooled moments arrive by broadcast."""
+    from film_media_etl_spark.plans import physical_plan
+
+    df = _q("ext_cuped", spark)
+    assert_no_cartesian(df)
+    assert "EvalPython" not in physical_plan(df)
+
+
+def test_survival_km_windows_on_bounded_histogram(spark):
+    """The KM estimator's unpartitioned cumulative windows must sit
+    ABOVE the duration-histogram aggregate (bounded rows), never over
+    the per-customer frame."""
+    from film_media_etl_spark.plans import physical_plan
+
+    df = _q("ext_survival_km", spark)
+    plan = physical_plan(df)
+    assert plan.count("Window") >= 1
+    assert_no_cartesian(df)
+
+
+def test_zorder_layout_map_side_keys(spark):
+    """The Morton key is pure projection arithmetic: no joins beyond the
+    broadcast stats row, no Python, aggregates carry the only shuffles."""
+    from film_media_etl_spark.plans import physical_plan
+
+    df = _q("ext_zorder_layout", spark)
+    s = plan_summary(df)
+    assert s["cartesian_products"] == 0
+    assert "EvalPython" not in physical_plan(df)
+
+
+def test_pagerank_exact_no_cartesian(spark):
+    df = _q("ext_pagerank_exact", spark)
+    assert_no_cartesian(df)

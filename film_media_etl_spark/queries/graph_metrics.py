@@ -318,3 +318,129 @@ def ext_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=bool(n_dangling))
         )
     return ranks.select("node", F.col("r").cast("long").alias("picorank"))
+
+
+# ---------------------------------------------------------------------------
+# Exact multi-source BFS (second exact-iterative showcase)
+# ---------------------------------------------------------------------------
+
+_BFS_ITERS = 6
+_BFS_INF = 999  # unreached sentinel (graph diameter << this)
+_BFS_BRAND = "Brand#11"  # source set: this brand's parts present in the graph
+
+_BFS_EDGES_CTE = """b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    eo AS (
+      SELECT a.l_partkey AS u, c.l_partkey AS v
+      FROM b a JOIN b c
+        ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 2
+    ),
+    e AS MATERIALIZED (
+      SELECT u, v FROM eo UNION ALL SELECT v, u FROM eo
+    ),
+    nodes AS MATERIALIZED (SELECT DISTINCT u AS node FROM e)"""
+
+
+def _bfs_oracle() -> str:
+    """Unrolled multi-source BFS: d{k}(v) = min(d{k-1}(v), 1 + min over
+    in-neighbors d{k-1}(u)). Pure integer mins — exact with no rounding
+    convention at all; AS MATERIALIZED for the same CTE-inlining reason
+    as the PageRank oracle."""
+    ctes = [
+        _BFS_EDGES_CTE,
+        f"""d0 AS MATERIALIZED (
+      SELECT n.node,
+             CASE WHEN p.p_partkey IS NOT NULL THEN 0 ELSE {_BFS_INF} END AS dist
+      FROM nodes n LEFT JOIN part p
+        ON n.node = p.p_partkey AND p.p_brand = '{_BFS_BRAND}'
+    )""",
+    ]
+    for k in range(1, _BFS_ITERS + 1):
+        ctes.append(
+            f"""d{k} AS MATERIALIZED (
+      SELECT p.node,
+             LEAST(p.dist, COALESCE(nb.best + 1, {_BFS_INF})) AS dist
+      FROM d{k - 1} p
+      LEFT JOIN (
+        SELECT e.v AS node, MIN(q.dist) AS best
+        FROM e JOIN d{k - 1} q ON e.u = q.node
+        GROUP BY e.v
+      ) nb ON p.node = nb.node
+    )"""
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"""
+    SELECT CAST(dist AS BIGINT) AS distance, COUNT(*) AS n_parts
+    FROM d{_BFS_ITERS} WHERE dist < {_BFS_INF} GROUP BY dist"""
+    )
+
+
+@register("ext_bfs_distances", oracle=_bfs_oracle())
+def ext_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS over the co-purchase graph: hop distance from
+    every part to the nearest {brand} part, reported as a distance
+    histogram — 'how far is the catalog from this brand's basket
+    neighborhood'. Second exact-iterative showcase after
+    ext_pagerank_exact, and the simpler one: the relaxation is pure
+    integer MIN (no quantization convention needed), so {iters} unrolled
+    frontier expansions hash-match the materialized-CTE oracle exactly.
+
+    Scale shape: each round is one shuffle join (distances onto the
+    oriented edge list, both directions) + one groupBy(dst) MIN with
+    map-side combine + a node-set left join; lineage is cut per round
+    with localCheckpoint. Fixed-round BFS is the bounded-diameter
+    pattern (k-hop neighborhoods); unbounded BFS adds the converged?
+    check of connected_components.""".format(brand=_BFS_BRAND, iters=_BFS_ITERS)
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.select("l_orderkey", "l_partkey").distinct()
+    a, c = b.alias("a"), b.alias("c")
+    eo = (
+        a.join(
+            c,
+            (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("c.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("c.l_partkey").alias("v"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= 2)
+        .select("u", "v")
+    )
+    e = eo.unionByName(
+        eo.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    nodes = e.select(F.col("u").alias("node")).distinct()
+    srcs = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_brand") == _BFS_BRAND)
+        .select(F.col("p_partkey").alias("node"))
+    )
+    d = nodes.join(F.broadcast(srcs), "node", "left_semi").withColumn(
+        "dist", F.lit(0)
+    ).unionByName(
+        nodes.join(F.broadcast(srcs), "node", "left_anti").withColumn(
+            "dist", F.lit(_BFS_INF)
+        )
+    ).localCheckpoint(eager=True)
+    for _ in range(_BFS_ITERS):
+        nb = (
+            e.join(d, e["u"] == d["node"])
+            .groupBy(F.col("v").alias("nbnode"))
+            .agg(F.min("dist").alias("best"))
+        )
+        d = (
+            d.join(nb, d["node"] == F.col("nbnode"), "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("dist"), F.coalesce(F.col("best") + 1, F.lit(_BFS_INF))
+                ).alias("dist"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        d.where(F.col("dist") < _BFS_INF)
+        .groupBy(F.col("dist").cast("long").alias("distance"))
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )

@@ -88,3 +88,114 @@ def ext_basket_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n_orders").over(w).cast("double")
         ).alias("share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt double-exponential smoothing (level + trend), exact
+# ---------------------------------------------------------------------------
+
+_HOLT_A = 0.5  # level smoothing
+_HOLT_B = 0.3  # trend smoothing
+
+# one textual spelling of the per-step recursion, shared by both engines:
+# the new level rounds to 6dp BEFORE the trend update reads it, so each
+# step's state is an exact decimal and the recursion cannot drift.
+_HOLT_L = "ROUND({a} * {y} + {a2} * ({l} + {b}), 6)"
+_HOLT_T = "ROUND({bb} * ({lnew} - {l}) + {b2} * {b}, 6)"
+
+
+@register(
+    "ext_holt_forecast",
+    oracle=f"""
+    WITH RECURSIVE daily AS (
+      SELECT event_type, date_trunc('day', ts) AS d,
+             CAST(SUM(CAST(ROUND(value, 3) AS DECIMAL(18,3))) AS DOUBLE) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    ser AS (
+      SELECT event_type,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS INT) - 1 AS t,
+             y
+      FROM daily
+    ),
+    tmax AS (SELECT event_type, MAX(t) AS tm FROM ser GROUP BY 1),
+    hw AS (
+      SELECT event_type, t,
+             CAST(ROUND(y, 6) AS DECIMAL(24,6)) AS l,
+             CAST(0 AS DECIMAL(24,6)) AS b
+      FROM ser WHERE t = 0
+      UNION ALL
+      SELECT s.event_type, s.t,
+             CAST({_HOLT_L.format(a=_HOLT_A, a2=1 - _HOLT_A, y="s.y",
+                                  l="CAST(h.l AS DOUBLE)", b="CAST(h.b AS DOUBLE)")}
+                  AS DECIMAL(24,6)),
+             CAST({_HOLT_T.format(
+                    bb=_HOLT_B, b2=1 - _HOLT_B,
+                    lnew="CAST(CAST(" + _HOLT_L.format(
+                        a=_HOLT_A, a2=1 - _HOLT_A, y="s.y",
+                        l="CAST(h.l AS DOUBLE)", b="CAST(h.b AS DOUBLE)")
+                        + " AS DECIMAL(24,6)) AS DOUBLE)",
+                    l="CAST(h.l AS DOUBLE)", b="CAST(h.b AS DOUBLE)")}
+                  AS DECIMAL(24,6))
+      FROM hw h JOIN ser s ON s.event_type = h.event_type AND s.t = h.t + 1
+    )
+    SELECT h.event_type,
+           CAST(m.tm + 1 AS BIGINT) AS n_days,
+           CAST(h.l AS DOUBLE) AS level,
+           CAST(h.b AS DOUBLE) AS trend,
+           CAST(h.l AS DOUBLE) + CAST(h.b AS DOUBLE) AS forecast_next
+    FROM hw h JOIN tmax m ON h.event_type = m.event_type AND h.t = m.tm
+    """,
+)
+def ext_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing per event type: level/trend
+    recursion l_t = a*y_t + (1-a)(l+b), b_t = g*(l_t-l) + (1-g)*b over
+    the daily value series, one-step-ahead forecast = level + trend —
+    the trend-aware forecaster next to ext_seasonal_decompose's
+    decomposition and ext_forecast_backtest's naive baseline.
+
+    A time recursion is the third 'not SQL-expressible' class after
+    fixpoints (ext_pagerank_exact) and frontier expansion
+    (ext_bfs_distances); it IS expressible — Spark folds the collected
+    per-key series in order (bounded: days per key), the oracle runs a
+    RECURSIVE CTE stepping t -> t+1 — and it hash-matches exactly
+    because each step's level rounds to a 6dp DECIMAL before the trend
+    update reads it (one shared spelling of the step, both engines).
+    Scale shape: one corpus-sized daily aggregate; the fold then works
+    on #days-sized arrays per key (the bounded-series contract — an
+    unbounded series would stream through applyInPandasWithState
+    instead)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts").cast("timestamp")).alias("d")
+    ).agg(
+        F.sum(F.round("value", 3).cast("decimal(18,3)")).cast("double").alias("y")
+    )
+    ser = daily.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("d", "y"))).alias("s")
+    )
+    ys = F.transform("s", lambda e: e["y"])
+    dec = "decimal(24,6)"
+    init = F.struct(
+        F.round(F.element_at(ys, 1), 6).cast(dec).alias("l"),
+        F.lit(0).cast(dec).alias("b"),
+    )
+
+    def step(acc, y):
+        ld, bd = acc["l"].cast("double"), acc["b"].cast("double")
+        lnew = F.round(
+            F.lit(_HOLT_A) * y + F.lit(1 - _HOLT_A) * (ld + bd), 6
+        ).cast(dec)
+        bnew = F.round(
+            F.lit(_HOLT_B) * (lnew.cast("double") - ld) + F.lit(1 - _HOLT_B) * bd, 6
+        ).cast(dec)
+        return F.struct(lnew.alias("l"), bnew.alias("b"))
+
+    fin = F.aggregate(F.slice(ys, 2, F.size(ys) - 1), init, step)
+    return ser.select(
+        "event_type",
+        F.size("s").cast("long").alias("n_days"),
+        fin["l"].cast("double").alias("level"),
+        fin["b"].cast("double").alias("trend"),
+        (fin["l"].cast("double") + fin["b"].cast("double")).alias("forecast_next"),
+    )

@@ -261,3 +261,72 @@ def ext_skyline_products(spark: SparkSession, sf_dir: str) -> DataFrame:
         & ((F.col("q_price") < F.col("p_retailprice")) | (F.col("q_size") > F.col("p_size")))
     )
     return part.join(q, dominated, "left_anti")
+
+
+@register(
+    "ext_eb_shrunk_rates",
+    oracle="""
+    WITH per_part AS (
+      SELECT l_partkey, COUNT(*) AS n,
+             COUNT(*) FILTER (WHERE l_returnflag = 'R') AS r,
+             CAST(ROUND(CAST(COUNT(*) FILTER (WHERE l_returnflag = 'R') AS DOUBLE)
+                        / COUNT(*), 6) AS DECIMAL(9,6)) AS rr
+      FROM lineitem GROUP BY l_partkey
+    ),
+    mom AS (
+      SELECT COUNT(*) AS k,
+             CAST(SUM(rr) AS DOUBLE) AS s1,
+             CAST(SUM(rr * rr) AS DOUBLE) AS s2
+      FROM per_part
+    ),
+    prior AS (
+      SELECT (s1 / k) * (1.0 - s1 / k) / ((s2 - s1 * s1 / k) / k) - 1.0 AS ab,
+             (s1 / k) * ((s1 / k) * (1.0 - s1 / k) / ((s2 - s1 * s1 / k) / k) - 1.0)
+               AS alpha
+      FROM mom
+    )
+    SELECT p.l_partkey, CAST(p.n AS BIGINT) AS n_lines, CAST(p.r AS BIGINT) AS n_returned,
+           CAST(p.rr AS DOUBLE) AS raw_rate,
+           (p.r + pr.alpha) / (p.n + pr.ab) AS shrunk_rate
+    FROM per_part p CROSS JOIN prior pr
+    """,
+)
+def ext_eb_shrunk_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes shrinkage of per-part return rates: a
+    beta-binomial prior moment-matched from the observed rate
+    distribution (alpha+beta = m(1-m)/v - 1), then every part's rate
+    shrinks toward the global mean in proportion to its evidence —
+    shrunk = (r + alpha)/(n + alpha + beta). The standard fix for
+    small-n rate rankings (a 1/1 part must not outrank a 45/50 part).
+
+    Exactness: raw rates quantize to 6dp DECIMAL before the moment
+    sums (a plain double SUM over parts is partition-order-dependent —
+    the corr_ols discipline), and the prior/shrinkage algebra is scalar
+    double math spelled identically in both engines. Scale shape: one
+    per-part aggregate, a 1-row moment re-aggregate broadcast back, and
+    a map-side shrink — two exchanges total at any corpus size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("r"),
+    ).withColumn(
+        "rr",
+        F.round(F.col("r").cast("double") / F.col("n"), 6).cast("decimal(9,6)"),
+    )
+    mom = per_part.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("rr").cast("double").alias("s1"),
+        F.sum(F.col("rr") * F.col("rr")).cast("double").alias("s2"),
+    )
+    k, s1, s2 = F.col("k"), F.col("s1"), F.col("s2")
+    m = s1 / k
+    v = (s2 - s1 * s1 / k) / k
+    ab = m * (F.lit(1.0) - m) / v - F.lit(1.0)
+    prior = mom.select(ab.alias("ab"), (m * ab).alias("alpha"))
+    return per_part.crossJoin(F.broadcast(prior)).select(
+        "l_partkey",
+        F.col("n").cast("long").alias("n_lines"),
+        F.col("r").cast("long").alias("n_returned"),
+        F.col("rr").cast("double").alias("raw_rate"),
+        ((F.col("r") + F.col("alpha")) / (F.col("n") + F.col("ab"))).alias("shrunk_rate"),
+    )

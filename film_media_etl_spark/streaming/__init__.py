@@ -10,6 +10,7 @@ from .windows import (
     read_events_stream,
     stream_dedup,
     stream_session_agg,
+    stream_holt_forecast,
     stream_stateful_topk,
     stream_stateful_user_totals,
     stream_tumbling_agg,
@@ -20,6 +21,7 @@ __all__ = [
     "stream_tumbling_agg",
     "stream_session_agg",
     "stream_dedup",
+    "stream_holt_forecast",
     "stream_stateful_topk",
     "stream_stateful_user_totals",
     "read_lineitem_stream",

@@ -242,3 +242,116 @@ def stream_stateful_topk(
             timeMode="None",
         )
     )
+
+
+_HOLT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType(), False),
+        T.StructField("n_days", T.LongType(), False),
+        T.StructField("level", T.DoubleType(), False),
+        T.StructField("trend", T.DoubleType(), False),
+        T.StructField("forecast_next", T.DoubleType(), False),
+    ]
+)
+# state: committed recursion + the still-open trailing day's partial sum
+# (decimals ride as exact strings — float state would drift off the
+# batch twin's 6dp-quantized recursion)
+_HOLT_STATE = T.StructType(
+    [
+        T.StructField("pending_day", T.StringType(), False),
+        T.StructField("pending_sum", T.StringType(), False),
+        T.StructField("n_done", T.LongType(), False),
+        T.StructField("level", T.StringType(), False),
+        T.StructField("trend", T.StringType(), False),
+    ]
+)
+
+
+def stream_holt_forecast(events: DataFrame, *, watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of queries.decomposition.ext_holt_forecast: the
+    per-key Holt level/trend recursion carried across micro-batches —
+    the unbounded-series path the batch op's docstring points at.
+
+    Structured Streaming refuses applyInPandasWithState AFTER a
+    streaming aggregation (two stateful operators), so the daily
+    aggregation lives INSIDE the state: each key's state holds the
+    committed recursion plus the still-open trailing day's partial sum;
+    a day folds into the recursion only when a later day arrives, and
+    every emission applies the pending day PROVISIONALLY so the output
+    always reflects all data seen (and equals the batch twin once the
+    stream drains). Per-step quantization is the same 6dp decimal as
+    the batch op. State is 4 numbers + a date per key, independent of
+    stream length.
+
+    Ordering contract: days must arrive non-decreasing across batches
+    per key (replayed logs, availableNow file source); out-of-order
+    days need transformWithState event-time timers instead."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs: Iterator, state: GroupState):
+        import pandas as pd
+
+        q6, q3 = Decimal("0.000001"), Decimal("0.001")
+
+        def rnd6(x: float) -> Decimal:
+            return Decimal(repr(x)).quantize(q6, rounding=ROUND_HALF_UP)
+
+        def fold(n: int, level, trend, y: float):
+            if n == 0:
+                return rnd6(y), Decimal(0)
+            ld, bd = float(level), float(trend)
+            lnew = rnd6(0.5 * y + 0.5 * (ld + bd))
+            return lnew, rnd6(0.3 * (float(lnew) - ld) + 0.7 * bd)
+
+        if state.exists:
+            pd_day, pd_sum_s, n_done, l_s, b_s = state.get
+            pend_sum = Decimal(pd_sum_s)
+            level, trend = Decimal(l_s), Decimal(b_s)
+        else:
+            pd_day, pend_sum, n_done, level, trend = "", Decimal(0), 0, Decimal(0), Decimal(0)
+
+        rows = pd.concat(list(pdfs))
+        rows["day"] = rows["d"].astype(str)
+        daily = {}
+        for day, grp in rows.groupby("day"):
+            daily[day] = sum(
+                (Decimal(repr(float(v))).quantize(q3, rounding=ROUND_HALF_UP)
+                 for v in grp["value"]),
+                Decimal(0),
+            )
+        for day in sorted(daily):
+            if pd_day == "":
+                pd_day, pend_sum = day, daily[day]
+            elif day == pd_day:
+                pend_sum += daily[day]
+            else:  # a later day arrived: the pending day is complete
+                level, trend = fold(n_done, level, trend, float(pend_sum))
+                n_done += 1
+                pd_day, pend_sum = day, daily[day]
+        state.update((pd_day, str(pend_sum), n_done, str(level), str(trend)))
+        # provisional emission: apply the open day without committing it
+        pl, pt = fold(n_done, level, trend, float(pend_sum))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_days": [n_done + 1],
+                "level": [float(pl)],
+                "trend": [float(pt)],
+                "forecast_next": [float(pl) + float(pt)],
+            }
+        )
+
+    keyed = events.withWatermark("ts", watermark).select(
+        "event_type",
+        F.date_trunc("day", F.col("ts").cast("timestamp")).alias("d"),
+        "value",
+    )
+    return keyed.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=_HOLT_SCHEMA,
+        stateStructType=_HOLT_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -365,3 +365,29 @@ def test_stream_stateful_topk_matches_batch(spark, batch_events):
     assert set(got) == set(want)
     for u in want:
         assert got[u] == pytest.approx(want[u])
+
+
+def test_stream_holt_matches_batch(spark, batch_events):
+    """Streaming Holt recursion must converge to the batch twin's final
+    (level, trend) per event type after draining the stream."""
+    from film_media_etl_spark.streaming import stream_holt_forecast
+
+    s = stream_holt_forecast(read_events_stream(spark, PARITY_SF_DIR))
+    _run_to_memory(s, "t_holt", output_mode="update")
+    got = {}
+    for r in spark.table("t_holt").collect():
+        prev = got.get(r["event_type"])
+        if prev is None or r["n_days"] > prev["n_days"]:
+            got[r["event_type"]] = r
+    from film_media_etl_spark.queries import all_queries
+
+    want = {
+        r["event_type"]: r
+        for r in all_queries()["ext_holt_forecast"](spark, PARITY_SF_DIR).collect()
+    }
+    assert set(got) == set(want)
+    for k, w in want.items():
+        g = got[k]
+        assert g["n_days"] == w["n_days"]
+        assert g["level"] == pytest.approx(w["level"], abs=1e-9)
+        assert g["trend"] == pytest.approx(w["trend"], abs=1e-9)

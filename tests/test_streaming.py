@@ -391,3 +391,80 @@ def test_stream_holt_matches_batch(spark, batch_events):
         assert g["n_days"] == w["n_days"]
         assert g["level"] == pytest.approx(w["level"], abs=1e-9)
         assert g["trend"] == pytest.approx(w["trend"], abs=1e-9)
+
+
+def test_stream_holt_multibatch_day_commits(spark, tmp_path, batch_events):
+    """Cross-batch state: stream the events as one file PER DAY with
+    maxFilesPerTrigger=1, so pending days commit as later days arrive
+    across micro-batches — the final emission must still equal the
+    batch recursion."""
+    import glob as _glob
+
+    from pyspark.sql import functions as SF
+
+    from film_media_etl_spark.streaming import stream_holt_forecast
+    from film_media_etl_spark.streaming.windows import EVENTS_RAW_SCHEMA
+
+    src = str(tmp_path / "by_day")
+    # raw long ts (micros) so the stream-side normalization applies
+    raw = spark.read.schema(EVENTS_RAW_SCHEMA).option(
+        "pathGlobFilter", "events*.parquet"
+    ).parquet(PARITY_SF_DIR)
+    (
+        raw.withColumn(
+            "_day",
+            SF.date_format(
+                SF.expr(
+                    "timestamp_micros(CASE WHEN abs(ts) >= 100000000000000000"
+                    " THEN ts div 1000 ELSE ts END)"
+                ),
+                "yyyyMMdd",
+            ),
+        )
+        .repartition("_day")
+        .write.partitionBy("_day")
+        .parquet(src)
+    )
+    n_day_dirs = len(_glob.glob(src + "/_day=*"))
+    assert n_day_dirs > 3  # genuinely many batches
+    # FileStreamSource batches by modification time: same-job writes can
+    # land with ms-level mtime inversions, which would feed days out of
+    # order (outside the operator's ordering contract). Pin mtimes to
+    # day order explicitly so the test is deterministic.
+    import os as _os
+
+    for i, d in enumerate(sorted(_glob.glob(src + "/_day=*"))):
+        for f in _glob.glob(d + "/*.parquet"):
+            _os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stream = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withColumn(
+            "ts",
+            SF.expr(
+                "timestamp_micros(CASE WHEN abs(ts) >= 100000000000000000"
+                " THEN ts div 1000 ELSE ts END)"
+            ),
+        )
+    )
+    s = stream_holt_forecast(stream)
+    _run_to_memory(s, "t_holt_mb", output_mode="update")
+    got = {}
+    for r in spark.table("t_holt_mb").collect():
+        prev = got.get(r["event_type"])
+        if prev is None or r["n_days"] > prev["n_days"]:
+            got[r["event_type"]] = r
+    from film_media_etl_spark.queries import all_queries
+
+    want = {
+        r["event_type"]: r
+        for r in all_queries()["ext_holt_forecast"](spark, PARITY_SF_DIR).collect()
+    }
+    assert set(got) == set(want)
+    for k, w in want.items():
+        g = got[k]
+        assert g["n_days"] == w["n_days"]
+        assert g["level"] == pytest.approx(w["level"], abs=1e-9)
+        assert g["trend"] == pytest.approx(w["trend"], abs=1e-9)

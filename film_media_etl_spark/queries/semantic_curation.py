@@ -54,6 +54,72 @@ _TILES = 4  # pairwise-stage parallelism multiplier (see triangle tiling
 # comment in ext_dedup_semantic): tasks = K * TILES*(TILES+1)/2.
 
 
+_K_INLINE_MAX = 64  # codebook-as-literals cutover (see _assign_clusters)
+
+
+def _assign_clusters(emb: DataFrame, k: int, *, inline_max: int = _K_INLINE_MAX) -> DataFrame:
+    """Nearest-centroid assignment, adaptive to codebook size.
+
+    Small K (<= inline_max): the codebook is collected and INLINED as
+    literals, so assignment is a pure map expression — zero shuffles,
+    no crossJoin, no window (the crossJoin+window formulation was
+    measured triplicating a scan+window subtree because Spark does not
+    CSE across DataFrame reuse). Large K: literals would blow the
+    codegen method limit, so the codebook rides an F.broadcast join and
+    the argmin becomes a min(struct(dist2, cid)) AGGREGATE (not a
+    window — hash-aggregatable, map-side combining, same lexicographic
+    tie-break). Both paths produce identical assignments: the struct
+    min and the least() literal fold order by (dist2 ASC, cid ASC)."""
+    ve = to_double_vec(F.col("embedding"))
+    if k <= inline_max:
+        codebook = (
+            emb.where(F.col("vec_id") < k)
+            .select(F.col("vec_id").alias("cid"), to_double_vec(F.col("embedding")).alias("ce"))
+            .collect()
+        )
+        best = F.least(
+            *[
+                F.struct(
+                    l2sq(ve, F.array(*[F.lit(x) for x in row["ce"]])).alias("dist2"),
+                    F.lit(int(row["cid"])).cast("long").alias("cid"),
+                )
+                for row in sorted(codebook, key=lambda r: r["cid"])
+            ]
+        )
+        return emb.select(
+            "vec_id",
+            best["cid"].alias("centroid_id"),
+            ve.alias("ve"),
+            F.sqrt(dot(ve, ve)).alias("nrm"),
+        )
+    seeds = F.broadcast(
+        emb.where(F.col("vec_id") < k).select(
+            F.col("vec_id").alias("cid"), to_double_vec(F.col("embedding")).alias("ce")
+        )
+    )
+    # the argmin shuffle carries ONLY (vec_id, struct) — the 64-double
+    # vectors re-join from the columnar scan instead of riding K copies
+    # through the exchange
+    best = (
+        emb.select("vec_id", ve.alias("_ve"))
+        .join(seeds)
+        .select(
+            "vec_id",
+            F.struct(
+                l2sq(F.col("_ve"), F.col("ce")).alias("dist2"),
+                F.col("cid").alias("cid"),
+            ).alias("dc"),
+        )
+        .groupBy("vec_id")
+        .agg(F.min("dc").alias("best"))
+        .select("vec_id", F.col("best.cid").alias("centroid_id"))
+    )
+    return emb.select(
+        "vec_id", ve.alias("ve"), F.sqrt(dot(ve, ve)).alias("nrm")
+    ).join(best, "vec_id")
+
+
+
 @register(
     "ext_dedup_semantic",
     oracle=f"""
@@ -111,46 +177,14 @@ def ext_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     # columnar scan, same driver-side pattern as the IVF/PQ trainers.
     n_vecs = emb.count()
     k = max(_K_MIN, n_vecs // _SEM_BLOCK)
-    # Codebook as LITERALS: K centroids collected once at plan-build time,
-    # so the assignment is a pure map expression instead of a crossJoin +
-    # argmin window. The first formulation triplicated a scan+window
-    # subtree (Spark does not CSE across DataFrame reuse) and paid two
-    # shuffles per copy; this one is zero-shuffle until the pair join.
-    # The literal form holds to K ~ thousands (K x 64 doubles inlined);
-    # past that, switch to an F.broadcast join + min_by argmin aggregate
-    # — same semantics, documented cutover.
-    codebook = (
-        emb.where(F.col("vec_id") < k)
-        .select(F.col("vec_id").alias("cid"), to_double_vec(F.col("embedding")).alias("ce"))
-        .collect()
-    )
-    if not codebook:  # empty corpus: emit the schema, nothing to cluster
+    if n_vecs == 0:  # empty corpus: emit the schema, nothing to cluster
         return emb.select(
             "vec_id",
             F.lit(None).cast("long").alias("cluster_id"),
             F.lit(False).alias("pruned"),
             F.lit(0).cast("int").alias("n_sim_lower"),
         )
-    ve = to_double_vec(F.col("embedding"))
-    # least() over (dist2, centroid_id) structs compares lexicographically
-    # — identical semantics (and tie-break) to the oracle's ROW_NUMBER
-    # ORDER BY dist2 ASC, centroid_id ASC. Each dist2 is the same strict
-    # fold as the oracle's list_reduce, against the centroid literal.
-    best = F.least(
-        *[
-            F.struct(
-                l2sq(ve, F.array(*[F.lit(x) for x in row["ce"]])).alias("dist2"),
-                F.lit(int(row["cid"])).cast("long").alias("cid"),
-            )
-            for row in sorted(codebook, key=lambda r: r["cid"])
-        ]
-    )
-    assigned = emb.select(
-        "vec_id",
-        best["cid"].alias("centroid_id"),
-        ve.alias("ve"),
-        F.sqrt(dot(ve, ve)).alias("nrm"),
-    )
+    assigned = _assign_clusters(emb, k)
     # Triangle tiling for the pairwise stage: joining on cluster_id alone
     # shuffles onto K keys, so the biggest stage runs at most K tasks (at
     # K=8 that idles 3/4 of a 32-core box, and one hot cluster is one

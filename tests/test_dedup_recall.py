@@ -99,3 +99,17 @@ def test_minhash_bitset_fastpath_equals_fallback(spark, docs, monkeypatch):
         for r in D.minhash_lsh_pairs(docs, num_hashes=30, bands=5, threshold=THETA).collect()
     )
     assert fast == slow
+
+
+def test_semantic_assignment_join_path_matches_inline(spark):
+    """The large-K broadcast-join argmin must assign identically to the
+    inlined-codebook path (same lexicographic (dist2, cid) tie-break)."""
+    from conftest import PARITY_SF_DIR
+
+    from film_media_etl_spark.queries.semantic_curation import _assign_clusters
+    from film_media_etl_spark.sources import load_table
+
+    emb = load_table(spark, PARITY_SF_DIR, "embeddings")
+    a = _assign_clusters(emb, 8).select("vec_id", "centroid_id")
+    b = _assign_clusters(emb, 8, inline_max=0).select("vec_id", "centroid_id")
+    assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}

@@ -40,8 +40,9 @@ from .registry import register
 # perturbed-copy corpus carries ~16x true pairs (every cross-copy pair
 # of a true pair also qualifies), and uniform-random embeddings make a
 # fixed absolute threshold intrinsically dense — on such corpora wall
-# time tracks output size, which no blocking scheme can shrink. The count-based rule is deterministic and
-# shared with the oracle (a scalar subquery), so the query stays
+# time tracks output size, which no blocking scheme can shrink.
+# The count-based rule is deterministic and shared with the oracle (a
+# scalar subquery), so the query stays
 # hash-checkable at every sf. Centroid TRAINING is iterative and lives
 # in operators/similarity.py with tolerance-tested coverage instead.
 _K_MIN = 8

@@ -113,3 +113,45 @@ def test_semantic_assignment_join_path_matches_inline(spark):
     a = _assign_clusters(emb, 8).select("vec_id", "centroid_id")
     b = _assign_clusters(emb, 8, inline_max=0).select("vec_id", "centroid_id")
     assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
+
+
+def test_simhash_banding_recall(spark):
+    """SimHash banding guarantees: recall is EXACTLY 1.0 for pairs
+    within Hamming <= 3 (4 disjoint 16-bit bands — pigeonhole: 3 bit
+    errors cannot touch all 4), and measured >= 0.65 for the partial
+    4..6 range on the fixture corpus (0.72 measured; banding only
+    promises the <= bands-1 tier)."""
+    from conftest import PARITY_SF_DIR
+
+    from pyspark.sql import functions as SF
+
+    from film_media_etl_spark.operators.dedup import (
+        simhash_bits,
+        simhash_near_dup_pairs,
+    )
+    from film_media_etl_spark.sources import load_table
+
+    docs = load_table(spark, PARITY_SF_DIR, "documents")
+    sig = docs.select(SF.col("doc_id"), simhash_bits(SF.col("text")).alias("sig"))
+    a, b = sig.alias("a"), sig.alias("b")
+    exact = (
+        a.join(b, SF.col("a.doc_id") < SF.col("b.doc_id"))
+        .select(
+            SF.col("a.doc_id").alias("x"),
+            SF.col("b.doc_id").alias("y"),
+            SF.bit_count(SF.col("a.sig").bitwiseXOR(SF.col("b.sig"))).alias("h"),
+        )
+        .where(SF.col("h") <= 6)
+        .collect()
+    )
+    banded = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in simhash_near_dup_pairs(docs, max_hamming=6).collect()
+    }
+    le3 = {(r["x"], r["y"]) for r in exact if r["h"] <= 3}
+    le6 = {(r["x"], r["y"]) for r in exact}
+    assert le3 <= banded, "guaranteed tier (h<=3) missed pairs"
+    assert len(le6 & banded) / len(le6) >= 0.65
+    # precision is structural: every emitted pair carries its verified
+    # exact hamming <= 6
+    assert banded <= le6

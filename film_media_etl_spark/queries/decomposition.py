@@ -94,14 +94,18 @@ def ext_basket_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Holt double-exponential smoothing (level + trend), exact
 # ---------------------------------------------------------------------------
 
-_HOLT_A = 0.5  # level smoothing
-_HOLT_B = 0.3  # trend smoothing
+_HOLT_A = "0.5"  # level smoothing (exact decimal literal)
+_HOLT_B = "0.3"  # trend smoothing
+_HOLT_A2, _HOLT_B2 = "0.5", "0.7"  # 1 - alpha, 1 - beta
 
-# one textual spelling of the per-step recursion, shared by both engines:
-# the new level rounds to 6dp BEFORE the trend update reads it, so each
-# step's state is an exact decimal and the recursion cannot drift.
-_HOLT_L = "ROUND({a} * {y} + {a2} * ({l} + {b}), 6)"
-_HOLT_T = "ROUND({bb} * ({lnew} - {l}) + {b2} * {b}, 6)"
+# The per-step recursion runs ENTIRELY in DECIMAL: the smoothing
+# coefficients are exact 1dp decimals, so every multiply/add is exact
+# and the 6dp ROUND is decimal rounding — engine-identical by
+# definition. (A double-arithmetic spelling hit a ROUND(double, 6)
+# half-way boundary at sf0.1 where Spark rounds the shortest decimal
+# string and DuckDB rounds the binary double — 1e-6 disagreement that
+# then rode the recursion. Decimal-in, decimal-out removes the entire
+# failure class.)
 
 
 @register(
@@ -109,7 +113,7 @@ _HOLT_T = "ROUND({bb} * ({lnew} - {l}) + {b2} * {b}, 6)"
     oracle=f"""
     WITH RECURSIVE daily AS (
       SELECT event_type, date_trunc('day', ts) AS d,
-             CAST(SUM(CAST(ROUND(value, 3) AS DECIMAL(18,3))) AS DOUBLE) AS y
+             CAST(SUM(CAST(ROUND(value, 3) AS DECIMAL(18,3))) AS DECIMAL(18,3)) AS y
       FROM events GROUP BY 1, 2
     ),
     ser AS (
@@ -121,29 +125,23 @@ _HOLT_T = "ROUND({bb} * ({lnew} - {l}) + {b2} * {b}, 6)"
     tmax AS (SELECT event_type, MAX(t) AS tm FROM ser GROUP BY 1),
     hw AS (
       SELECT event_type, t,
-             CAST(ROUND(y, 6) AS DECIMAL(24,6)) AS l,
-             CAST(0 AS DECIMAL(24,6)) AS b
+             CAST(y AS DECIMAL(18,6)) AS l,
+             CAST(0 AS DECIMAL(18,6)) AS b
       FROM ser WHERE t = 0
       UNION ALL
       SELECT s.event_type, s.t,
-             CAST({_HOLT_L.format(a=_HOLT_A, a2=1 - _HOLT_A, y="s.y",
-                                  l="CAST(h.l AS DOUBLE)", b="CAST(h.b AS DOUBLE)")}
-                  AS DECIMAL(24,6)),
-             CAST({_HOLT_T.format(
-                    bb=_HOLT_B, b2=1 - _HOLT_B,
-                    lnew="CAST(CAST(" + _HOLT_L.format(
-                        a=_HOLT_A, a2=1 - _HOLT_A, y="s.y",
-                        l="CAST(h.l AS DOUBLE)", b="CAST(h.b AS DOUBLE)")
-                        + " AS DECIMAL(24,6)) AS DOUBLE)",
-                    l="CAST(h.l AS DOUBLE)", b="CAST(h.b AS DOUBLE)")}
-                  AS DECIMAL(24,6))
+             CAST(ROUND({_HOLT_A} * s.y + {_HOLT_A2} * (h.l + h.b), 6)
+                  AS DECIMAL(18,6)),
+             CAST(ROUND({_HOLT_B} * (CAST(ROUND({_HOLT_A} * s.y + {_HOLT_A2} * (h.l + h.b), 6)
+                                          AS DECIMAL(18,6)) - h.l)
+                        + {_HOLT_B2} * h.b, 6) AS DECIMAL(18,6))
       FROM hw h JOIN ser s ON s.event_type = h.event_type AND s.t = h.t + 1
     )
     SELECT h.event_type,
            CAST(m.tm + 1 AS BIGINT) AS n_days,
            CAST(h.l AS DOUBLE) AS level,
            CAST(h.b AS DOUBLE) AS trend,
-           CAST(h.l AS DOUBLE) + CAST(h.b AS DOUBLE) AS forecast_next
+           CAST(h.l + h.b AS DOUBLE) AS forecast_next
     FROM hw h JOIN tmax m ON h.event_type = m.event_type AND h.t = m.tm
     """,
 )
@@ -159,36 +157,34 @@ def ext_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ext_bfs_distances); it IS expressible — Spark folds the collected
     per-key series in order (bounded: days per key), the oracle runs a
     RECURSIVE CTE stepping t -> t+1 — and it hash-matches exactly
-    because each step's level rounds to a 6dp DECIMAL before the trend
-    update reads it (one shared spelling of the step, both engines).
-    Scale shape: one corpus-sized daily aggregate; the fold then works
-    on #days-sized arrays per key (the bounded-series contract — an
-    unbounded series would stream through applyInPandasWithState
-    instead)."""
+    because the whole step is DECIMAL arithmetic (exact 1dp smoothing
+    coefficients, 6dp decimal ROUND; see the module comment for the
+    double-rounding boundary this dodges). Scale shape: one
+    corpus-sized daily aggregate; the fold then works on #days-sized
+    arrays per key (the bounded-series contract — the streaming twin
+    streaming/windows.py:stream_holt_forecast handles unbounded
+    series)."""
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type", F.date_trunc("day", F.col("ts").cast("timestamp")).alias("d")
     ).agg(
-        F.sum(F.round("value", 3).cast("decimal(18,3)")).cast("double").alias("y")
+        F.sum(F.round("value", 3).cast("decimal(18,3)")).cast("decimal(18,3)").alias("y")
     )
     ser = daily.groupBy("event_type").agg(
         F.sort_array(F.collect_list(F.struct("d", "y"))).alias("s")
     )
     ys = F.transform("s", lambda e: e["y"])
-    dec = "decimal(24,6)"
+    dt = "decimal(18,6)"
+    a, a2 = [F.expr(f"CAST({c} AS DECIMAL(2,1))") for c in (_HOLT_A, _HOLT_A2)]
+    bb, b2 = [F.expr(f"CAST({c} AS DECIMAL(2,1))") for c in (_HOLT_B, _HOLT_B2)]
     init = F.struct(
-        F.round(F.element_at(ys, 1), 6).cast(dec).alias("l"),
-        F.lit(0).cast(dec).alias("b"),
+        F.element_at(ys, 1).cast(dt).alias("l"),
+        F.lit(0).cast(dt).alias("b"),
     )
 
     def step(acc, y):
-        ld, bd = acc["l"].cast("double"), acc["b"].cast("double")
-        lnew = F.round(
-            F.lit(_HOLT_A) * y + F.lit(1 - _HOLT_A) * (ld + bd), 6
-        ).cast(dec)
-        bnew = F.round(
-            F.lit(_HOLT_B) * (lnew.cast("double") - ld) + F.lit(1 - _HOLT_B) * bd, 6
-        ).cast(dec)
+        lnew = F.round(a * y + a2 * (acc["l"] + acc["b"]), 6).cast(dt)
+        bnew = F.round(bb * (lnew - acc["l"]) + b2 * acc["b"], 6).cast(dt)
         return F.struct(lnew.alias("l"), bnew.alias("b"))
 
     fin = F.aggregate(F.slice(ys, 2, F.size(ys) - 1), init, step)
@@ -197,5 +193,5 @@ def ext_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("s").cast("long").alias("n_days"),
         fin["l"].cast("double").alias("level"),
         fin["b"].cast("double").alias("trend"),
-        (fin["l"].cast("double") + fin["b"].cast("double")).alias("forecast_next"),
+        (fin["l"] + fin["b"]).cast("double").alias("forecast_next"),
     )

@@ -294,16 +294,18 @@ def stream_holt_forecast(events: DataFrame, *, watermark: str = "1 hour") -> Dat
         import pandas as pd
 
         q6, q3 = Decimal("0.000001"), Decimal("0.001")
+        A, A2 = Decimal("0.5"), Decimal("0.5")
+        B, B2 = Decimal("0.3"), Decimal("0.7")
 
-        def rnd6(x: float) -> Decimal:
-            return Decimal(repr(x)).quantize(q6, rounding=ROUND_HALF_UP)
-
-        def fold(n: int, level, trend, y: float):
+        def fold(n: int, level: Decimal, trend: Decimal, y: Decimal):
+            # pure DECIMAL recursion — the batch op's exact arithmetic
+            # (see queries/decomposition.py: double rounding at the 6dp
+            # boundary diverges between engines; decimals never do)
             if n == 0:
-                return rnd6(y), Decimal(0)
-            ld, bd = float(level), float(trend)
-            lnew = rnd6(0.5 * y + 0.5 * (ld + bd))
-            return lnew, rnd6(0.3 * (float(lnew) - ld) + 0.7 * bd)
+                return y.quantize(q6, rounding=ROUND_HALF_UP), Decimal(0)
+            lnew = (A * y + A2 * (level + trend)).quantize(q6, rounding=ROUND_HALF_UP)
+            bnew = (B * (lnew - level) + B2 * trend).quantize(q6, rounding=ROUND_HALF_UP)
+            return lnew, bnew
 
         if state.exists:
             pd_day, pd_sum_s, n_done, l_s, b_s = state.get
@@ -327,12 +329,12 @@ def stream_holt_forecast(events: DataFrame, *, watermark: str = "1 hour") -> Dat
             elif day == pd_day:
                 pend_sum += daily[day]
             else:  # a later day arrived: the pending day is complete
-                level, trend = fold(n_done, level, trend, float(pend_sum))
+                level, trend = fold(n_done, level, trend, pend_sum)
                 n_done += 1
                 pd_day, pend_sum = day, daily[day]
         state.update((pd_day, str(pend_sum), n_done, str(level), str(trend)))
         # provisional emission: apply the open day without committing it
-        pl, pt = fold(n_done, level, trend, float(pend_sum))
+        pl, pt = fold(n_done, level, trend, pend_sum)
         yield pd.DataFrame(
             {
                 "event_type": [key[0]],

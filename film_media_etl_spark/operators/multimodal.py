@@ -268,14 +268,16 @@ def image_channel_stats(media: DataFrame) -> DataFrame:
             rows = {k: [] for k in ("media_id", "width", "height", "mean_r", "mean_g", "mean_b")}
             for mid, payload, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
                 px = decode_media(bytes(payload), meta["mime"])
-                h, w, _ = px.shape
-                means = px.reshape(-1, 3).mean(axis=0)
+                h, w, c = px.shape
+                # c follows the decoder (3 for P6, 1 for P5); a graymap's
+                # single mean broadcasts to all three output channels.
+                means = px.reshape(-1, c).mean(axis=0)
                 rows["media_id"].append(mid)
                 rows["width"].append(w)
                 rows["height"].append(h)
                 rows["mean_r"].append(float(means[0]))
-                rows["mean_g"].append(float(means[1]))
-                rows["mean_b"].append(float(means[2]))
+                rows["mean_g"].append(float(means[1 % c]))
+                rows["mean_b"].append(float(means[2 % c]))
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(batches, schema=CHANNEL_STATS_SCHEMA)
@@ -296,14 +298,16 @@ def thumbnail_stats(media: DataFrame, *, stride: int = 2) -> DataFrame:
             for mid, payload, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
                 px = decode_media(bytes(payload), meta["mime"])
                 thumb = px[::stride, ::stride, :]
-                h, w, _ = thumb.shape
-                means = thumb.reshape(-1, 3).mean(axis=0)
+                h, w, c = thumb.shape
+                # channel count follows the decoder (3=P6, 1=P5); a
+                # graymap's single mean broadcasts to all three outputs.
+                means = thumb.reshape(-1, c).mean(axis=0)
                 rows["media_id"].append(mid)
                 rows["thumb_w"].append(w)
                 rows["thumb_h"].append(h)
                 rows["mean_r"].append(float(means[0]))
-                rows["mean_g"].append(float(means[1]))
-                rows["mean_b"].append(float(means[2]))
+                rows["mean_g"].append(float(means[1 % c]))
+                rows["mean_b"].append(float(means[2 % c]))
             yield pd.DataFrame(rows)
 
     schema = T.StructType(

@@ -596,10 +596,14 @@ def ext_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm_curation import _uniform_expr
 
     ev = load_table(spark, sf_dir, "events")
+    # integer midpoint ((min+max) div 2) — matches the oracle's integer //
+    # exactly at ANY epoch magnitude; the former double-divide agreed only
+    # while min+max stayed < 2^52 (ADVICE r3)
     b = ev.agg(
-        ((F.min(F.unix_micros(F.col("ts").cast("timestamp"))) + F.max(F.unix_micros(F.col("ts").cast("timestamp")))) / F.lit(2))
-        .cast("long")
-        .alias("mid_us")
+        F.expr(
+            "(min(unix_micros(cast(ts as timestamp)))"
+            " + max(unix_micros(cast(ts as timestamp)))) div 2"
+        ).alias("mid_us")
     )
     val = F.round(F.col("value"), 3).cast("decimal(18,3)")
     um = (

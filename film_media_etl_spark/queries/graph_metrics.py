@@ -303,7 +303,17 @@ def ext_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         contribs = (
             edges.join(ranks, edges["src"] == ranks["node"])
             .groupBy(F.col("dst").alias("cnode"))
-            .agg(F.sum(F.expr("r * n div ow")).alias("contrib"))
+            # identity: r*n div ow == (r div ow)*n + ((r%ow)*n) div ow for
+            # nonnegative BIGINTs — same values as the oracle's r*n//ow but
+            # overflow-safe: (r div ow)*n <= r <= scale (~1e12) and
+            # (r%ow)*n < ow*n <= ow^2, so no int64 wrap while a node's
+            # out-weight stays < ~3e9 transitions (vs r*n wrapping at
+            # n ~ 1e7 already; ADVICE r3)
+            .agg(
+                F.sum(
+                    F.expr("(r div ow) * n + ((r % ow) * n) div ow")
+                ).alias("contrib")
+            )
         )
         extra = dang // n_nodes
         ranks = (

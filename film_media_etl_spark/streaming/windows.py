@@ -200,12 +200,26 @@ def stream_stateful_topk(
 
     # transformWithState requires the RocksDB state store (typed state +
     # TTL live on its column families; the default HDFS-backed store has
-    # no support and the query crashes at start). Session-level conf —
-    # also the right store at scale: state spills off-heap.
-    events.sparkSession.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    # no support and the query crashes at start). The provider conf is
+    # SESSION-wide, and silently flipping it here would also reroute any
+    # OTHER streaming query started later in the session — breaking
+    # restarts from checkpoints written under the default provider
+    # (ADVICE r3). So the caller must opt in explicitly; we only verify.
+    _ROCKSDB = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
     )
+    provider = events.sparkSession.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", ""
+    )
+    if not provider.endswith("RocksDBStateStoreProvider"):
+        raise ValueError(
+            "stream_stateful_topk needs the RocksDB state store; set "
+            f"spark.sql.streaming.stateStore.providerClass={_ROCKSDB} "
+            "on the session before building this stream (session-wide "
+            "conf: it affects every streaming query and their checkpoint "
+            "compatibility, so it must be an explicit caller decision)"
+        )
 
     class TopKProcessor(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:

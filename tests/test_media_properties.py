@@ -70,3 +70,61 @@ def test_wav_roundtrip_any_samples(samples):
     out, rate, channels = decode_wav(payload)
     assert rate == 8000 and channels == 1
     assert out.flatten().tolist() == samples
+
+
+@given(st.integers(1, 9), st.integers(1, 9))
+@settings(max_examples=25, deadline=None)
+def test_pgm_grayscale_roundtrip_and_stats_shape(w, h):
+    """P5 graymaps decode to (h, w, 1) and the channel-stats reshape must
+    follow the decoder's channel count (ADVICE r3: a hardcoded
+    reshape(-1, 3) crashed or silently mis-averaged graymaps)."""
+    rng = np.random.default_rng(w * 1000 + h)
+    px = rng.integers(0, 256, size=(h, w, 1), dtype=np.uint8)
+    payload = f"P5\n{w} {h}\n255\n".encode() + px.tobytes()
+    out = decode_media(payload, "image/x-portable-graymap")
+    assert out.shape == (h, w, 1)
+    assert (out == px).all()
+
+
+def test_channel_stats_handles_graymap(spark):
+    """image_channel_stats over a mixed P6+P5 frame: the graymap row must
+    yield mean_g == mean_b == mean_r == the exact pixel mean."""
+    import pandas as pd
+
+    from film_media_etl_spark.operators.multimodal import image_channel_stats
+
+    rgb = np.arange(27, dtype=np.uint8).reshape(3, 3, 3)
+    gray = np.array([[0, 10], [20, 250]], dtype=np.uint8).reshape(2, 2, 1)
+    rows = pd.DataFrame(
+        {
+            "media_id": [1, 2],
+            "payload": [
+                b"P6\n3 3\n255\n" + rgb.tobytes(),
+                b"P5\n2 2\n255\n" + gray.tobytes(),
+            ],
+            "meta": [
+                {"mime": "image/x-portable-pixmap"},
+                {"mime": "image/x-portable-graymap"},
+            ],
+        }
+    )
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("meta", T.MapType(T.StringType(), T.StringType())),
+        ]
+    )
+    got = {
+        r["media_id"]: r
+        for r in image_channel_stats(
+            spark.createDataFrame(rows, schema=schema)
+        ).collect()
+    }
+    assert got[2]["width"] == 2 and got[2]["height"] == 2
+    assert got[2]["mean_r"] == got[2]["mean_g"] == got[2]["mean_b"] == 70.0
+    assert got[1]["mean_r"] == float(rgb[:, :, 0].mean())
+    assert got[1]["mean_g"] == float(rgb[:, :, 1].mean())
+    assert got[1]["mean_b"] == float(rgb[:, :, 2].mean())

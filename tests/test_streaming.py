@@ -343,8 +343,18 @@ def test_stream_stateful_topk_matches_batch(spark, batch_events):
     )
     from film_media_etl_spark.streaming import stream_stateful_topk
 
-    s = stream_stateful_topk(read_events_stream(spark, PARITY_SF_DIR))
-    _run_to_memory(s, "t_topk", output_mode="update")
+    # the operator refuses to flip the session-wide state-store conf
+    # itself (checkpoint-compatibility hazard); opt in explicitly here
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        s = stream_stateful_topk(read_events_stream(spark, PARITY_SF_DIR))
+        _run_to_memory(s, "t_topk", output_mode="update")
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     got: dict[int, list[float]] = {}
     for r in (
         spark.table("t_topk").orderBy("user_id", "rank").collect()
@@ -468,3 +478,16 @@ def test_stream_holt_multibatch_day_commits(spark, tmp_path, batch_events):
         assert g["n_days"] == w["n_days"]
         assert g["level"] == pytest.approx(w["level"], abs=1e-9)
         assert g["trend"] == pytest.approx(w["trend"], abs=1e-9)
+
+
+def test_stream_stateful_topk_requires_explicit_rocksdb(spark):
+    """The operator must REFUSE to run under a non-RocksDB state store
+    rather than silently flipping the session-wide provider conf
+    (which would reroute every later streaming query's checkpoints)."""
+    from film_media_etl_spark.streaming import stream_stateful_topk
+
+    assert not spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", ""
+    ).endswith("RocksDBStateStoreProvider")
+    with pytest.raises(ValueError, match="RocksDB state store"):
+        stream_stateful_topk(read_events_stream(spark, PARITY_SF_DIR))

@@ -35,12 +35,66 @@ from pyspark.sql import functions as F
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-# Any sf dir works for DESCRIBE-only oracle typing; planning never reads rows.
-_ORACLE_TYPING_SF = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
 _ORACLE_TABLES = (
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
 )
+
+# Last sf_dir an actual driver query call passed in — the strongest signal
+# for where the parquet layout really lives on this box (see
+# _find_typing_dir; the driver's oracle_sql() call carries no directory).
+_LAST_SF_DIR: str | None = None
+
+
+def _has_all_tables(d: str) -> bool:
+    return all(os.path.exists(os.path.join(d, f"{t}.parquet")) for t in _ORACLE_TABLES)
+
+
+def _find_typing_dir() -> str:
+    """Locate a directory with all ten parquet tables for DESCRIBE-only
+    oracle typing (plan-only — any scale factor works, no rows are read).
+
+    Resolution order: explicit SPARK_GRAFT_ORACLE_SF (an invalid explicit
+    setting RAISES — the caller asked for that dir specifically), then the
+    sf_dir the driver most recently passed to a query call, then the bench
+    dir (SPARK_GRAFT_SF_DIR), then the conventional /root/testdata scales,
+    then any sf* sibling of those candidates. Round-3 advice: typing must
+    not assume /root/testdata/sf0.01 exists on every box."""
+    explicit = os.environ.get("SPARK_GRAFT_ORACLE_SF")
+    if explicit:
+        if _has_all_tables(explicit):
+            return explicit
+        raise RuntimeError(
+            f"SPARK_GRAFT_ORACLE_SF={explicit} is missing some of "
+            f"{_ORACLE_TABLES}; point it at a directory holding all ten "
+            "parquet tables (any scale factor — typing is DESCRIBE-only)."
+        )
+    candidates = [
+        _LAST_SF_DIR,
+        os.environ.get("SPARK_GRAFT_SF_DIR"),
+        "/root/testdata/sf0.01",
+        "/root/testdata/sf0.001",
+        "/root/testdata/sf0.1",
+    ]
+    import glob as _glob
+
+    for c in list(candidates):
+        if c:
+            candidates.extend(sorted(_glob.glob(os.path.join(os.path.dirname(c.rstrip("/")), "sf*"))))
+    seen: set[str] = set()
+    for c in candidates:
+        if not c or c in seen:
+            continue
+        seen.add(c)
+        if _has_all_tables(c):
+            return c
+    raise RuntimeError(
+        "oracle typing views unavailable: no directory with all of "
+        f"{_ORACLE_TABLES} found among {sorted(seen)}. Set "
+        "SPARK_GRAFT_ORACLE_SF to one. Typing must not fail silently: the "
+        "Spark side unconditionally casts decimal outputs to double, so an "
+        "untyped oracle would hash-mismatch every decimal-output query."
+    )
 
 
 @dataclass(frozen=True)
@@ -107,6 +161,9 @@ def _undecimal(df: DataFrame) -> DataFrame:
 def _wrap_fn(fn: QueryFn) -> QueryFn:
     @functools.wraps(fn)
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        global _LAST_SF_DIR
+        if _has_all_tables(sf_dir):
+            _LAST_SF_DIR = sf_dir
         return _undecimal(fn(spark, sf_dir))
 
     return wrapped
@@ -116,20 +173,10 @@ def _wrap_fn(fn: QueryFn) -> QueryFn:
 def _oracle_typing_connection():
     import duckdb
 
+    typing_sf = _find_typing_dir()
     con = duckdb.connect()
-    missing = [
-        t for t in _ORACLE_TABLES if not os.path.exists(f"{_ORACLE_TYPING_SF}/{t}.parquet")
-    ]
-    if missing:
-        raise RuntimeError(
-            f"oracle typing views unavailable: {_ORACLE_TYPING_SF} is missing "
-            f"{missing}. Set SPARK_GRAFT_ORACLE_SF to a directory holding all "
-            f"of {_ORACLE_TABLES}. Typing must not fail silently: the Spark "
-            "side unconditionally casts decimal outputs to double, so an "
-            "untyped oracle would hash-mismatch every decimal-output query."
-        )
     for t in _ORACLE_TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{_ORACLE_TYPING_SF}/{t}.parquet'")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{typing_sf}/{t}.parquet'")
     return con
 
 

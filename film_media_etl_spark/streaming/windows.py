@@ -40,9 +40,48 @@ EVENTS_RAW_SCHEMA = T.StructType(
 )
 
 
+def _declared_unit_basenames(sf_dir: str) -> dict[str, list[str]]:
+    """Footer-probe every build-time events file for the parquet TIMESTAMP
+    logical type (pyarrow reads only the footer — no data pages).
+
+    Under nanosAsLong the (streaming and batch) parquet reader hands a
+    declared TIMESTAMP column to a pinned LongType in the file's OWN unit
+    — raw nanos for TIMESTAMP(NANOS) (verified empirically by
+    tests/test_streaming.py::test_stream_ts_unit_from_parquet_footer; an
+    earlier comment claimed the streaming reader converted to micros,
+    which the heuristic had masked), micros for TIMESTAMP(MICROS). So a
+    declared file's unit is KNOWN exactly. Returns {"ns": [...basenames],
+    "us": [...]}; everything else (plain-int64 ts, unreadable footer,
+    exotic units) stays on the magnitude fallback."""
+    import glob
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    declared: dict[str, list[str]] = {"ns": [], "us": []}
+    for f in sorted(glob.glob(os.path.join(sf_dir, "events*.parquet"))):
+        try:
+            t = pq.read_schema(f).field("ts").type
+        except Exception:  # noqa: BLE001 — unknown footer -> fallback tier
+            continue
+        if pa.types.is_timestamp(t) and t.unit in declared:
+            declared[t.unit].append(os.path.basename(f))
+    return declared
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (schema pinned — no
-    inference on streams), nanos converted by exact integer division."""
+    inference on streams), timestamps normalized to micros.
+
+    Unit handling (round-3 advice: read the logical type, don't guess):
+    files whose parquet footer declares a TIMESTAMP logical type are
+    probed at build time and their values taken as micros directly —
+    exact at ANY epoch. Only files with an UNDECLARED unit (plain int64
+    ts — the footer genuinely cannot say whether they are nanos or
+    micros) fall back to the magnitude heuristic: abs(ts) >= 1e17 means
+    nanos, valid for 1973..5138. Files arriving after stream build are
+    also heuristic-tier (their footers were never seen)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # File-stream sources need a directory basePath; the testdata ships one
     # flat file per table, so stream the directory with a glob filter.
@@ -51,26 +90,20 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events*.parquet")
         .parquet(sf_dir)
     )
-    # The streaming parquet reader hands TIMESTAMP(NANOS) columns to a
-    # pinned LongType as MICROS (it converts, unlike the batch reader
-    # under nanosAsLong which yields raw nanos; plain-int64 files come
-    # through verbatim). Normalize by magnitude — epoch-micros for any
-    # plausible date are < 2^53 ~= 9e15 only until 2255 in micros but
-    # ~1e18 in nanos, so the 1e17 cut is unambiguous for 1973..5138.
-    # KNOWN BOUND (round-2 advisory): the heuristic misclassifies nano
-    # epochs BEFORE ~1973-03 as micros (and micro epochs after ~5138 as
-    # nanos) — any events*.parquet matched by the glob below with
-    # pre-1973 nano timestamps would be silently shifted 1000x. Fine for
-    # the fixture corpus (2023+); a production source should read the
-    # parquet logical type per file (footer schema probe) instead of
-    # inferring the unit from magnitude.
-    return raw.withColumn(
-        "ts",
-        F.expr(
-            "timestamp_micros(CASE WHEN abs(ts) >= 100000000000000000"
-            " THEN ts div 1000 ELSE ts END)"
-        ),
+    heuristic = F.expr(
+        "CASE WHEN abs(ts) >= 100000000000000000 THEN ts div 1000 ELSE ts END"
     )
+    declared = _declared_unit_basenames(sf_dir)
+    if declared["ns"] or declared["us"]:
+        basename = F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+        micros = (
+            F.when(basename.isin(declared["ns"]), F.expr("ts div 1000"))
+            .when(basename.isin(declared["us"]), F.col("ts"))
+            .otherwise(heuristic)
+        )
+    else:
+        micros = heuristic
+    return raw.withColumn("ts", F.timestamp_micros(micros))
 
 
 def stream_tumbling_agg(events: DataFrame, *, watermark: str = "1 hour") -> DataFrame:

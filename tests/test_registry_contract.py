@@ -122,3 +122,34 @@ def test_first_50_registry_names_pinned():
     from film_media_etl_spark.queries import all_queries
 
     assert list(all_queries())[:50] == _DRIVER_WINDOW
+
+
+def test_oracle_typing_dir_resolution(monkeypatch, tmp_path):
+    """Typing must find a usable parquet layout without assuming
+    /root/testdata/sf0.01 (round-3 advice): an explicit-but-broken
+    SPARK_GRAFT_ORACLE_SF raises loudly, the driver-passed sf_dir is
+    preferred when the env is unset, and a box with no layout at all
+    raises instead of silently returning untyped SQL."""
+    monkeypatch.setenv("SPARK_GRAFT_ORACLE_SF", str(tmp_path / "nope"))
+    with pytest.raises(RuntimeError, match="SPARK_GRAFT_ORACLE_SF"):
+        R._find_typing_dir()
+
+    monkeypatch.delenv("SPARK_GRAFT_ORACLE_SF", raising=False)
+    monkeypatch.setattr(R, "_LAST_SF_DIR", "/root/testdata/sf0.001")
+    assert R._find_typing_dir() == "/root/testdata/sf0.001"
+
+    # no signal at all on a layout-less box -> loud error listing candidates
+    monkeypatch.setattr(R, "_LAST_SF_DIR", None)
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", str(tmp_path))
+    monkeypatch.setattr(R.os.path, "exists", lambda p: False)
+    with pytest.raises(RuntimeError, match="typing views unavailable"):
+        R._find_typing_dir()
+
+
+def test_wrapped_query_records_sf_dir(spark, monkeypatch):
+    """A driver query call must stash its sf_dir for later oracle typing."""
+    from film_media_etl_spark.queries import all_queries
+
+    monkeypatch.setattr(R, "_LAST_SF_DIR", None)
+    all_queries()["op01_source_scan"](spark, "/root/testdata/sf0.001")
+    assert R._LAST_SF_DIR == "/root/testdata/sf0.001"

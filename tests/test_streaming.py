@@ -491,3 +491,65 @@ def test_stream_stateful_topk_requires_explicit_rocksdb(spark):
     ).endswith("RocksDBStateStoreProvider")
     with pytest.raises(ValueError, match="RocksDB state store"):
         stream_stateful_topk(read_events_stream(spark, PARITY_SF_DIR))
+
+
+def test_stream_ts_unit_from_parquet_footer(spark, tmp_path):
+    """Per-file unit resolution (round-3 advice): a footer-declared
+    timestamp[ns] file with a PRE-1973 epoch — where the old magnitude
+    heuristic misclassifies nanos as micros — must decode exactly, while
+    a plain-int64 nanos file in the same directory still resolves via the
+    magnitude fallback (its footer genuinely declares no unit)."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "src"
+    src.mkdir()
+    early = datetime.datetime(1970, 6, 1, 12, 0, 0)
+    late = datetime.datetime(2023, 5, 1, 8, 30, 0)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([1], pa.int64()),
+                "ts": pa.array([early], pa.timestamp("ns")),
+                "user_id": pa.array([10], pa.int64()),
+                "event_type": pa.array(["declared_ns"], pa.string()),
+                "value": pa.array([1.0], pa.float64()),
+                "props": pa.array([None], pa.string()),
+            }
+        ),
+        src / "events_a_declared.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([2], pa.int64()),
+                "ts": pa.array([int(late.timestamp() * 1e9)], pa.int64()),
+                "user_id": pa.array([20], pa.int64()),
+                "event_type": pa.array(["raw_int64"], pa.string()),
+                "value": pa.array([2.0], pa.float64()),
+                "props": pa.array([None], pa.string()),
+            }
+        ),
+        src / "events_b_rawint.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([3], pa.int64()),
+                "ts": pa.array([early], pa.timestamp("us")),
+                "user_id": pa.array([30], pa.int64()),
+                "event_type": pa.array(["declared_us"], pa.string()),
+                "value": pa.array([3.0], pa.float64()),
+                "props": pa.array([None], pa.string()),
+            }
+        ),
+        src / "events_c_declared_us.parquet",
+    )
+    s = read_events_stream(spark, str(src)).select("event_id", "ts")
+    _run_to_memory(s, "t_units", output_mode="append")
+    got = {r["event_id"]: r["ts"] for r in spark.table("t_units").collect()}
+    assert got[1] == early, got
+    assert got[2] == late, got
+    assert got[3] == early, got

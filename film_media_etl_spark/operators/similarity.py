@@ -86,22 +86,33 @@ def cosine_knn_lsh(
     k: int = 5,
     nplanes: int = 4,
     dim: int = 64,
+    probe_hamming: int = 2,
 ) -> DataFrame:
     """Approximate top-k via MULTI-PROBE hyperplane LSH: each query
-    probes its own bucket plus every bucket at Hamming distance 1 (flip
-    one hyperplane bit) — near neighbors that land just across one
-    hyperplane are recovered at the cost of nplanes extra (tiny) probe
-    rows per query, the standard recall/candidate tradeoff (Lv et al.
-    2007, multi-probe LSH). Candidates meet via an equi-join on bucket;
-    exact cosine + rank inside. Recall is approximate by construction
-    -> rows-only correctness check; tests pin a recall floor vs brute
-    force. Probe masks are precomputed Python ints (Column << int is
-    unsupported in Spark)."""
+    probes its own bucket plus every bucket within Hamming distance
+    ``probe_hamming`` (flip 1..h hyperplane bits) — near neighbors that
+    land just across one or two hyperplanes are recovered at the cost of
+    sum(C(nplanes, i)) extra (tiny) probe rows per query, the standard
+    recall/candidate tradeoff (Lv et al. 2007, multi-probe LSH).
+    Candidates meet via an equi-join on bucket; exact cosine + rank
+    inside. On a uniform-random corpus each plane flips with p ~= 0.5
+    for a true neighbor, so expected recall ~= P(Binom(nplanes, .5) <=
+    h) — 11/16 ~= 0.69 at the (4, 2) default, vs 5/16 at h=1 (round-3
+    advice raised the production floor). Recall is approximate by
+    construction -> rows-only correctness check; tests pin a recall
+    floor vs brute force. Probe masks are precomputed Python ints
+    (Column << int is unsupported in Spark)."""
+    import itertools
+
     with_bucket = embeddings.select(
         F.col(id_col).alias("nbr_id"),
         to_double_vec(F.col(vec_col)).alias("nvec"),
     ).withColumn("bucket", _hyperplane_bucket(F.col("nvec"), nplanes=nplanes, dim=dim))
-    probe_masks = [0] + [1 << i for i in range(nplanes)]
+    probe_masks = [
+        sum(1 << i for i in bits)
+        for h in range(probe_hamming + 1)
+        for bits in itertools.combinations(range(nplanes), h)
+    ]
     q = (
         with_bucket.where(F.col("nbr_id") < query_ids_below)
         .select(

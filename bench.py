@@ -40,6 +40,7 @@ HEADLINE = [
     "ext_dedup_exact",
     "ext_dedup_paragraphs",
     "ext_dedup_semantic",
+    "ext_dedup_semantic_survivors",  # output-bounded keep/drop tier
     "ext_dsir_weights",
     "ext_multimodal_decode",  # Arrow/mapInPandas path in the timed mix
     "ext_summary_incremental_refresh",

@@ -329,3 +329,93 @@ def ext_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("lr").cast("double").alias("dsir_weight"),
         )
     )
+
+
+def semantic_survivor_prune(assigned: DataFrame, *, theta: float = _SEM_THETA) -> DataFrame:
+    """Survivor-only SemDeDup decision: pruned(v) = EXISTS a lower-id
+    same-cluster vector with cosine >= theta — a LEFT SEMI join instead
+    of the all-pairs count.
+
+    Why this variant exists (round-3 verdict #2): the counting query's
+    output is the number of qualifying PAIRS, which on a duplicate-
+    saturated corpus grows quadratically no matter how well the blocking
+    bounds candidates — the engine was output-bound in its worst case.
+    A consumer that only needs the keep/drop decision never needs the
+    pair count: the semi join emits at most one row per probe vector,
+    and Spark's semi-join probe short-circuits on the FIRST build row
+    satisfying the residual (lower-id AND cosine) condition, so on a
+    saturated corpus per-row work collapses to ~O(1) matches and total
+    wall tracks N, not N^2 (pinned by
+    tests/test_dedup_recall.py::test_semantic_survivors_saturated_corpus_linear).
+    ``assigned`` is the (vec_id, centroid_id, ve, nrm) frame from
+    _assign_clusters, shared with ext_dedup_semantic."""
+    b = assigned.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("centroid_id").alias("b_cid"),
+        F.col("ve").alias("bve"),
+        F.col("nrm").alias("bnrm"),
+    )
+    cos = dot(F.col("ve"), F.col("bve")) / (F.col("nrm") * F.col("bnrm"))
+    pruned = assigned.join(
+        b,
+        (F.col("centroid_id") == F.col("b_cid"))
+        & (F.col("b_id") < F.col("vec_id"))
+        & (cos >= theta),
+        "left_semi",
+    ).select(F.col("vec_id").alias("pid"))
+    return assigned.join(pruned, assigned["vec_id"] == F.col("pid"), "left").select(
+        "vec_id",
+        F.col("centroid_id").alias("cluster_id"),
+        F.col("pid").isNotNull().alias("pruned"),
+    )
+
+
+@register(
+    "ext_dedup_semantic_survivors",
+    oracle=f"""
+    WITH seeds AS MATERIALIZED (
+      SELECT vec_id AS centroid_id, embedding AS ce
+      FROM embeddings WHERE vec_id < {_K_SQL}
+    ),
+    assigned AS MATERIALIZED (
+      SELECT a.vec_id, a.centroid_id, e.embedding,
+             sqrt({oracle_dot("e.embedding", "e.embedding")}) AS nrm
+      FROM (
+        SELECT vec_id, centroid_id
+        FROM (
+          SELECT v.vec_id, s.centroid_id,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY {oracle_l2sq("v.embedding", "s.ce")} ASC,
+                            s.centroid_id ASC) AS rn
+          FROM embeddings v CROSS JOIN seeds s
+        ) WHERE rn = 1
+      ) a JOIN embeddings e ON a.vec_id = e.vec_id
+    )
+    SELECT s.vec_id, s.centroid_id AS cluster_id,
+           EXISTS (
+             SELECT 1 FROM assigned b
+             WHERE b.centroid_id = s.centroid_id AND b.vec_id < s.vec_id
+               AND {oracle_dot("s.embedding", "b.embedding")} / (s.nrm * b.nrm)
+                   >= {_SEM_THETA}
+           ) AS pruned
+    FROM assigned s
+    """,
+)
+def ext_dedup_semantic_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup keep/drop decisions without the pair count — the
+    output-bounded tier of ext_dedup_semantic (same clustering, same
+    threshold, same greedy min-id survivor convention; agreement between
+    the two is pinned by tests). Use THIS one on corpora where heavy
+    duplication is expected: its cost is O(candidates scanned until
+    first hit), never O(qualifying pairs)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_vecs = emb.count()
+    if n_vecs == 0:
+        return emb.select(
+            "vec_id",
+            F.lit(None).cast("long").alias("cluster_id"),
+            F.lit(False).alias("pruned"),
+        )
+    assigned = _assign_clusters(emb, max(_K_MIN, n_vecs // _SEM_BLOCK))
+    return semantic_survivor_prune(assigned)

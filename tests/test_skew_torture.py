@@ -1,0 +1,192 @@
+"""Skew torture (round-3 verdict #4): the engine's skew story rested on
+configuration claims — AQE skew-join enabled in session.py, salting
+available in operators/skew.py, broadcast dims in the star ETL. These
+tests exercise each claim under a REAL hot key (>= 50% of rows on one
+key) and pin that the mitigation actually engages.
+
+Detection note: AQE marks a split join ``SortMergeJoin(skew=true)`` in
+the executed plan of the SAME DataFrame after an action; thresholds are
+lowered test-locally because the defaults (256 MB skewed-partition
+floor) never trigger at fixture scale."""
+
+from __future__ import annotations
+
+import time
+from contextlib import contextmanager
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import PARITY_SF_DIR
+
+# test-local AQE thresholds: tiny partitions must qualify as "skewed"
+_SKEW_CONF = {
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16384",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4096",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+    "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+}
+
+
+@contextmanager
+def _conf(spark, overrides):
+    old = {}
+    for k, v in overrides.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:  # noqa: BLE001 — unset key
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def _hot_big(spark, n: int):
+    """n wide-ish rows, 50% on the single key 'HOT', rest over 997 keys."""
+    return spark.range(n).select(
+        F.when(F.col("id") % 2 == 0, F.lit("HOT"))
+        .otherwise(F.concat(F.lit("k"), (F.col("id") % 997).cast("string")))
+        .alias("key"),
+        F.col("id").alias("v"),
+        F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+    )
+
+
+def test_aqe_skew_split_engages_on_hot_join_key(spark):
+    """A sort-merge join whose probe side puts 50% of rows on one key
+    must come out of AQE with the hot partition SPLIT (skew=true) —
+    the runtime self-healing the 100 TB posture relies on for joins."""
+    with _conf(spark, _SKEW_CONF):
+        big = _hot_big(spark, 200_000)
+        small = spark.range(1000).select(
+            F.concat(F.lit("k"), F.col("id").cast("string")).alias("key"),
+            (F.col("id") * 2).alias("w"),
+        ).unionByName(spark.createDataFrame([("HOT", -1)], "key string, w long"))
+        # filter references BOTH sides so it cannot push below the join:
+        # full join work, empty driver result
+        j = big.join(small, "key").where(F.col("v") + F.col("w") < F.lit(-(10**17)))
+        assert j.collect() == []
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+
+
+def test_salted_aggregate_hot_key_correct_and_near_uniform_wall(spark):
+    """salted_aggregate on a 50%-hot corpus: identical results to the
+    plain groupBy, and wall within ~2x of the same aggregate over a
+    perfectly uniform corpus of the same size."""
+    from film_media_etl_spark.operators.skew import salted_aggregate
+
+    n = 2_000_000
+    hot = _hot_big(spark, n)
+    uniform = spark.range(n).select(
+        F.concat(F.lit("k"), (F.col("id") % 997).cast("string")).alias("key"),
+        F.col("id").alias("v"),
+        F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+    )
+    aggs = {"total": ("sum", "v"), "n": ("count", "v"), "hi": ("max", "pad")}
+
+    def run(df):
+        t0 = time.perf_counter()
+        rows = salted_aggregate(df, ["key"], aggs).collect()
+        return time.perf_counter() - t0, {r["key"]: (r["total"], r["n"], r["hi"]) for r in rows}
+
+    run(uniform.limit(50_000))  # JIT warmup
+    t_u, _ = run(uniform)
+    t_h, got = run(hot)
+    want = {
+        r["key"]: (r["total"], r["n"], r["hi"])
+        for r in hot.groupBy("key")
+        .agg(F.sum("v").alias("total"), F.count("v").alias("n"), F.max("pad").alias("hi"))
+        .collect()
+    }
+    assert got == want
+    assert got["HOT"][1] == n // 2
+    # generous noise allowance on top of the 2x bound (run-to-run jitter
+    # on a shared box is ~±12%)
+    assert t_h <= 2.0 * t_u + 1.0, (t_h, t_u)
+
+
+def test_minhash_banded_join_hot_bucket_splits_and_stays_exact(spark):
+    """50% of documents IDENTICAL: every duplicate lands in the same
+    band bucket, so the candidate self-join has one massively hot key.
+    The banded join must (a) remain a plain hash-shuffle AQE can
+    skew-split — pinned by skew=true in the executed plan under the
+    lowered thresholds — and (b) emit each true pair exactly once:
+    C(n_dup, 2) verified pairs at Jaccard 1.0, no duplicates. (The PAIR
+    COUNT itself is quadratic in the duplicate group — that is the
+    output's intrinsic size, same caveat as SemDeDup; the survivors/
+    clustering consumers downstream are the output-bounded tiers.)"""
+    from film_media_etl_spark.operators.dedup import minhash_lsh_pairs
+
+    n, n_dup = 2000, 1000
+    hot_text = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < n_dup, F.lit(hot_text))
+        .otherwise(
+            F.concat(
+                F.lit("unique document body number "),
+                F.col("id").cast("string"),
+                F.lit(" with filler tokens alpha beta gamma delta"),
+            )
+        )
+        .alias("text"),
+    )
+    with _conf(spark, _SKEW_CONF):
+        out = minhash_lsh_pairs(docs, threshold=0.9)
+        pairs = [(r["doc_id_a"], r["doc_id_b"]) for r in out.collect()]
+        plan = out._jdf.queryExecution().executedPlan().toString()
+    dup_pairs = [p for p in pairs if p[0] < n_dup and p[1] < n_dup]
+    assert len(dup_pairs) == n_dup * (n_dup - 1) // 2
+    assert len(set(pairs)) == len(pairs), "duplicate candidate emissions"
+    assert "skew=true" in plan, plan[:2000]
+
+
+def test_star_fact_build_immune_to_hot_customer(spark, tmp_path):
+    """Star fact build under 50%-hot order-key skew: every dimension
+    resolution is a broadcast join (asserted in test_plans), so a hot
+    key never crosses an exchange — wall must stay within ~2x of the
+    unskewed build of the same row count."""
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from film_media_etl_spark.etl.star import build_fact_sales
+    from film_media_etl_spark.sources import TABLES
+
+    src = str(tmp_path / "skewed")
+    (tmp_path / "skewed").mkdir()
+    for t in TABLES:
+        shutil.copy(f"{PARITY_SF_DIR}/{t}.parquet", f"{src}/{t}.parquet")
+    # rewrite lineitem with 50% of rows on one existing order key, via
+    # pyarrow so every other column keeps its exact parquet logical type
+    tbl = pq.read_table(f"{PARITY_SF_DIR}/lineitem.parquet")
+    ok = tbl["l_orderkey"].to_numpy()
+    hot_key = int(np.bincount(ok).argmax())
+    rng = np.random.default_rng(7)
+    new = np.where(rng.random(len(ok)) < 0.5, hot_key, ok)
+    idx = tbl.schema.get_field_index("l_orderkey")
+    tbl = tbl.set_column(
+        idx, "l_orderkey", pa.array(new, tbl.schema.field("l_orderkey").type)
+    )
+    pq.write_table(tbl, f"{src}/lineitem.parquet")
+
+    def run(sf_dir):
+        t0 = time.perf_counter()
+        n = build_fact_sales(spark, sf_dir).count()
+        return time.perf_counter() - t0, n
+
+    run(PARITY_SF_DIR)  # warmup
+    t_u, n_u = run(PARITY_SF_DIR)
+    t_h, n_h = run(src)
+    assert n_h == n_u  # every lineitem still resolves (hot key exists)
+    assert t_h <= 2.0 * t_u + 1.0, (t_h, t_u)

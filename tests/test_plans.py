@@ -987,3 +987,32 @@ def test_zorder_layout_map_side_keys(spark):
 def test_pagerank_exact_no_cartesian(spark):
     df = _q("ext_pagerank_exact", spark)
     assert_no_cartesian(df)
+
+
+def test_plans_md_census_fresh(spark):
+    """PLANS.md is asserted-against documentation; regenerate the
+    operator census for every headline query and diff it against the
+    checked-in file so a plan-affecting commit cannot ship a stale
+    PLANS.md (round-3 verdict #9). Intentionally fails on drift — fix
+    by rerunning `python tools/gen_plans.py`."""
+    import os
+    import re
+
+    from bench import HEADLINE
+    from film_media_etl_spark.queries import all_queries
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    text = open(os.path.join(repo, "PLANS.md")).read()
+    checked = dict(re.findall(r"^## (\S+)\n\n`([^`]*)`", text, re.M))
+    assert set(checked) == set(HEADLINE), (
+        "PLANS.md query set != bench headline set — rerun tools/gen_plans.py"
+    )
+    qs = all_queries()
+    sf = "/root/testdata/sf0.001"  # gen_plans.py's default SF_DIR
+    stale = {}
+    for name in HEADLINE:
+        s = plan_summary(qs[name](spark, sf))
+        census = ", ".join(f"{k}={v}" for k, v in s.items() if v)
+        if census != checked[name]:
+            stale[name] = (checked[name], census)
+    assert not stale, f"PLANS.md stale for {stale} — rerun tools/gen_plans.py"

@@ -73,6 +73,7 @@ def start_upsert_totals(
     checkpoint: str,
     *,
     available_now: bool = True,
+    max_files_per_trigger: int | None = None,
 ):
     """Stream events into a continuously-merged per-user totals snapshot.
 
@@ -94,7 +95,7 @@ def start_upsert_totals(
         )
 
     writer = (
-        read_events_stream(spark, sf_dir)
+        read_events_stream(spark, sf_dir, max_files_per_trigger=max_files_per_trigger)
         .writeStream.foreachBatch(apply_batch)
         .option("checkpointLocation", checkpoint)
         .outputMode("update")

@@ -70,9 +70,13 @@ def _declared_unit_basenames(sf_dir: str) -> dict[str, list[str]]:
     return declared
 
 
-def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, *, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """File-source stream over the events parquet (schema pinned — no
     inference on streams), timestamps normalized to micros.
+    ``max_files_per_trigger`` is the file-source backpressure knob (one
+    micro-batch per N files — daily-drop emulation and restart tests).
 
     Unit handling (round-3 advice: read the logical type, don't guess):
     files whose parquet footer declares a TIMESTAMP logical type are
@@ -85,11 +89,12 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # File-stream sources need a directory basePath; the testdata ships one
     # flat file per table, so stream the directory with a glob filter.
-    raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .option("pathGlobFilter", "events*.parquet")
-        .parquet(sf_dir)
+    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA).option(
+        "pathGlobFilter", "events*.parquet"
     )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.parquet(sf_dir)
     heuristic = F.expr(
         "CASE WHEN abs(ts) >= 100000000000000000 THEN ts div 1000 ELSE ts END"
     )

@@ -553,3 +553,163 @@ def test_stream_ts_unit_from_parquet_footer(spark, tmp_path):
     assert got[1] == early, got
     assert got[2] == late, got
     assert got[3] == early, got
+
+
+def test_upsert_totals_kill_and_resume(spark, tmp_path, batch_events):
+    """Exactly-once for the foreachBatch versioned-MERGE sink across a
+    mid-stream KILL: stage the events as four drop files (one per
+    micro-batch), stop after the first committed batch, restart from the
+    same checkpoint, and require the final snapshot to equal the batch
+    aggregate exactly — re-delivered batches rewrite the SAME version
+    directory from the same input, so nothing double-counts."""
+    import os
+    import time
+
+    import pyarrow.parquet as pq
+
+    from film_media_etl_spark.streaming.sinks import read_snapshot, start_upsert_totals
+
+    src = tmp_path / "src"
+    src.mkdir()
+    t = pq.read_table(f"{PARITY_SF_DIR}/events.parquet")
+    quarter = (t.num_rows + 3) // 4
+    for i in range(4):
+        name = "events.parquet" if i == 0 else f"events-{i}.parquet"
+        pq.write_table(t.slice(i * quarter, quarter), src / name)
+
+    snap = str(tmp_path / "snapshot")
+    ckpt = str(tmp_path / "ckpt")
+    q = start_upsert_totals(spark, str(src), snap, ckpt, max_files_per_trigger=1)
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if any(p["numInputRows"] > 0 for p in (q.recentProgress or []) if p):
+            break
+        time.sleep(0.2)
+    q.stop()  # kill between batches, before the drain finishes
+    q.awaitTermination(60)
+    partial_versions = len(os.listdir(snap)) if os.path.isdir(snap) else 0
+    assert partial_versions >= 1
+
+    q2 = start_upsert_totals(spark, str(src), snap, ckpt, max_files_per_trigger=1)
+    q2.awaitTermination(240)
+    assert not q2.isActive
+    assert len(os.listdir(snap)) == 4  # one version per staged file
+
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in read_snapshot(spark, snap).collect()
+    }
+    want = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in batch_events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,3)"))
+            .cast("decimal(38,3)")
+            .alias("total_value"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_stream_holt_kill_and_resume(spark, tmp_path, batch_events):
+    """applyInPandasWithState recovery: kill the streaming Holt query
+    mid-stream (after >= 2 committed per-day batches), restart from the
+    same checkpoint, and require the final emission per key to equal the
+    batch recursion exactly — the level/trend/pending-day state must
+    come back from the state store, not restart from zero."""
+    import glob as _glob
+    import os as _os
+    import time
+
+    from pyspark.sql import functions as SF
+
+    from film_media_etl_spark.streaming import stream_holt_forecast
+    from film_media_etl_spark.streaming.windows import EVENTS_RAW_SCHEMA
+
+    src = str(tmp_path / "by_day")
+    raw = spark.read.schema(EVENTS_RAW_SCHEMA).option(
+        "pathGlobFilter", "events*.parquet"
+    ).parquet(PARITY_SF_DIR)
+    (
+        raw.withColumn(
+            "_day",
+            SF.date_format(
+                SF.expr(
+                    "timestamp_micros(CASE WHEN abs(ts) >= 100000000000000000"
+                    " THEN ts div 1000 ELSE ts END)"
+                ),
+                "yyyyMMdd",
+            ),
+        )
+        .repartition("_day")
+        .write.partitionBy("_day")
+        .parquet(src)
+    )
+    day_dirs = sorted(_glob.glob(src + "/_day=*"))
+    assert len(day_dirs) > 3
+    for i, d in enumerate(day_dirs):  # deterministic batch order (see
+        for f in _glob.glob(d + "/*.parquet"):  # multibatch test note)
+            _os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def start():
+        stream = (
+            spark.readStream.schema(EVENTS_RAW_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .withColumn(
+                "ts",
+                SF.expr(
+                    "timestamp_micros(CASE WHEN abs(ts) >= 100000000000000000"
+                    " THEN ts div 1000 ELSE ts END)"
+                ),
+            )
+        )
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out)
+
+        return (
+            stream_holt_forecast(stream)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start()
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        done = [p for p in (q.recentProgress or []) if p and p["numInputRows"] > 0]
+        if len(done) >= 2:
+            break
+        time.sleep(0.2)
+    q.stop()
+    q.awaitTermination(60)
+
+    q2 = start()
+    q2.awaitTermination(240)
+    assert not q2.isActive
+
+    got = {}
+    for r in spark.read.parquet(out).collect():
+        prev = got.get(r["event_type"])
+        if prev is None or r["n_days"] > prev["n_days"]:
+            got[r["event_type"]] = r
+    from film_media_etl_spark.queries import all_queries
+
+    want = {
+        r["event_type"]: r
+        for r in all_queries()["ext_holt_forecast"](spark, PARITY_SF_DIR).collect()
+    }
+    assert set(got) == set(want)
+    for k, w in want.items():
+        g = got[k]
+        assert g["n_days"] == w["n_days"], (k, g["n_days"], w["n_days"])
+        assert g["level"] == pytest.approx(w["level"], abs=1e-9)
+        assert g["trend"] == pytest.approx(w["trend"], abs=1e-9)

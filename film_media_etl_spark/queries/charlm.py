@@ -60,9 +60,15 @@ def ext_charlm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.1: 3.7s dense fold vs 6.1s explode+broadcast-join+groupBy vs
     8.2s folding over a Spark MAP (whose element_at is a LINEAR scan —
     the trap this dense array exists to avoid). Per-bigram logps are
-    exact decimals, so fold order is irrelevant; the 128-wide code
-    space is valid because the corpus is ascii (non-ascii text would
-    need a wider code or the join spelling). The length >= 2 guard
+    exact decimals, so fold order is irrelevant. The 128-wide code
+    space is only valid for an ascii corpus — Spark's ascii() returns
+    the full code point, so one non-ascii char indexes past the dense
+    array and the query CRASHES (found by the 4x scale corpus, whose
+    copy-prefix carried U+00B7) — so a one-scan max-code-point probe
+    picks the path: dense fold when every char fits 7 bits, otherwise
+    the explode + broadcast-join spelling, which is unicode-safe and
+    produces identical decimals (pinned by tests/test_function_models
+    on both an ascii and a unicode corpus). The length >= 2 guard
     also dodges Spark's sequence(1, 0) descending-sequence trap."""
     docs = load_table(spark, sf_dir, "documents")
     d = docs.select("doc_id", F.lower(F.col("text")).alias("t")).where(
@@ -85,6 +91,24 @@ def ext_charlm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     logp = F.round(
         F.log10(F.col("c").cast("double") / F.col("n")), 6
     ).cast("decimal(12,6)")
+    # path probe: one narrow scan for the corpus's max code point
+    max_cp = d.agg(
+        F.max(F.expr("array_max(transform(split(t, ''), c -> ascii(c)))"))
+    ).first()[0]
+    if max_cp is None or max_cp >= 128:
+        # unicode corpus: score by exploding bigrams against the
+        # broadcast model (alphabet^2-bounded; on a cluster where that
+        # outgrows a broadcast, drop the hint and let it shuffle)
+        model = cnt.crossJoin(F.broadcast(tot)).select("bg", logp.alias("logp"))
+        return (
+            d.select("doc_id", F.explode(bgs).alias("bg"))
+            .join(F.broadcast(model), "bg")
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_bigrams"),
+                (F.sum("logp").cast("double") / F.count(F.lit(1))).alias("avg_logp"),
+            )
+        )
     code = F.ascii(F.substring("bg", 1, 1)) * 128 + F.ascii(F.substring("bg", 2, 1))
     model_map = (
         cnt.crossJoin(F.broadcast(tot))

@@ -12,6 +12,8 @@ import string
 
 from pyspark.sql import functions as F
 
+from conftest import PARITY_SF_DIR
+
 from film_media_etl_spark.functions.dates import smart_date_key, week_of_year_noniso
 from film_media_etl_spark.functions.text import (
     FINGERPRINT_MOD,
@@ -161,3 +163,63 @@ def test_prepare_global_index_empty_input(spark):
     assert prepare_global_index(empty, "k") == (0, 1, {}, 0)
     out = _global_index(empty, ["k"], "k", out_col="idx")
     assert out.columns == ["k", "idx"] and out.count() == 0
+
+
+def test_charlm_unicode_corpus_oracle_parity(spark, tmp_path):
+    """ext_charlm_quality on a NON-ascii corpus: the dense 128^2 lookup
+    is invalid there (Spark ascii() returns full code points — one CJK
+    char indexed past the array and crashed the 4x scale bench), so the
+    probe must route to the unicode-safe join spelling and still match
+    the DuckDB oracle exactly."""
+    import os
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from film_media_etl_spark.queries import all_oracles, all_queries
+    from film_media_etl_spark.sources import TABLES
+
+    src = str(tmp_path)
+    texts = [
+        "héllo wörld héllo",
+        "データ パイプライン データ",
+        "plain ascii text here",
+        "mix méx データ mix méx",
+        None,
+        "ab",
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["xx"] * len(texts), pa.string()),
+                "source": pa.array(["t"] * len(texts), pa.string()),
+                "n_chars": pa.array(
+                    [len(t) if t else None for t in texts], pa.int32()
+                ),
+            }
+        ),
+        f"{src}/documents.parquet",
+    )
+    for t in TABLES:
+        if t != "documents":
+            os.symlink(f"{PARITY_SF_DIR}/{t}.parquet", f"{src}/{t}.parquet")
+
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logp"])
+        for r in all_queries()["ext_charlm_quality"](spark, src).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{src}/documents.parquet'"
+    )
+    want = {
+        row[0]: (row[1], row[2])
+        for row in con.execute(all_oracles()["ext_charlm_quality"]).fetchall()
+    }
+    assert set(got) == set(want) and len(got) >= 5
+    for k, (nb, lp) in want.items():
+        assert got[k][0] == nb
+        assert got[k][1] == lp, (k, got[k][1], lp)

@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..sources import ensure_parallelism
+
 
 def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     """Keep one deterministic survivor (min id) per duplicate group —
@@ -68,6 +70,7 @@ def token_jaccard_pairs(
     jaccard = |A ∩ B| / (|A| + |B| - |A ∩ B|) — integer set sizes, one
     double division: bit-identical in any engine.
     """
+    docs = ensure_parallelism(docs)
     t = docs.select(
         F.col(id_col).alias("doc_id"), *block_cols, _token_set(F.col(text_col)).alias("toks")
     )
@@ -112,6 +115,7 @@ def ngram_jaccard_pairs(
     with the same vocabulary but different word order share tokens, not
     n-grams — the standard sharpening for near-dup detection. Same
     blocked-join shape (and 100 TB posture) as token_jaccard_pairs."""
+    docs = ensure_parallelism(docs)
     t = docs.select(
         F.col(id_col).alias("doc_id"), *block_cols, _shingle_set(F.col(text_col), n).alias("sh")
     )
@@ -250,6 +254,7 @@ def minhash_lsh_pairs(
     drops candidates before the array-intersect verify. Rows-only
     correctness check (hash seeds are engine-specific).
     """
+    docs = ensure_parallelism(docs)
     rows = num_hashes // bands
     # Signatures WITHOUT an explode+groupBy shuffle, and with the token
     # set evaluated ONCE: a single aggregate() walks the token-hash array
@@ -475,6 +480,7 @@ def simhash_near_dup_pairs(
     """SimHash near-dup: block on exact match of one of 4 16-bit bands
     (any pair within Hamming<=3 of the 64-bit sig must agree on >=1 band;
     wider max_hamming trades recall), verify bit_count(xor) <= k."""
+    docs = ensure_parallelism(docs)
     sig = docs.select(
         F.col(id_col).alias("doc_id"), simhash_bits(F.col(text_col)).alias("sig")
     )

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine, to_double_vec
+from ..sources import ensure_parallelism
 
 
 def cosine_knn_bruteforce(
@@ -34,7 +35,7 @@ def cosine_knn_bruteforce(
     """Exact top-k cosine neighbors for each query vector (here: ids below
     ``query_ids_below``), excluding self. Deterministic ranking: score
     DESC, neighbor id ASC."""
-    base = embeddings.select(
+    base = ensure_parallelism(embeddings).select(
         F.col(id_col).alias("nbr_id"), to_double_vec(F.col(vec_col)).alias("nvec")
     )
     q = embeddings.where(F.col(id_col) < query_ids_below).select(
@@ -104,7 +105,7 @@ def cosine_knn_lsh(
     (Column << int is unsupported in Spark)."""
     import itertools
 
-    with_bucket = embeddings.select(
+    with_bucket = ensure_parallelism(embeddings).select(
         F.col(id_col).alias("nbr_id"),
         to_double_vec(F.col(vec_col)).alias("nvec"),
     ).withColumn("bucket", _hyperplane_bucket(F.col("nvec"), nplanes=nplanes, dim=dim))
@@ -164,7 +165,7 @@ def cosine_knn_ivf(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    base = embeddings.select(
+    base = ensure_parallelism(embeddings).select(
         F.col(id_col).alias("nbr_id"), to_double_vec(F.col(vec_col)).alias("nvec")
     )
     ml = base.withColumn("fv", array_to_vector("nvec"))

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..sources import load_table
+from ..sources import ensure_parallelism, load_table
 from .registry import register
 
 
@@ -357,7 +357,9 @@ def ext_fuzzy_match_passjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical oracle): when blocks are huge and true matches sparse, the
     in-block quadratic is the bottleneck — at 1M parts per brand it is
     5*10^11 levenshtein calls. This variant never goes quadratic."""
-    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
+    p = ensure_parallelism(
+        load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
+    )
     tau = 2  # edit-distance threshold
 
     # PassJoin-style segment blocking (Li, Deng, Feng: "PassJoin: A

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources import load_table
+from ..sources import ensure_parallelism, load_table
 from .registry import register
 
 
@@ -70,7 +70,7 @@ def ext_charlm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     produces identical decimals (pinned by tests/test_function_models
     on both an ascii and a unicode corpus). The length >= 2 guard
     also dodges Spark's sequence(1, 0) descending-sequence trap."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     d = docs.select("doc_id", F.lower(F.col("text")).alias("t")).where(
         F.length("t") >= 2
     )

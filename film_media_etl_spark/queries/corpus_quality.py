@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.dedup import connected_components, token_jaccard_pairs
-from ..sources import load_table
+from ..sources import ensure_parallelism, load_table
 from .registry import register
 
 
@@ -80,7 +80,7 @@ def ext_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     functions, zero Python. The per-doc aggregate shuffles on doc_id
     only after explode, and at 100 TB the explode never leaves the map
     side: Spark fuses explode -> partial count into one stage."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     t = docs.select(
         "doc_id", F.split(F.lower("text"), " ").alias("toks")
     )
@@ -174,7 +174,7 @@ def ext_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     writes back to storage; downstream readers inner-join it instead of
     re-running dedup. One broadcastable join at the end: the cluster map
     is orders of magnitude smaller than the corpus."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     pairs = token_jaccard_pairs(
         docs, block_cols=("source", "lang"), threshold=0.9
     )
@@ -310,7 +310,7 @@ def ext_token_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     never the raw token stream, so the single-partition rank exchange is
     on thousands of rows — the pattern that keeps a global ORDER BY
     harmless at 100 TB. Tiebreak (cnt desc, token asc) is total."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     c = (
         docs.select(
             F.explode(F.split(F.lower("text"), " ")).alias("token")
@@ -380,7 +380,7 @@ def ext_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk-count formula guards Spark's sequence(1,0) descending trap:
     every document yields at least one chunk, and both engines compute
     n_chunks with the identical floor((n+offset)/stride) arithmetic."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     t = docs.select("doc_id", F.split(F.lower("text"), " ").alias("toks"))
     n = F.size("toks")
     n_chunks = F.greatest(
@@ -437,7 +437,7 @@ def ext_vocab_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     and shuffle-minimal (one exchange for the vocab, one for the per-doc
     regroup). Docs whose every token is rare drop out entirely (the
     JOIN, not a left join — matching the curation semantics)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     tok = docs.select(
         "doc_id",
         F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "tok"),
@@ -500,7 +500,7 @@ def ext_trending_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapses global. Ties break lexically; the (day, term) aggregate
     collapses the exploded stream before any window."""
     ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 100)
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     tok = (
         ev.join(docs, ev.event_id % 500 == docs.doc_id)
         .select(

@@ -31,7 +31,7 @@ from ..operators.similarity import (
     cosine_knn_lsh,
     embedding_near_dup_pairs,
 )
-from ..sources import load_table
+from ..sources import ensure_parallelism, load_table
 from .registry import register
 
 # ---------------------------------------------------------------------------
@@ -48,7 +48,7 @@ from .registry import register
 )
 def ext_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: hash group-by on text, deterministic survivor."""
-    return exact_dedup(load_table(spark, sf_dir, "documents"), ["text"], "doc_id")
+    return exact_dedup(ensure_parallelism(load_table(spark, sf_dir, "documents")), ["text"], "doc_id")
 
 
 @register(
@@ -73,7 +73,7 @@ def ext_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ext_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact token-set Jaccard near-dup pairs, blocked on (source, lang)."""
     return token_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), block_cols=("source", "lang"), threshold=0.9
+        ensure_parallelism(load_table(spark, sf_dir, "documents")), block_cols=("source", "lang"), threshold=0.9
     )
 
 
@@ -104,7 +104,7 @@ def ext_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-bigram shingle Jaccard near-dup pairs, blocked on
     (source, lang) — order-sensitive where token sets are not."""
     return ngram_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), n=2, block_cols=("source", "lang"), threshold=0.8
+        ensure_parallelism(load_table(spark, sf_dir, "documents")), n=2, block_cols=("source", "lang"), threshold=0.8
     )
 
 
@@ -115,7 +115,7 @@ def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows: recall 0.985 at theta=0.9 measured against the exact blockless
     Jaccard ground truth on the sf0.1 corpus (see operators/dedup.py)."""
     return minhash_lsh_pairs(
-        load_table(spark, sf_dir, "documents"), num_hashes=30, bands=5, threshold=0.9
+        ensure_parallelism(load_table(spark, sf_dir, "documents")), num_hashes=30, bands=5, threshold=0.9
     )
 
 
@@ -153,7 +153,7 @@ def ext_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle computes the same components as a recursive-CTE transitive
     closure (fine at oracle scale; the Spark path is the one that scales)."""
     pairs = token_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), block_cols=("source", "lang"), threshold=0.9
+        ensure_parallelism(load_table(spark, sf_dir, "documents")), block_cols=("source", "lang"), threshold=0.9
     )
     return connected_components(pairs)
 
@@ -161,7 +161,7 @@ def ext_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("ext_dedup_simhash")  # hash-seeded -> rows-only check
 def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash banded near-dup pairs (Hamming <= 6)."""
-    return simhash_near_dup_pairs(load_table(spark, sf_dir, "documents"), max_hamming=6)
+    return simhash_near_dup_pairs(ensure_parallelism(load_table(spark, sf_dir, "documents")), max_hamming=6)
 
 
 _EMB_COS = oracle_cosine("a.embedding", "b.embedding")
@@ -299,7 +299,7 @@ def ext_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ext_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus statistics per (lang, source): doc/char/token totals."""
-    d = load_table(spark, sf_dir, "documents")
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     tok = TX.token_count(F.col("text")).cast("long")
     return d.groupBy("lang", "source").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -320,7 +320,7 @@ def ext_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ext_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-lexicon language-ID heuristic with deterministic argmax."""
-    d = load_table(spark, sf_dir, "documents")
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     pred = TX.predicted_lang(F.col("text"))
     return d.select(
         "doc_id",
@@ -341,7 +341,7 @@ def ext_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ext_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic [0,1] quality heuristic (length/punct/stopwords)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         TX.token_count(F.col("text")).alias("n_tokens"),
@@ -360,7 +360,7 @@ def ext_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ext_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace and BPE-ish-regex token counts."""
-    d = load_table(spark, sf_dir, "documents")
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         F.size(F.split(F.col("text"), " ")).alias("n_tokens_ws"),
@@ -377,7 +377,7 @@ def ext_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ext_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Polynomial rolling-hash document fingerprint (exact int64 fold)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     return d.select("doc_id", TX.fingerprint(F.col("text")).alias("fingerprint"))
 
 
@@ -412,7 +412,7 @@ def ext_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     native doubles at the comparison boundary (array columns are
     re-rendered differently by the engines' dataframe bridges — the
     decimal trap, queries/registry.py)."""
-    media = attach_binary_payload(load_table(spark, sf_dir, "documents"))
+    media = attach_binary_payload(ensure_parallelism(load_table(spark, sf_dir, "documents")))
     feats = extract_fake_features(media)
     return feats.select(
         "media_id",
@@ -434,7 +434,7 @@ def ext_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ext_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize stage (operators.multimodal.resize_media): binary in ->
     size-capped binary out; size metadata is oracle-checkable."""
-    media = attach_binary_payload(load_table(spark, sf_dir, "documents"))
+    media = attach_binary_payload(ensure_parallelism(load_table(spark, sf_dir, "documents")))
     return resize_media(media, target_bytes=64).select(
         "media_id", "orig_bytes", "resized_bytes"
     )
@@ -454,7 +454,7 @@ def ext_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-expanding frame sampling: blob -> 4 evenly-spaced frames via
     mapInPandas (operators.multimodal.sample_frames); frame sizes are
     oracle-checkable byte arithmetic."""
-    media = attach_binary_payload(load_table(spark, sf_dir, "documents"))
+    media = attach_binary_payload(ensure_parallelism(load_table(spark, sf_dir, "documents")))
     frames = sample_frames(media, n_frames=4)
     return frames.where(F.length("frame") > 0).select(
         "media_id", "frame_no", F.length("frame").cast("int").alias("frame_bytes")
@@ -493,7 +493,7 @@ def ext_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     float64 at any summation order, so means compare bit-identically)."""
     from ..operators.multimodal import image_channel_stats, render_ppm_media
 
-    ids = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    ids = ensure_parallelism(load_table(spark, sf_dir, "documents")).where(F.col("doc_id") < 200)
     return image_channel_stats(render_ppm_media(ids))
 
 
@@ -527,7 +527,7 @@ def ext_multimodal_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
     (decode->view->stats fused in one pass, no shuffle)."""
     from ..operators.multimodal import render_ppm_media, thumbnail_stats
 
-    ids = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    ids = ensure_parallelism(load_table(spark, sf_dir, "documents")).where(F.col("doc_id") < 200)
     return thumbnail_stats(render_ppm_media(ids), stride=2)
 
 
@@ -558,5 +558,5 @@ def ext_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapInPandas shape as the image path."""
     from ..operators.multimodal import audio_stats, render_wav_media
 
-    ids = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    ids = ensure_parallelism(load_table(spark, sf_dir, "documents")).where(F.col("doc_id") < 200)
     return audio_stats(render_wav_media(ids))

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.dedup import _shingle_set
-from ..sources import load_table
+from ..sources import ensure_parallelism, load_table
 from .registry import register
 
 # md5-derived uniform in [0, 1): fold the first 6 hex chars to an integer
@@ -74,7 +74,7 @@ def ext_corpus_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     one hash per row evaluated map-side; output is one row per source.
     This is the 'data mixing' step training pipelines apply between
     curation and tokenization."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
     tot = counts.agg(
         F.sum("n_docs").cast("long").alias("total"),
@@ -144,7 +144,7 @@ def ext_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     7x slower at sf0.1: it shuffles corpus x shingles rows to dedupe
     doc ids). Cost is one linear scan of the corpus regardless of size;
     only the final per-source aggregate exchanges."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     sh = docs.select(
         "doc_id", "source", _shingle_set(F.col("text"), _SHINGLE_N).alias("grams")
     )
@@ -203,7 +203,7 @@ def ext_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast offsets) — documented here, window-form kept because the
     spine of this op is the deterministic order, not the mechanism.
     All arithmetic is exact integer division/modulo."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     toks = docs.select(
         "doc_id",
         "lang",
@@ -338,7 +338,7 @@ def ext_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-document sort of a bounded chunk list. This is the sub-document
     twin of ext_dedup_exact — repeated boilerplate dies corpus-wide even
     when full documents differ."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     t = docs.select("doc_id", F.split(F.lower("text"), " ").alias("toks"))
     n = F.size("toks")
     nc = F.greatest(F.lit(1), F.ceil(n / F.lit(float(_PARA))).cast("int"))

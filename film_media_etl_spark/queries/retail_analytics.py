@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.money import AGG_DECIMAL, dec
-from ..sources import load_table
+from ..sources import ensure_parallelism, load_table
 from .registry import register
 
 
@@ -407,7 +407,7 @@ def ext_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark plans TakeOrderedAndProject (distributed per-partition top-k,
     no global sort). Scores round to 4 decimals over 1-ulp ln() noise
     (see module doc) with doc_id as the deterministic tiebreak."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     tok = docs.select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
     )

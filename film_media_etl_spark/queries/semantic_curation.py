@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.vectors import dot, l2sq, oracle_dot, oracle_l2sq, to_double_vec
-from ..sources import load_table
+from ..sources import ensure_parallelism, load_table
 from .registry import register
 
 # Coarse-quantizer sizing: K = max(8, N // _SEM_BLOCK) seed centroids
@@ -173,7 +173,7 @@ def ext_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB K scales with the corpus so blocks stay bounded (the
     SemDeDup paper's argument verbatim). Norms are computed once per
     vector, so each pair costs one dot fold, not three."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
     # K adapts to the corpus (see sizing comment above); the count is one
     # columnar scan, same driver-side pattern as the IVF/PQ trainers.
     n_vecs = emb.count()
@@ -299,7 +299,7 @@ def ext_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     result is fold-order-independent and bit-identical across engines
     (charlm.py convention)."""
     docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    tk = docs.select(
+    tk = ensure_parallelism(docs).select(
         "doc_id", "lang", F.explode(F.split(F.lower("text"), " ")).alias("tok")
     )
     # BOTH unigram models in one pass: conditional count for the target
@@ -409,7 +409,7 @@ def ext_dedup_semantic_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     the two is pinned by tests). Use THIS one on corpora where heavy
     duplication is expected: its cost is O(candidates scanned until
     first hit), never O(qualifying pairs)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
     n_vecs = emb.count()
     if n_vecs == 0:
         return emb.select(

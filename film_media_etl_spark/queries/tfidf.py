@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..sources import load_table
+from ..sources import ensure_parallelism, load_table
 from .registry import register
 
 
@@ -58,7 +58,7 @@ from .registry import register
 def ext_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document (first 50 docs keep the result
     compact); ties break on term for determinism."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     n_docs = docs.count()
     tok = docs.select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
@@ -95,7 +95,7 @@ def ext_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ext_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalization pass LLM pipelines run before dedup/tokenization:
     lowercase, collapse whitespace runs, trim — pure JVM expressions."""
-    d = load_table(spark, sf_dir, "documents")
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
     return d.select(
         "doc_id", norm.alias("norm_text"), F.length(norm).cast("int").alias("norm_len")

@@ -1,3 +1,3 @@
-from .parquet import TABLES, load_table, load_tables, register_views
+from .parquet import TABLES, ensure_parallelism, load_table, load_tables, register_views
 
-__all__ = ["TABLES", "load_table", "load_tables", "register_views"]
+__all__ = ["TABLES", "ensure_parallelism", "load_table", "load_tables", "register_views"]

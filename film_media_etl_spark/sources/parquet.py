@@ -64,3 +64,29 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
     return dfs
+
+
+def ensure_parallelism(df, min_parts: int | None = None):
+    """Round-robin repartition when the upstream has fewer partitions
+    than the session's parallelism.
+
+    Why: a parquet file is splittable only at ROW-GROUP boundaries, so a
+    small-file / single-row-group table scans as ONE partition no matter
+    what spark.sql.files.maxPartitionBytes says — and every CPU-heavy
+    map fused onto that scan (minhash signature folds, charlm scoring,
+    PassJoin segment generation, cluster assignment, mapInPandas decode)
+    runs on ONE core. Measured on the 4x scale corpus: the whole MinHash
+    pipeline collapsed into a single 104-second task while 31 cores sat
+    idle. The guard keeps this a no-op exactly when it should be: a
+    100 TB table arrives in thousands of row groups, already at or above
+    session parallelism, so no shuffle is added at scale — only the
+    small-input regime pays one cheap round-robin exchange of the raw
+    rows. Row order is not part of any operator's contract, so results
+    are unchanged (oracle sweeps stay green).
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_parts or sc.defaultParallelism
+    # getNumPartitions compiles the plan but launches no job
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

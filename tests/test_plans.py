@@ -563,7 +563,9 @@ def test_charlm_model_broadcast_no_python(spark):
     s = plan_summary(df)
     assert s["nested_loop_joins"] >= 1  # 1-row dense model rides broadcast
     assert s["cartesian_products"] == 0
-    assert s["exchanges"] <= 4
+    # 4 model exchanges + ensure_parallelism repartitions on the count
+    # and scoring branches (no CSE across DataFrame reuse)
+    assert s["exchanges"] <= 7
 
 
 def test_yoy_and_allocation_windows_post_aggregate(spark):
@@ -611,7 +613,10 @@ def test_curation_broadcasts_and_stays_jvm(spark):
     # shuffled (the explode+join spelling was 12x slower at sf0.1)
     assert s["nested_loop_joins"] >= 1
     assert s["cartesian_products"] == 0
-    assert s["exchanges"] <= 2
+    # 2 model exchanges + the small-file parallelism repartitions
+    # (sources.ensure_parallelism: a single-row-group corpus scans as ONE
+    # partition, so CPU-heavy text stages are explicitly spread)
+    assert s["exchanges"] <= 4
 
 
 def test_pmi_top_terms_broadcast_bounded_pairs(spark):
@@ -795,7 +800,8 @@ def test_sequence_packing_single_window_partition_by_lang(spark):
     s = plan_summary(df)
     assert s["window_nodes"] == 1
     assert s["single_partition_exchanges"] == 0
-    assert s["exchanges"] <= 1
+    # window exchange + the ensure_parallelism repartition
+    assert s["exchanges"] <= 2
 
 
 def test_tpch_q7_double_nation_broadcast(spark):

@@ -63,9 +63,26 @@ def _shift_keys(t: pa.Table, table: str, copy: int) -> pa.Table:
     return t
 
 
+# Name-like columns get a per-copy suffix: appending the SAME suffix to
+# every name in a copy leaves all within-copy edit distances unchanged
+# (levenshtein is suffix-invariant for a shared suffix) while pushing
+# every cross-copy distance past any small threshold — so fuzzy-match
+# outputs scale Kx like a real corpus instead of K^2x (identical copies
+# of p_name measured 17x wall at 4x: pure output explosion, not plan).
+PERTURB_NAME = {"part": "p_name"}
+
+
 def _scale_plain(src: str, out: str, table: str, k: int) -> None:
     base = pq.read_table(f"{src}/{table}.parquet")
-    parts = [base] + [_shift_keys(base, table, i) for i in range(1, k)]
+    parts = [base]
+    for i in range(1, k):
+        t = _shift_keys(base, table, i)
+        col = PERTURB_NAME.get(table)
+        if col:
+            ci = t.schema.get_field_index(col)
+            vals = [None if s is None else f"{s} copy{i}" for s in t[col].to_pylist()]
+            t = t.set_column(ci, col, pa.array(vals, t.schema.field(col).type))
+        parts.append(t)
     pq.write_table(pa.concat_tables(parts), f"{out}/{table}.parquet")
 
 

@@ -37,6 +37,7 @@ HEADLINE = [
     "op24_conditional_pivot",
     "op26_rollup",
     "ext_dedup_minhash",
+    "ext_dedup_minhash_survivors",  # output-bounded keep/drop tier
     "ext_dedup_exact",
     "ext_dedup_paragraphs",
     "ext_dedup_semantic",

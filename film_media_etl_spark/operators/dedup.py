@@ -590,3 +590,87 @@ def connected_components(
     else:
         raise RuntimeError(f"connected_components did not converge in {max_iters} rounds")
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def minhash_lsh_survivors(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 30,
+    bands: int = 5,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Output-bounded MinHash dedup decision: pruned(d) = EXISTS a
+    lower-id banded-collision partner with verified Jaccard >= t.
+
+    Why a separate tier (mirrors semantic_survivor_prune): the pairs op
+    must EMIT every verified pair, so a duplicate-saturated corpus makes
+    it output-bound — C(n,2) pairs for an n-way duplicate group no
+    matter how good the banding is. A consumer that only keeps/drops
+    documents needs one bit per doc: this spelling probes each doc's
+    band buckets with a LEFT SEMI join whose residual carries the FULL
+    verify (id order, size-ratio prune, exact token-set Jaccard), so
+    Spark stops scanning a bucket at the doc's first confirmed
+    duplicate — on a saturated corpus that is almost immediately, and
+    wall tracks N (pinned by tests/test_dedup_recall.py). Bands and
+    signatures are identical to minhash_lsh_pairs (same hash mixing, so
+    the decision sets agree — also pinned); no first-band dedup is
+    needed because EXISTS is idempotent across a pair's bands. Cost
+    note: token-hash arrays ride the banded shuffle (bands x corpus),
+    the price of verifying inside the join; rows-only correctness
+    (hash-seeded)."""
+    docs = ensure_parallelism(docs)
+    rows = num_hashes // bands
+    _max_long = (1 << 63) - 1
+    th = F.transform(_token_set(F.col(text_col)), lambda t: F.xxhash64(t))
+    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    sig_arr = F.aggregate(
+        th,
+        F.array_repeat(F.lit(_max_long).cast("long"), num_hashes),
+        lambda acc, h: F.zip_with(acc, seeds, lambda a, i: F.least(a, F.xxhash64(h, i))),
+    )
+    tok_hashes = F.array_distinct(th)
+    sig = docs.select(
+        F.col(id_col).alias("doc_id"),
+        tok_hashes.alias("toks"),
+        F.size(tok_hashes).alias("nt"),
+        F.explode(F.array(sig_arr)).alias("mhs"),
+    ).where(F.element_at("mhs", 1) != F.lit(_max_long))
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.lit(b), *[F.element_at("mhs", b * rows + r + 1) for r in range(rows)]
+                ).alias("bhash"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select(
+        "doc_id", "toks", "nt", F.explode(band_structs).alias("bb")
+    ).select("doc_id", "toks", "nt", F.col("bb.band").alias("band"), F.col("bb.bhash").alias("bhash"))
+    b, a = banded.alias("b"), banded.alias("a")
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+    jac = inter.cast("double") / (F.col("a.nt") + F.col("b.nt") - inter).cast("double")
+    pruned = (
+        b.join(
+            a,
+            (F.col("b.band") == F.col("a.band"))
+            & (F.col("b.bhash") == F.col("a.bhash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.least(F.col("a.nt"), F.col("b.nt")).cast("double")
+                >= F.lit(threshold) * F.greatest(F.col("a.nt"), F.col("b.nt")).cast("double")
+            )
+            & (jac >= F.lit(threshold)),
+            "left_semi",
+        )
+        .select(F.col("doc_id").alias("pid"))
+        .distinct()
+    )
+    base = docs.select(F.col(id_col).alias("doc_id"))
+    return base.join(pruned, base["doc_id"] == F.col("pid"), "left").select(
+        "doc_id", F.col("pid").isNotNull().alias("pruned")
+    )

@@ -493,7 +493,9 @@ def ext_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     float64 at any summation order, so means compare bit-identically)."""
     from ..operators.multimodal import image_channel_stats, render_ppm_media
 
-    ids = ensure_parallelism(load_table(spark, sf_dir, "documents")).where(F.col("doc_id") < 200)
+    ids = ensure_parallelism(
+        load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    )
     return image_channel_stats(render_ppm_media(ids))
 
 
@@ -527,7 +529,9 @@ def ext_multimodal_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
     (decode->view->stats fused in one pass, no shuffle)."""
     from ..operators.multimodal import render_ppm_media, thumbnail_stats
 
-    ids = ensure_parallelism(load_table(spark, sf_dir, "documents")).where(F.col("doc_id") < 200)
+    ids = ensure_parallelism(
+        load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    )
     return thumbnail_stats(render_ppm_media(ids), stride=2)
 
 
@@ -558,5 +562,7 @@ def ext_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapInPandas shape as the image path."""
     from ..operators.multimodal import audio_stats, render_wav_media
 
-    ids = ensure_parallelism(load_table(spark, sf_dir, "documents")).where(F.col("doc_id") < 200)
+    ids = ensure_parallelism(
+        load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    )
     return audio_stats(render_wav_media(ids))

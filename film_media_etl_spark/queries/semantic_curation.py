@@ -419,3 +419,17 @@ def ext_dedup_semantic_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     assigned = _assign_clusters(emb, max(_K_MIN, n_vecs // _SEM_BLOCK))
     return semantic_survivor_prune(assigned)
+
+
+@register("ext_dedup_minhash_survivors")  # hash-seeded -> rows-only check
+def ext_dedup_minhash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep/drop tier of ext_dedup_minhash: same signatures and banding,
+    but a LEFT SEMI probe that stops at each document's first verified
+    lower-id duplicate instead of emitting every pair — the
+    output-bounded spelling for duplicate-heavy corpora (see
+    operators/dedup.py:minhash_lsh_survivors; agreement with the pairs
+    op and near-linear saturated-corpus wall are pinned in
+    tests/test_dedup_recall.py)."""
+    from ..operators.dedup import minhash_lsh_survivors
+
+    return minhash_lsh_survivors(load_table(spark, sf_dir, "documents"))

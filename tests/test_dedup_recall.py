@@ -214,3 +214,49 @@ def test_semantic_survivors_saturated_corpus_linear(spark):
     t1 = run(3000)
     t2 = run(12000)
     assert t2 <= 4 * t1 + 2.0, (t1, t2)
+
+
+def test_minhash_survivors_matches_pairs_decision(spark):
+    """The survivors tier must flag exactly the docs that appear as the
+    HIGHER id in at least one verified pair from the pairs op (same
+    signatures, same threshold -> identical decision sets)."""
+    from film_media_etl_spark.queries import all_queries
+
+    qs = all_queries()
+    sf = "/root/testdata/sf0.001"
+    pairs_pruned = {
+        r["doc_id_b"] for r in qs["ext_dedup_minhash"](spark, sf).collect()
+    }
+    got = {
+        r["doc_id"]: r["pruned"]
+        for r in qs["ext_dedup_minhash_survivors"](spark, sf).collect()
+    }
+    assert {d for d, p in got.items() if p} == pairs_pruned
+    assert len(got) == qs["ext_dedup_minhash_survivors"](spark, sf).count()
+
+
+def test_minhash_survivors_saturated_corpus_linear(spark):
+    """100%-duplicate corpus: the pairs op is output-bound (C(N,2) pairs)
+    but the survivors semi join must stay near-linear — each probe row
+    confirms its first bucket partner and stops."""
+    import time
+
+    from film_media_etl_spark.operators.dedup import minhash_lsh_survivors
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+
+    def run(n):
+        docs = spark.range(n).select(
+            F.col("id").alias("doc_id"), F.lit(text).alias("text")
+        )
+        t0 = time.perf_counter()
+        rows = minhash_lsh_survivors(docs).collect()
+        dt = time.perf_counter() - t0
+        assert len(rows) == n
+        assert sum(r["pruned"] for r in rows) == n - 1
+        return dt
+
+    run(500)  # warmup
+    t1 = run(3000)
+    t2 = run(12000)
+    assert t2 <= 4 * t1 + 2.0, (t1, t2)

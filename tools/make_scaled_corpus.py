@@ -17,6 +17,10 @@ Design (what "Kx" must mean for the results to be interpretable):
   vocabulary also grows Kx, which pushes the dedup verify off the
   bounded-bitset fast path onto the open-vocabulary fallback — the
   expected 100 TB regime.
+- Row groups are written at 64k rows so scans parallelize the way a
+  real multi-file dataset does — pyarrow's default 1M-row groups made
+  a 2.4M-row lineitem scan run as 3 tasks and polluted every TPC-H
+  scaling ratio with scan starvation rather than plan behavior.
 - embeddings: K copies transformed by a per-copy fixed column
   permutation + per-column sign flips. This is an orthogonal map, so
   every within-copy pairwise cosine (and each vector's norm) is
@@ -69,7 +73,15 @@ def _shift_keys(t: pa.Table, table: str, copy: int) -> pa.Table:
 # every cross-copy distance past any small threshold — so fuzzy-match
 # outputs scale Kx like a real corpus instead of K^2x (identical copies
 # of p_name measured 17x wall at 4x: pure output explosion, not plan).
+# Suffix LENGTHS differ by 3 per copy: equal-length tags like " copy1" /
+# " copy2" are themselves 1 edit apart, which put every cross-copy name
+# pair back inside tau=2 — caught at 4x as a 7.6x wall.
 PERTURB_NAME = {"part": "p_name"}
+ROW_GROUP = 65536
+
+
+def _write(t: pa.Table, path: str) -> None:
+    pq.write_table(t, path, row_group_size=ROW_GROUP)
 
 
 def _scale_plain(src: str, out: str, table: str, k: int) -> None:
@@ -80,10 +92,11 @@ def _scale_plain(src: str, out: str, table: str, k: int) -> None:
         col = PERTURB_NAME.get(table)
         if col:
             ci = t.schema.get_field_index(col)
-            vals = [None if s is None else f"{s} copy{i}" for s in t[col].to_pylist()]
+            tag = " " + "z" * (3 * i)
+            vals = [None if s is None else s + tag for s in t[col].to_pylist()]
             t = t.set_column(ci, col, pa.array(vals, t.schema.field(col).type))
         parts.append(t)
-    pq.write_table(pa.concat_tables(parts), f"{out}/{table}.parquet")
+    _write(pa.concat_tables(parts), f"{out}/{table}.parquet")
 
 
 def _scale_documents(src: str, out: str, k: int) -> None:
@@ -107,7 +120,7 @@ def _scale_documents(src: str, out: str, k: int) -> None:
             pa.array([None if s is None else len(s) for s in new_texts], n_typ),
         )
         parts.append(t)
-    pq.write_table(pa.concat_tables(parts), f"{out}/documents.parquet")
+    _write(pa.concat_tables(parts), f"{out}/documents.parquet")
 
 
 def _scale_embeddings(src: str, out: str, k: int) -> None:
@@ -127,14 +140,14 @@ def _scale_embeddings(src: str, out: str, k: int) -> None:
             ei, "embedding", pa.array([row.tolist() for row in tv], pa.list_(elem))
         )
         parts.append(t)
-    pq.write_table(pa.concat_tables(parts), f"{out}/embeddings.parquet")
+    _write(pa.concat_tables(parts), f"{out}/embeddings.parquet")
 
 
 def main() -> None:
     src, out, k = sys.argv[1], sys.argv[2], int(sys.argv[3])
     os.makedirs(out, exist_ok=True)
     for table in COPY_AS_IS:
-        pq.write_table(pq.read_table(f"{src}/{table}.parquet"), f"{out}/{table}.parquet")
+        _write(pq.read_table(f"{src}/{table}.parquet"), f"{out}/{table}.parquet")
     for table in ("customer", "supplier", "part", "orders", "lineitem", "events"):
         _scale_plain(src, out, table, k)
     _scale_documents(src, out, k)

@@ -437,7 +437,14 @@ def minhash_lsh_pairs(
             F.least("na", "nb").cast("double") / F.greatest("na", "nb").cast("double")
             >= F.lit(threshold)
         )
-        .withColumn("inter", inter_expr)
+        # Generate barrier (explode of a 1-element array) so CollapseProject
+        # cannot inline inter_expr into its consumers: jaccard uses `inter`
+        # twice and the final filter re-derives it, and HOF/array exprs are
+        # excluded from codegen subexpression elimination — the collapsed
+        # plan evaluated the intersect ~4x per candidate (16x corpus: the
+        # verify stage measured 142s vs the 26s the microbenched per-pair
+        # cost predicts; the barrier restores the one-evaluation cost).
+        .withColumn("inter", F.explode(F.array(inter_expr)))
         .select(
             "doc_id_a",
             "doc_id_b",

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..sources import load_table
+from ..sources import ensure_parallelism, load_table
 from .registry import register
 
 _HEX = "0123456789abcdef"
@@ -63,7 +63,7 @@ def ext_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     width fixed regardless of corpus vocabulary. Bucket ids come from
     the md5 nibble-fold, so the featurization is reproducible across
     engines and replays."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     tok = docs.select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
     ).where(F.col("term") != "")

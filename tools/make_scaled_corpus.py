@@ -73,9 +73,21 @@ def _shift_keys(t: pa.Table, table: str, copy: int) -> pa.Table:
 # every cross-copy distance past any small threshold — so fuzzy-match
 # outputs scale Kx like a real corpus instead of K^2x (identical copies
 # of p_name measured 17x wall at 4x: pure output explosion, not plan).
-# Suffix LENGTHS differ by 3 per copy: equal-length tags like " copy1" /
-# " copy2" are themselves 1 edit apart, which put every cross-copy name
-# pair back inside tau=2 — caught at 4x as a 7.6x wall.
+# A 2-char copy tag is appended to EVERY WORD ("red" -> "redbd" in
+# copy 1): (a) within-copy pair distances are preserved EXACTLY (the
+# tag is constant per copy, so both names of a pair change
+# identically — true-pair counts measured exactly linear: 882,168 at
+# 4x = 4 x 220,542); (b) every cross-copy pair exceeds tau=2 (both
+# tag chars differ between any two copies — c1 = alpha[i], c2 =
+# alpha[3i mod 26], both injective for i < 26 — so two 2-word names
+# from different copies are >= 4 edits apart). A marker that also
+# touched every word INTERIOR was tried (stride-6 interleave) to keep
+# segment-blocked join keys copy-distinct, but index-anchored
+# insertion warps indel-pair distances (pair count inflated 2.7x) —
+# so word interiors stay copy-blind, and segment-join candidate
+# growth on TPC-H's saturated two-color-word name space is accepted
+# and documented as a data property (verified output stays exactly
+# linear).
 PERTURB_NAME = {"part": "p_name"}
 ROW_GROUP = 65536
 
@@ -92,8 +104,12 @@ def _scale_plain(src: str, out: str, table: str, k: int) -> None:
         col = PERTURB_NAME.get(table)
         if col:
             ci = t.schema.get_field_index(col)
-            tag = " " + "z" * (3 * i)
-            vals = [None if s is None else s + tag for s in t[col].to_pylist()]
+            alpha = "abcdefghijklmnopqrstuvwxyz"
+            tag = alpha[i % 26] + alpha[(3 * i) % 26]
+            vals = [
+                None if s is None else " ".join(w + tag for w in s.split(" "))
+                for s in t[col].to_pylist()
+            ]
             t = t.set_column(ci, col, pa.array(vals, t.schema.field(col).type))
         parts.append(t)
     _write(pa.concat_tables(parts), f"{out}/{table}.parquet")

@@ -5,7 +5,15 @@ verify every query still completes, and report per-query spill volumes
 from the Spark event log (the UI is disabled, so the log is the one
 place task metrics survive).
 
-Usage: [SPARK_GRAFT_SF_DIR=...] python tools/spill_probe.py [driver_mem]
+Usage: [SPARK_GRAFT_SF_DIR=...] python tools/spill_probe.py [driver_mem] [mem_fraction]
+
+Knob separation matters: spark.memory.fraction is what forces operators
+onto their spill paths (it bounds the unified execution+storage region),
+while driver_mem must stay big enough that plain object churn doesn't
+GC-thrash the JVM to death — a 4g heap at the 16x corpus died mid-suite
+from GC pressure long before any operator spilled. 8g + fraction 0.05
+(=400MB execution region shared by 32 tasks, ~12MB each) is the
+combination that actually exercises spills on the big sorts/joins.
 
 Prints one JSON line:
   {"driver_memory": "...", "sf_dir": "...", "completed": N, "failed": [...],
@@ -27,7 +35,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 EVENT_DIR = "/tmp/spark-events-spillprobe"
 
 
-def _session(driver_mem: str):
+def _session(driver_mem: str, mem_fraction: str):
     from pyspark.sql import SparkSession
 
     from film_media_etl_spark.session import cpu_count
@@ -47,10 +55,14 @@ def _session(driver_mem: str):
         .config("spark.driver.memory", driver_mem)
         # squeeze the unified memory region so execution memory runs out
         # early and operators exercise their spill paths
-        .config("spark.memory.fraction", "0.2")
+        .config("spark.memory.fraction", mem_fraction)
         .config("spark.ui.enabled", "false")
         .config("spark.eventLog.enabled", "true")
         .config("spark.eventLog.dir", EVENT_DIR)
+        # single plain-text log named by app id (rolling writes a v2
+        # directory the parser would have to chase)
+        .config("spark.eventLog.rolling.enabled", "false")
+        .config("spark.eventLog.compress", "false")
         .getOrCreate()
     )
 
@@ -73,14 +85,15 @@ def _spills_by_stage(log_path: str) -> dict[int, tuple[int, int]]:
 
 
 def main() -> None:
-    driver_mem = sys.argv[1] if len(sys.argv) > 1 else "4g"
+    driver_mem = sys.argv[1] if len(sys.argv) > 1 else "8g"
+    mem_fraction = sys.argv[2] if len(sys.argv) > 2 else "0.05"
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
     from bench import HEADLINE
 
     from film_media_etl_spark.queries import all_queries
 
-    spark = _session(driver_mem)
+    spark = _session(driver_mem, mem_fraction)
     spark.sparkContext.setLogLevel("ERROR")
     app_id = spark.sparkContext.applicationId
     qs = all_queries()
@@ -91,7 +104,11 @@ def main() -> None:
 
     def stages_done() -> dict[int, tuple[int, int]]:
         # event log flushes continuously; re-parse after each query
-        logs = glob.glob(os.path.join(EVENT_DIR, app_id + "*"))
+        logs = [
+            f
+            for f in glob.glob(os.path.join(EVENT_DIR, f"*{app_id}*"))
+            if os.path.isfile(f) and not f.endswith(".inprogress.crc")
+        ]
         return _spills_by_stage(logs[0]) if logs else {}
 
     for name in HEADLINE:
@@ -116,7 +133,7 @@ def main() -> None:
         json.dumps(
             {
                 "driver_memory": driver_mem,
-                "memory_fraction": 0.2,
+                "memory_fraction": float(mem_fraction),
                 "sf_dir": sf_dir,
                 "completed": len(results),
                 "failed": failed,

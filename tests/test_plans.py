@@ -719,13 +719,14 @@ def test_degree_distribution_single_explode_pass(spark):
 
 
 def test_feature_hashing_stays_jvm_single_shuffle(spark):
-    """The hashing trick must be explode -> hash -> count: one shuffle
-    (the (doc,bucket) agg), no joins, no Python eval in the plan."""
+    """The hashing trick must be explode -> hash -> count: the agg
+    shuffle plus the ensure_parallelism repartition, no joins, no
+    Python eval in the plan."""
     from film_media_etl_spark.plans import physical_plan
 
     df = _q("ext_feature_hashing", spark)
     s = plan_summary(df)
-    assert s["exchanges"] <= 1
+    assert s["exchanges"] <= 2
     assert s["sort_merge_joins"] + s["broadcast_hash_joins"] == 0
     assert "BatchEvalPython" not in physical_plan(df)
 

@@ -681,3 +681,59 @@ def minhash_lsh_survivors(
     return base.join(pruned, base["doc_id"] == F.col("pid"), "left").select(
         "doc_id", F.col("pid").isNotNull().alias("pruned")
     )
+
+
+def simhash_survivors(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 6,
+    bands: int = 4,
+) -> DataFrame:
+    """Output-bounded SimHash dedup decision — completes the survivors
+    trio (minhash_lsh_survivors / semantic_survivor_prune): pruned(d) =
+    EXISTS a lower-id doc sharing a signature band with Hamming <=
+    ``max_hamming``. Same banding as simhash_near_dup_pairs; the LEFT
+    SEMI probe stops at each doc's first qualifying lower-id partner, so
+    a duplicate-saturated corpus costs O(bucket scan to first hit), not
+    O(pairs), and no first-band dedup or distinct() is needed (EXISTS is
+    idempotent across bands)."""
+    docs = ensure_parallelism(docs)
+    sig = docs.select(
+        F.col(id_col).alias("doc_id"), simhash_bits(F.col(text_col)).alias("sig")
+    )
+    width = 64 // bands
+    mask = (1 << width) - 1
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("sig"), b * width).bitwiseAND(F.lit(mask)).alias("bval"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select("doc_id", "sig", F.explode(band_arr).alias("bb")).select(
+        "doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval")
+    )
+    pruned = (
+        banded.alias("b")
+        .join(
+            banded.alias("a"),
+            (F.col("b.band") == F.col("a.band"))
+            & (F.col("b.bval") == F.col("a.bval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
+                <= F.lit(max_hamming)
+            ),
+            "left_semi",
+        )
+        .select(F.col("doc_id").alias("pid"))
+        .distinct()
+    )
+    base = docs.select(F.col(id_col).alias("doc_id"))
+    return base.join(pruned, base["doc_id"] == F.col("pid"), "left").select(
+        "doc_id", F.col("pid").isNotNull().alias("pruned")
+    )

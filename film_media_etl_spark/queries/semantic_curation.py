@@ -433,3 +433,14 @@ def ext_dedup_minhash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import minhash_lsh_survivors
 
     return minhash_lsh_survivors(load_table(spark, sf_dir, "documents"))
+
+
+@register("ext_dedup_simhash_survivors")  # hash-seeded -> rows-only check
+def ext_dedup_simhash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep/drop tier of ext_dedup_simhash (see
+    operators/dedup.py:simhash_survivors) — the third member of the
+    output-bounded survivors trio; agreement with the pairs op is pinned
+    in tests/test_dedup_recall.py."""
+    from ..operators.dedup import simhash_survivors
+
+    return simhash_survivors(load_table(spark, sf_dir, "documents"))

@@ -260,3 +260,19 @@ def test_minhash_survivors_saturated_corpus_linear(spark):
     t1 = run(3000)
     t2 = run(12000)
     assert t2 <= 4 * t1 + 2.0, (t1, t2)
+
+
+def test_simhash_survivors_matches_pairs_decision(spark):
+    """pruned == appears as the higher id in >= 1 emitted SimHash pair."""
+    from film_media_etl_spark.queries import all_queries
+
+    qs = all_queries()
+    sf = "/root/testdata/sf0.001"
+    pairs_pruned = {
+        r["doc_id_b"] for r in qs["ext_dedup_simhash"](spark, sf).collect()
+    }
+    got = {
+        r["doc_id"]: r["pruned"]
+        for r in qs["ext_dedup_simhash_survivors"](spark, sf).collect()
+    }
+    assert {d for d, p in got.items() if p} == pairs_pruned

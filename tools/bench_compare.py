@@ -20,7 +20,8 @@ def load(path: str) -> dict:
         txt = f.read()
     # driver wrapper or raw line
     d = json.loads(txt if txt.lstrip().startswith("{") else txt.splitlines()[-1])
-    return d.get("parsed", d)
+    # the driver wrapper can carry "parsed": null when its parse failed
+    return d.get("parsed") or d
 
 
 def main() -> int:

@@ -1,3 +1,8 @@
+from .ingest_dedup import (
+    read_documents_stream,
+    stream_content_dedup,
+    stream_near_dup_filter,
+)
 from .incremental import incremental_fact, read_lineitem_stream, start_incremental_load
 from .joins import stream_interval_join
 from .sinks import (
@@ -32,4 +37,7 @@ __all__ = [
     "read_snapshot",
     "start_incremental_summary",
     "start_upsert_totals",
+    "read_documents_stream",
+    "stream_content_dedup",
+    "stream_near_dup_filter",
 ]

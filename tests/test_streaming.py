@@ -713,3 +713,57 @@ def test_stream_holt_kill_and_resume(spark, tmp_path, batch_events):
         assert g["n_days"] == w["n_days"], (k, g["n_days"], w["n_days"])
         assert g["level"] == pytest.approx(w["level"], abs=1e-9)
         assert g["trend"] == pytest.approx(w["trend"], abs=1e-9)
+
+
+def test_stream_content_dedup_matches_batch(spark):
+    """Streaming exact content dedup == batch distinct on the content
+    fingerprint over the same static corpus."""
+    from film_media_etl_spark.streaming import (
+        read_documents_stream,
+        stream_content_dedup,
+    )
+
+    s = stream_content_dedup(read_documents_stream(spark, PARITY_SF_DIR))
+    _run_to_memory(s, "t_cdedup", output_mode="update")
+    got = spark.table("t_cdedup").select("content_fp").distinct().count()
+    want = (
+        load_table(spark, PARITY_SF_DIR, "documents")
+        .select(F.xxhash64(F.lower(F.col("text"))).alias("fp"))
+        .distinct()
+        .count()
+    )
+    assert spark.table("t_cdedup").count() == got == want
+
+
+def test_stream_near_dup_filter_matches_greedy_batch_replay(spark):
+    """The stateful online filter must make the same admit/suppress
+    decisions as a doc_id-ordered greedy replay of the same algorithm
+    (single band, same Hamming bound) computed in plain Python over the
+    batch corpus — i.e. the state machinery adds or loses nothing."""
+    from film_media_etl_spark.operators.dedup import simhash_bits
+    from film_media_etl_spark.streaming import (
+        read_documents_stream,
+        stream_near_dup_filter,
+    )
+
+    s = stream_near_dup_filter(read_documents_stream(spark, PARITY_SF_DIR))
+    _run_to_memory(s, "t_neardup", output_mode="update")
+    got = {r["doc_id"]: r["admitted"] for r in spark.table("t_neardup").collect()}
+
+    rows = (
+        load_table(spark, PARITY_SF_DIR, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", simhash_bits(F.col("text")).alias("sig"))
+        .collect()
+    )
+    buckets: dict[int, list[int]] = {}
+    want = {}
+    for r in sorted(rows, key=lambda r: r["doc_id"]):
+        b = r["sig"] & 0xFFFF
+        admitted = buckets.setdefault(b, [])
+        dup = any(bin(r["sig"] ^ s).count("1") <= 6 for s in admitted)
+        if not dup:
+            admitted.append(r["sig"])
+        want[r["doc_id"]] = not dup
+    assert got == want
+    assert sum(want.values()) < len(want)  # the fixture does contain near-dups

@@ -71,15 +71,24 @@ def lang_score(text: Column, lang: str) -> Column:
 
 def predicted_lang(text: Column) -> Column:
     """Argmax of marker scores with a fixed tiebreak order (first language
-    in LANG_ORDER wins ties) — implemented as a strictly-greater CASE
-    chain, so it is deterministic and portable."""
-    scores = {lang: lang_score(text, lang) for lang in LANG_ORDER}
-    expr = F.lit(LANG_ORDER[0])
-    best = scores[LANG_ORDER[0]]
-    for lang in LANG_ORDER[1:]:
-        expr = F.when(scores[lang] > best, F.lit(lang)).otherwise(expr)
-        best = F.when(scores[lang] > best, scores[lang]).otherwise(best)
-    return expr
+    in LANG_ORDER wins ties) — array_position of the max over the score
+    array, which returns the FIRST matching index, i.e. exactly the
+    strictly-greater CASE-chain semantics the DuckDB oracle twin uses.
+
+    Deliberately NOT the naive nested-when argmax: that chain duplicates
+    the running `best` subtree at every step, so the expression (and its
+    generated Java) grows exponentially in len(LANG_ORDER) — at 5
+    languages a projection using it twice exceeds the JVM 64KB method
+    limit and silently drops the whole stage out of codegen. The array
+    form is linear: each lang_score appears exactly once in the array
+    constructor. Null text maps to LANG_ORDER[0], matching the CASE
+    chain's fall-through (null comparisons never win)."""
+    scores = F.array(*[lang_score(text, lang) for lang in LANG_ORDER])
+    langs = F.array(*[F.lit(lang) for lang in LANG_ORDER])
+    pos = F.array_position(scores, F.array_max(scores))
+    return F.when(text.isNull(), F.lit(LANG_ORDER[0])).otherwise(
+        F.element_at(langs, pos.cast("int"))
+    )
 
 
 def punct_count(text: Column) -> Column:

@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.text import oracle_predicted_lang, oracle_quality_score
 from ..functions.vectors import dot, l2sq, oracle_dot, oracle_l2sq, to_double_vec
 from ..sources import ensure_parallelism, load_table
 from .registry import register
@@ -444,3 +445,143 @@ def ext_dedup_simhash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import simhash_survivors
 
     return simhash_survivors(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "ext_curation_pipeline",
+    oracle=f"""
+    WITH t AS MATERIALIZED (
+      SELECT doc_id, text, string_split(lower(text), ' ') AS toks
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bg
+      FROM t, LATERAL unnest(generate_series(1, len(toks)-1)) AS u(i)
+    ),
+    c AS (SELECT doc_id, bg, COUNT(*) AS cnt FROM b GROUP BY doc_id, bg),
+    r AS (
+      SELECT doc_id, cnt,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, bg ASC) AS rn,
+             SUM(cnt) OVER (PARTITION BY doc_id) AS n_bigrams
+      FROM c
+    ),
+    top AS (SELECT doc_id, cnt AS topc, n_bigrams FROM r WHERE rn = 1),
+    dup AS (
+      SELECT text, MIN(doc_id) AS keep_id FROM documents
+      WHERE text IS NOT NULL GROUP BY text
+    )
+    SELECT t.doc_id,
+           CASE
+             WHEN t.text IS NULL OR len(t.toks) < 5 THEN 'too_short'
+             WHEN {{pred}} <> 'en' THEN 'wrong_lang'
+             WHEN {{q}} < 0.5 THEN 'low_quality'
+             WHEN NOT (CAST(len(list_distinct(t.toks)) AS DOUBLE)
+                         / CAST(len(t.toks) AS DOUBLE) >= 0.3
+                       AND CAST(top.topc AS DOUBLE)
+                         / CAST(top.n_bigrams AS DOUBLE) <= 0.18)
+               THEN 'repetitive'
+             WHEN dup.keep_id < t.doc_id THEN 'duplicate'
+             ELSE 'ok'
+           END AS reject_reason,
+           CASE
+             WHEN t.text IS NULL OR len(t.toks) < 5 THEN FALSE
+             WHEN {{pred}} <> 'en' THEN FALSE
+             WHEN {{q}} < 0.5 THEN FALSE
+             WHEN NOT (CAST(len(list_distinct(t.toks)) AS DOUBLE)
+                         / CAST(len(t.toks) AS DOUBLE) >= 0.3
+                       AND CAST(top.topc AS DOUBLE)
+                         / CAST(top.n_bigrams AS DOUBLE) <= 0.18)
+               THEN FALSE
+             WHEN dup.keep_id < t.doc_id THEN FALSE
+             ELSE TRUE
+           END AS keep
+    FROM t
+    LEFT JOIN top ON t.doc_id = top.doc_id
+    LEFT JOIN dup ON t.text = dup.text
+    """.format(
+        pred=oracle_predicted_lang("t.text"), q=oracle_quality_score("t.text")
+    ),
+)
+def ext_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation verdict — the composition a real
+    training-data pipeline runs as ONE pass: minimum length, language
+    gate (marker-lexicon langid == 'en'), heuristic quality floor,
+    Gopher repetition gates (type-token ratio + top-bigram share), and
+    exact dedup (greedy min-id survivor), applied in a FIXED order so
+    every document gets one deterministic reject_reason (or 'ok'). All
+    gate expressions are the already-oracle-checked building blocks
+    (ext_quality / ext_langid / ext_repetition_quality /
+    ext_dedup_exact) fused into a single DataFrame pass: the scalar
+    gates are map-side; the repetition stats add one doc_id-keyed
+    aggregate and the dedup gate one text-keyed aggregate + broadcast-
+    able joins — so the whole pipeline is ~3 shuffles regardless of
+    corpus size, versus 4 separate jobs when run piecemeal."""
+    from ..functions import text as TX
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    # Generate barrier (explode of a 1-element struct array): the reason
+    # expression consumes predicted_lang (15 marker counts) plus
+    # quality_score (8 more) TWICE (reject_reason + keep), and after
+    # CollapseProject inlines them the generated processNext() nears the
+    # JVM 64KB method limit that silently drops a stage out of codegen.
+    # Materializing (lang, q) once behind the barrier keeps the downstream
+    # CASE tiny, the stage codegen'd, and the lexicon scans single-pass.
+    t = (
+        docs.select("doc_id", "text", F.split(F.lower("text"), " ").alias("toks"))
+        .withColumn(
+            "_lq",
+            F.explode(
+                F.array(
+                    F.struct(
+                        TX.predicted_lang(F.col("text")).alias("lang"),
+                        TX.quality_score(F.col("text")).alias("q"),
+                    )
+                )
+            ),
+        )
+        .select("doc_id", "text", "toks", "_lq.lang", "_lq.q")
+    )
+    n = F.size("toks")
+    bg = F.explode(
+        F.zip_with(
+            F.slice(F.col("toks"), 1, n - 1),
+            F.slice(F.col("toks"), 2, n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    ).alias("bg")
+    from pyspark.sql import Window
+
+    c = t.select("doc_id", bg).groupBy("doc_id", "bg").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w_rank = Window.partitionBy("doc_id").orderBy(F.col("cnt").desc(), F.col("bg").asc())
+    w_all = Window.partitionBy("doc_id")
+    top = (
+        c.withColumn("rn", F.row_number().over(w_rank))
+        .withColumn("n_bigrams", F.sum("cnt").over(w_all))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.col("cnt").alias("topc"), "n_bigrams")
+    )
+    dup = (
+        docs.where(F.col("text").isNotNull())
+        .groupBy("text")
+        .agg(F.min("doc_id").alias("keep_id"))
+        .withColumnRenamed("text", "dtext")
+    )
+    j = t.join(top, "doc_id", "left").join(
+        dup, t["text"] == F.col("dtext"), "left"
+    )
+    ttr_ok = (
+        F.size(F.array_distinct("toks")).cast("double") / n.cast("double") >= 0.3
+    ) & (F.col("topc").cast("double") / F.col("n_bigrams").cast("double") <= 0.18)
+    reason = (
+        F.when(F.col("text").isNull() | (n < 5), F.lit("too_short"))
+        .when(F.col("lang") != "en", F.lit("wrong_lang"))
+        .when(F.col("q") < 0.5, F.lit("low_quality"))
+        .when(~ttr_ok, F.lit("repetitive"))
+        .when(F.col("keep_id") < F.col("doc_id"), F.lit("duplicate"))
+        .otherwise(F.lit("ok"))
+    )
+    return j.select(
+        "doc_id", reason.alias("reject_reason"), (reason == "ok").alias("keep")
+    )

@@ -223,3 +223,68 @@ def test_charlm_unicode_corpus_oracle_parity(spark, tmp_path):
     for k, (nb, lp) in want.items():
         assert got[k][0] == nb
         assert got[k][1] == lp, (k, got[k][1], lp)
+
+
+def test_curation_pipeline_every_gate_fires(spark, tmp_path):
+    """The fixture corpus never triggers too_short/wrong_lang/duplicate,
+    so pin the gate ORDER and each reason on a synthetic corpus where
+    all five fire — against the DuckDB oracle, not hand-expectations."""
+    import os
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from film_media_etl_spark.queries import all_oracles, all_queries
+    from film_media_etl_spark.sources import TABLES
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and then the small "
+        "bird sings while a friendly cat naps near the warm window today"
+    )
+    texts = [
+        good,                      # 0: ok
+        "tiny",                    # 1: too_short
+        None,                      # 2: too_short
+        "der hund und die katze laufen durch den wald und der vogel "
+        "singt dabei ein schönes lied über den hohen bergen im süden",  # 3: wrong_lang
+        "x! y! z! w! q! a! b! c! d! e! f! g! h! i! j! k! l! m! n! o!",  # 4: low_quality
+        ("the cat " * 30).strip(),  # 5: repetitive (one bigram dominates)
+        good,                      # 6: duplicate of 0
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["xx"] * len(texts), pa.string()),
+                "source": pa.array(["t"] * len(texts), pa.string()),
+                "n_chars": pa.array(
+                    [len(t) if t else None for t in texts], pa.int32()
+                ),
+            }
+        ),
+        f"{tmp_path}/documents.parquet",
+    )
+    for t in TABLES:
+        if t != "documents":
+            os.symlink(f"{PARITY_SF_DIR}/{t}.parquet", f"{tmp_path}/{t}.parquet")
+
+    got = {
+        r["doc_id"]: (r["reject_reason"], r["keep"])
+        for r in all_queries()["ext_curation_pipeline"](spark, str(tmp_path)).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'"
+    )
+    want = {
+        row[0]: (row[1], row[2])
+        for row in con.execute(all_oracles()["ext_curation_pipeline"]).fetchall()
+    }
+    assert got == want
+    reasons = {v[0] for v in got.values()}
+    assert reasons == {
+        "ok", "too_short", "wrong_lang", "low_quality", "repetitive", "duplicate"
+    }, reasons
+    assert got[6] == ("duplicate", False) and got[0][0] == "ok"

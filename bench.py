@@ -44,6 +44,7 @@ HEADLINE = [
     "ext_dedup_semantic_survivors",  # output-bounded keep/drop tier
     "ext_dsir_weights",
     "ext_curation_pipeline",  # composed keep/drop verdict, one pass
+    "ext_kneser_ney_lm",  # word-bigram KN perplexity filter
     "ext_multimodal_decode",  # Arrow/mapInPandas path in the timed mix
     "ext_summary_incremental_refresh",
     "ext_knn_bruteforce",

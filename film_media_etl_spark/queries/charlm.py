@@ -138,3 +138,116 @@ def ext_charlm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_bigrams.alias("n_bigrams"),
         (doc_sum.cast("double") / n_bigrams).alias("avg_logp"),
     )
+
+
+@register(
+    "ext_kneser_ney_lm",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+      WHERE text IS NOT NULL AND len(string_split(lower(text), ' ')) >= 2
+    ),
+    bg AS (
+      SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+      FROM d, LATERAL unnest(generate_series(1, len(toks)-1)) AS u(i)
+    ),
+    cnt AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+    w1s AS (SELECT w1, SUM(c) AS ctx, COUNT(*) AS n1fwd FROM cnt GROUP BY 1),
+    w2s AS (SELECT w2, COUNT(*) AS cont FROM cnt GROUP BY 1),
+    tys AS (SELECT COUNT(*) AS types FROM cnt),
+    model AS (
+      SELECT cnt.w1, cnt.w2,
+             CAST(ROUND(log10(
+               (greatest(CAST(c AS DOUBLE) - 0.75, 0.0)
+                + 0.75 * CAST(n1fwd AS DOUBLE) * CAST(cont AS DOUBLE)
+                  / CAST(types AS DOUBLE))
+               / CAST(ctx AS DOUBLE)), 6) AS DECIMAL(12,6)) AS logp
+      FROM cnt
+      JOIN w1s USING (w1)
+      JOIN w2s USING (w2)
+      CROSS JOIN tys
+    )
+    SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+           CAST(SUM(logp) AS DOUBLE) / COUNT(*) AS kn_avg_logp
+    FROM bg JOIN model USING (w1, w2)
+    GROUP BY bg.doc_id
+    """,
+)
+def ext_kneser_ney_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM with per-document mean
+    log10-probability — the word-level statistical quality filter next
+    to the char-level ext_charlm_quality (CCNet-style pipelines score
+    documents by LM perplexity and drop the worst tail; the per-doc
+    mean logp IS that signal, monotone in perplexity).
+
+    Model (fixed discount D = 0.75, the textbook default):
+      P(w2|w1) = (max(c(w1,w2) - D, 0) + D * N1+(w1,*) * Pcont(w2)) / c(w1,*)
+      Pcont(w2) = N1+(*,w2) / |distinct bigram types|
+    Self-scored, so every scored bigram has c >= 1 and the discounted
+    mass never zeroes out — no OOV branch needed.
+
+    Cross-engine exactness: every model input is an exact integer
+    count; the probability is one fixed-shape double expression
+    (identical op order both engines), and its log10 is rounded to 6
+    decimals and cast DECIMAL before the per-doc SUM — the same
+    convention as ext_charlm_quality, making fold order irrelevant.
+
+    Scale: the corpus is exploded to bigrams exactly twice (count pass,
+    score pass — same as any self-scored LM). The bigram-TYPE table
+    `cnt` (vocabulary-squared bounded, corpus-sublinear in practice) is
+    localCheckpoint'ed so the three model aggregates (context totals,
+    continuation counts, type count) derive from the materialized types
+    and do NOT re-explode the corpus per branch. Map-side partial
+    aggregation collapses the count shuffle to types; scoring is one
+    equi-join on (w1, w2) — broadcastable when the model is small, a
+    keyed shuffle otherwise; AQE picks. No windows, no driver loops."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    t = (
+        docs.where(F.col("text").isNotNull())
+        .select("doc_id", F.split(F.lower("text"), " ").alias("toks"))
+        .where(F.size("toks") >= 2)
+    )
+    n = F.size("toks")
+    bg = t.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("toks"), 1, n - 1),
+                F.slice(F.col("toks"), 2, n - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    cnt = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    w1s = cnt.groupBy("w1").agg(
+        F.sum("c").alias("ctx"), F.count(F.lit(1)).alias("n1fwd")
+    )
+    w2s = cnt.groupBy("w2").agg(F.count(F.lit(1)).alias("cont"))
+    tys = cnt.agg(F.count(F.lit(1)).alias("types"))
+    p = (
+        F.greatest(F.col("c").cast("double") - F.lit(0.75), F.lit(0.0))
+        + F.lit(0.75)
+        * F.col("n1fwd").cast("double")
+        * F.col("cont").cast("double")
+        / F.col("types").cast("double")
+    ) / F.col("ctx").cast("double")
+    model = (
+        cnt.join(w1s, "w1")
+        .join(w2s, "w2")
+        .crossJoin(F.broadcast(tys))
+        .select(
+            "w1", "w2", F.round(F.log10(p), 6).cast("decimal(12,6)").alias("logp")
+        )
+    )
+    return (
+        bg.join(model, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (F.sum("logp").cast("double") / F.count(F.lit(1))).alias("kn_avg_logp"),
+        )
+    )

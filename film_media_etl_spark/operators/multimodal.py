@@ -432,3 +432,47 @@ def audio_stats(media: DataFrame) -> DataFrame:
         ]
     )
     return media.mapInPandas(batches, schema=schema)
+
+
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("dhash", T.LongType(), False),
+    ]
+)
+
+
+def dhash_media(media: DataFrame) -> DataFrame:
+    """Perceptual difference-hash (dHash) per image: decode the payload
+    with the REAL Netpbm parser, collapse channels to an integer
+    luminance proxy (exact channel SUM — no division, so the value is
+    integer-exact and SQL-reproducible), then emit one bit per
+    horizontally-adjacent pixel pair (gray[y,x] > gray[y,x+1]) packed
+    as bit (y*(W-1)+x) of a BIGINT. For the 8x8 renders that is 56
+    bits — the classic image-dedup fingerprint, robust to uniform
+    brightness shifts because only pixel ORDER matters.
+
+    Arrow-batched mapInPandas, partition-preserving: the hash is a
+    map-side scalar per image; any downstream dedup is a group-by on a
+    64-bit key. Works for P6 (RGB) and P5 (graymap) alike."""
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            ids, hashes = [], []
+            for mid, payload, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
+                px = decode_media(bytes(payload), meta["mime"])
+                gray = px.astype(np.int64).sum(axis=2)
+                bits = gray[:, :-1] > gray[:, 1:]
+                h, wm1 = bits.shape
+                weights = np.int64(1) << (
+                    np.arange(h, dtype=np.int64)[:, None] * wm1
+                    + np.arange(wm1, dtype=np.int64)[None, :]
+                )
+                ids.append(mid)
+                hashes.append(int((bits * weights).sum()))
+            yield pd.DataFrame({"media_id": ids, "dhash": hashes})
+
+    return media.mapInPandas(batches, schema=DHASH_SCHEMA)

@@ -558,3 +558,111 @@ def ext_quantizer_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("hi") - F.col("lo")).alias("value_range"),
         )
     )
+
+
+@register(
+    "ext_embedding_covariance",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(x::DOUBLE * 10000.0 + 0.5) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    d AS (
+      SELECT CAST(i.i AS INT) AS i, SUM(qv[i.i + 1]) AS sx, COUNT(*) AS n
+      FROM q CROSS JOIN generate_series(0, 63) AS i(i)
+      GROUP BY 1
+    ),
+    p AS (
+      SELECT CAST(i.i AS INT) AS i, CAST(j.j AS INT) AS j,
+             CAST(SUM(qv[i.i + 1] * qv[j.j + 1]) AS BIGINT) AS sxy
+      FROM q
+      CROSS JOIN generate_series(0, 63) AS i(i)
+      CROSS JOIN generate_series(0, 63) AS j(j)
+      WHERE j.j >= i.i
+      GROUP BY 1, 2
+    )
+    SELECT p.i, p.j,
+           CAST(di.n * p.sxy - di.sx * dj.sx AS DOUBLE)
+             / (CAST(di.n AS DOUBLE) * CAST(di.n AS DOUBLE) * 100000000.0)
+             AS cov
+    FROM p
+    JOIN d di ON p.i = di.i
+    JOIN d dj ON p.j = dj.i
+    """,
+)
+def ext_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact covariance matrix of the embedding columns (upper triangle
+    incl. diagonal, d(d+1)/2 = 2080 rows at d=64) — the precursor to
+    PCA whitening / dimensionality audit every embedding pipeline runs
+    before building an ANN index (a near-zero-variance or collinear
+    dimension is wasted index bytes).
+
+    Exactness: each float32 coordinate is quantized once to an INTEGER
+    1e-4 grid with floor(x*1e4 + 0.5) — half-away-from-zero, identical
+    cross-engine, sidestepping engine round() on doubles entirely
+    (Spark HALF_UP vs DuckDB half-even — same trick as
+    ext_embedding_quantize). Every moment (Sx_i, Sx_i*x_j, n) is then
+    a BIGINT sum — order-insensitive at any parallelism — and the
+    covariance is ONE double expression (n*Sxy - Sx*Sy)/(n^2 * 1e8).
+    Overflow headroom: |q| <= ~1e5, so per-row products <= 1e10 and
+    n*Sxy stays under 2^63 for n up to ~1e8 vectors; beyond that the
+    quantized moments must widen to DECIMAL (Spark wraps silently
+    where DuckDB errors — same bound discipline as ext_pagerank_exact).
+
+    Scale: the pair stream is a cascaded explode (sequence(0,63), then
+    sequence(i,63)) — NEVER a 2080-element literal array, whose
+    Generate would blow the 64KB codegen method limit — and map-side
+    partial aggregation collapses it to 2080 rows per task before the
+    ONLY corpus-sized shuffle. The per-dimension sums are a 64-row
+    broadcast join. One pass over the data, d^2-bounded output."""
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    q = emb.select(
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * F.lit(10000.0) + F.lit(0.5)).cast(
+                "long"
+            ),
+        ).alias("qv")
+    )
+    d = (
+        q.select(F.explode(F.sequence(F.lit(0), F.lit(63))).alias("i"), "qv")
+        .select("i", F.element_at("qv", F.col("i") + 1).alias("x"))
+        .groupBy("i")
+        .agg(F.sum("x").alias("sx"), F.count(F.lit(1)).alias("n"))
+    )
+    p = (
+        q.select(F.explode(F.sequence(F.lit(0), F.lit(63))).alias("i"), "qv")
+        .select("i", F.explode(F.sequence(F.col("i"), F.lit(63))).alias("j"), "qv")
+        .select(
+            "i",
+            "j",
+            (
+                F.element_at("qv", F.col("i") + 1)
+                * F.element_at("qv", F.col("j") + 1)
+            ).alias("xy"),
+        )
+        .groupBy("i", "j")
+        .agg(F.sum("xy").alias("sxy"))
+    )
+    di = d.select(F.col("i"), F.col("sx").alias("sx_i"), "n")
+    dj = d.select(F.col("i").alias("j"), F.col("sx").alias("sx_j"))
+    return (
+        p.join(F.broadcast(di), "i")
+        .join(F.broadcast(dj), "j")
+        .select(
+            "i",
+            "j",
+            (
+                (F.col("n") * F.col("sxy") - F.col("sx_i") * F.col("sx_j")).cast(
+                    "double"
+                )
+                / (
+                    F.col("n").cast("double")
+                    * F.col("n").cast("double")
+                    * F.lit(100000000.0)
+                )
+            ).alias("cov"),
+        )
+    )

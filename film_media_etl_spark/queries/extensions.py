@@ -568,26 +568,45 @@ def ext_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_stats(render_wav_media(ids))
 
 
-@register(
-    "ext_multimodal_phash_dedup",
-    oracle="""
-    WITH h AS (
+def _phash_gray_sql(xe: str, *, corrupt_odd: bool) -> str:
+    """Closed-form SQL for the textured render's integer luminance at
+    column x-expression ``xe`` (sum over the three channel offsets) —
+    the oracle twin of render_ppm_textured + dhash_media's gray."""
+    b = "((d.doc_id // 2) * 2)" if corrupt_odd else "d.doc_id"
+    terms = []
+    for off in (0, 11, 22):
+        v = f"({b}*7 + ({xe})*3 + y.y*5 + ({xe})*y.y*13 + {off})"
+        if corrupt_odd:
+            terms.append(
+                f"(CASE WHEN d.doc_id % 2 = 1 AND y.y = ({b}*11) % 8 "
+                f"AND ({xe}) = 1 + ({b}*5) % 6 "
+                f"THEN ({v} + 128) % 256 ELSE {v} % 256 END)"
+            )
+        else:
+            terms.append(f"({v} % 256)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _phash_hash_cte(*, corrupt_odd: bool) -> str:
+    gx = _phash_gray_sql("x.x", corrupt_odd=corrupt_odd)
+    gx1 = _phash_gray_sql("x.x + 1", corrupt_odd=corrupt_odd)
+    return f"""
+    h AS (
       SELECT d.doc_id AS media_id,
-             CAST(SUM(CASE WHEN
-                    ((d.doc_id*7 + x.x*3 + y.y*5) % 256
-                     + (d.doc_id*7 + x.x*3 + y.y*5 + 11) % 256
-                     + (d.doc_id*7 + x.x*3 + y.y*5 + 22) % 256)
-                  >
-                    ((d.doc_id*7 + (x.x+1)*3 + y.y*5) % 256
-                     + (d.doc_id*7 + (x.x+1)*3 + y.y*5 + 11) % 256
-                     + (d.doc_id*7 + (x.x+1)*3 + y.y*5 + 22) % 256)
+             CAST(SUM(CASE WHEN {gx} > {gx1}
                   THEN (CAST(1 AS BIGINT) << (y.y*7 + x.x)) ELSE 0 END)
                AS BIGINT) AS dhash
       FROM documents d
       CROSS JOIN generate_series(0, 7) AS y(y)
       CROSS JOIN generate_series(0, 6) AS x(x)
       GROUP BY 1
-    ),
+    )"""
+
+
+@register(
+    "ext_multimodal_phash_dedup",
+    oracle=f"""
+    WITH {_phash_hash_cte(corrupt_odd=False)},
     g AS (SELECT dhash, MIN(media_id) AS keep_id, COUNT(*) AS group_n
           FROM h GROUP BY 1)
     SELECT h.media_id, h.dhash, g.group_n, h.media_id = g.keep_id AS keep
@@ -600,21 +619,23 @@ def ext_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode them with the pure-numpy Netpbm parser, dHash each image
     (one bit per horizontally-adjacent luminance pair, 56-bit BIGINT
     fingerprint — operators/multimodal.py:dhash_media), then greedy
-    min-id dedup on the hash. The deterministic pixel formula makes
-    ids congruent mod 256 render IDENTICAL images, so the fixture has
-    real duplicate groups, and the oracle recomputes every hash bit
-    closed-form from the formula — a decoder stride bug, a channel
-    swap, or a bit-packing error all flip hashes and fail the check.
+    min-id dedup on the hash. The TEXTURED render formula keeps the
+    hash informative (93 distinct hashes / largest bucket 22 on 500
+    ids — the smooth formula's monotone rows hash 71% of the corpus to
+    literally 0), ids congruent mod 256 still render IDENTICAL images,
+    and the oracle recomputes every hash bit closed-form from the
+    formula — a decoder stride bug, a channel swap, or a bit-packing
+    error all flip hashes and fail the check.
 
     Scale: decode + hash is map-side Arrow streaming (constant memory,
     no shuffle); dedup is ONE group-by on a 64-bit key plus a
     broadcastable group join — the same linear shape as ext_dedup_exact,
     applied to pixels instead of text. Hamming-tolerant pairing would
     reuse the SimHash banded join on the same fingerprint column."""
-    from ..operators.multimodal import dhash_media, render_ppm_media
+    from ..operators.multimodal import dhash_media, render_ppm_textured
 
     ids = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    h = dhash_media(render_ppm_media(ids))
+    h = dhash_media(render_ppm_textured(ids))
     g = h.groupBy("dhash").agg(
         F.min("media_id").alias("keep_id"), F.count(F.lit(1)).alias("group_n")
     )
@@ -623,4 +644,89 @@ def ext_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dhash",
         "group_n",
         (F.col("media_id") == F.col("keep_id")).alias("keep"),
+    )
+
+
+@register(
+    "ext_multimodal_phash_near_dup",
+    oracle=f"""
+    WITH {_phash_hash_cte(corrupt_odd=True)}
+    SELECT a.media_id AS id_a, b.media_id AS id_b,
+           CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
+    FROM h a JOIN h b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+    """,
+)
+def ext_multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-tolerant perceptual near-dup pairing — the second image
+    dedup tier, catching re-encodes and slightly-corrupted copies that
+    exact-hash dedup misses. Fixture: every ODD id renders its even
+    twin's image with one strongly bumped pixel (render_ppm_textured
+    corrupt_odd), so each (2k, 2k+1) pair is a true near-dup within
+    Hamming<=2; the query reports all pairs at Hamming<=3.
+
+    The pair search is the SimHash banding idiom on the 56-bit dHash:
+    4 disjoint 14-bit bands, candidates from per-band equi-joins only
+    — by pigeonhole, <=3 flipped bits cannot dirty all 4 bands, so
+    banding is COMPLETE at this threshold and the semantics stay
+    exactly 'all pairs with Hamming<=3' (the oracle is the plain
+    quadratic self-join — fine over 500 rows, while the engine side
+    never goes all-pairs). Each pair is emitted at its FIRST colliding
+    band (earlier-band hashes ride along; no distinct() shuffle), then
+    verified with one xor+popcount. Scale: decode+hash map-side; the
+    banded self-join is an equi-join on (band, 14-bit value) — linear
+    in true collisions, the same shape the text near-dup tiers run."""
+    from ..operators.multimodal import dhash_media, render_ppm_textured
+
+    ids = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    h = dhash_media(render_ppm_textured(ids, corrupt_odd=True))
+    bands, width = 4, 14
+    mask = (1 << width) - 1
+
+    def band_val(col: str, b: int):
+        return F.shiftright(F.col(col), width * b).bitwiseAND(F.lit(mask))
+
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                band_val("dhash", b).alias("bhash"),
+                *[
+                    (
+                        band_val("dhash", p)
+                        if p < b
+                        else F.lit(None).cast("long")
+                    ).alias(f"prev{p}")
+                    for p in range(bands - 1)
+                ],
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = h.select(
+        "media_id", "dhash", F.explode(band_structs).alias("bb")
+    ).select("media_id", "dhash", "bb.*")
+    first_band_only = F.lit(True)
+    for p in range(bands - 1):
+        first_band_only = first_band_only & (
+            (F.col("a.band") <= F.lit(p))
+            | (F.col(f"a.prev{p}") != F.col(f"b.prev{p}"))
+        )
+    return (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bhash") == F.col("b.bhash"))
+            & (F.col("a.media_id") < F.col("b.media_id"))
+            & first_band_only,
+        )
+        .select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+            F.bit_count(F.col("a.dhash").bitwiseXOR(F.col("b.dhash")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .where(F.col("hamming") <= 3)
     )

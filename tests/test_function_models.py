@@ -288,3 +288,88 @@ def test_curation_pipeline_every_gate_fires(spark, tmp_path):
         "ok", "too_short", "wrong_lang", "low_quality", "repetitive", "duplicate"
     }, reasons
     assert got[6] == ("duplicate", False) and got[0][0] == "ok"
+
+
+def test_kneser_ney_is_proper_distribution_and_matches_reference(spark, tmp_path):
+    """Oracle parity can't catch a formula transcribed wrong on BOTH
+    sides, so check ext_kneser_ney_lm against an independent pure-Python
+    KN implementation on a tiny corpus — and check the model itself is a
+    proper distribution (sum over the FULL vocab of P(w2|w1) == 1 for
+    every context, discounted mass exactly recycled through Pcont)."""
+    import math
+    import os
+    from collections import Counter
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from film_media_etl_spark.queries import all_queries
+    from film_media_etl_spark.sources import TABLES
+
+    texts = [
+        "the cat sat on the mat",
+        "the dog sat on the log",
+        "a cat and a dog",
+        "the cat and the dog sat",
+        "on the mat sat a cat",
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * len(texts), pa.string()),
+                "source": pa.array(["t"] * len(texts), pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int32()),
+            }
+        ),
+        f"{tmp_path}/documents.parquet",
+    )
+    for t in TABLES:
+        if t != "documents":
+            os.symlink(f"{PARITY_SF_DIR}/{t}.parquet", f"{tmp_path}/{t}.parquet")
+
+    # independent reference model
+    D = 0.75
+    bigrams = []
+    per_doc = {}
+    for i, t in enumerate(texts):
+        toks = t.lower().split(" ")
+        bg = list(zip(toks[:-1], toks[1:]))
+        per_doc[i] = bg
+        bigrams.extend(bg)
+    c = Counter(bigrams)
+    ctx = Counter()
+    n1fwd = Counter()
+    cont = Counter()
+    for (w1, w2), k in c.items():
+        ctx[w1] += k
+        n1fwd[w1] += 1
+        cont[w2] += 1
+    types = len(c)
+
+    def p_kn(w1, w2):
+        return (
+            max(c.get((w1, w2), 0) - D, 0.0) + D * n1fwd[w1] * cont[w2] / types
+        ) / ctx[w1]
+
+    # proper distribution over the full continuation vocabulary
+    vocab2 = set(w2 for _, w2 in c)
+    for w1 in ctx:
+        assert abs(sum(p_kn(w1, w2) for w2 in vocab2) - 1.0) < 1e-9, w1
+
+    want = {
+        i: (
+            len(bg),
+            sum(round(math.log10(p_kn(w1, w2)), 6) for w1, w2 in bg) / len(bg),
+        )
+        for i, bg in per_doc.items()
+    }
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["kn_avg_logp"])
+        for r in all_queries()["ext_kneser_ney_lm"](spark, str(tmp_path)).collect()
+    }
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i][0] == want[i][0]
+        assert abs(got[i][1] - want[i][1]) < 1e-12, (i, got[i], want[i])

@@ -1,6 +1,7 @@
 from .ingest_dedup import (
     read_documents_stream,
     stream_content_dedup,
+    stream_curation_gate,
     stream_near_dup_filter,
 )
 from .incremental import incremental_fact, read_lineitem_stream, start_incremental_load
@@ -39,5 +40,6 @@ __all__ = [
     "start_upsert_totals",
     "read_documents_stream",
     "stream_content_dedup",
+    "stream_curation_gate",
     "stream_near_dup_filter",
 ]

@@ -121,3 +121,126 @@ def stream_near_dup_filter(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_GATE_OUT = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("reject_reason", T.StringType(), False),
+        T.StructField("keep", T.BooleanType(), False),
+    ]
+)
+_GATE_STATE = T.StructType([T.StructField("seen", T.BooleanType(), True)])
+
+
+def stream_curation_gate(docs: DataFrame) -> DataFrame:
+    """Ingest-time curation verdict stream — the online twin of batch
+    ext_curation_pipeline, same gates in the same FIXED order (length,
+    langid=='en', quality floor, Gopher repetition, exact dedup), so
+    every arriving document gets one deterministic reject_reason.
+
+    The scalar gates are pure map-side expressions (behind the same
+    Generate barrier — predicted_lang + quality_score materialize once).
+    The repetition gate needs no per-doc aggregation on a stream: the
+    type-token ratio and the top-bigram share are per-ROW higher-order
+    functions over the token array (the top-bigram count is
+    max over distinct bigrams of filter-count — O(n_tokens^2) per doc
+    in the worst case, bounded by document length, stateless on the
+    stream; the batch query's explode+groupBy computes the identical
+    number). Only the DUPLICATE gate is stateful: one boolean per
+    content fingerprint in applyInPandasWithState, first-writer-wins —
+    any document with the text claims the fingerprint (matching the
+    batch dup CTE, which takes MIN(doc_id) over ALL docs with the text,
+    gated or not). Within a batch, rows replay in doc_id order, so a
+    single-batch availableNow drain reproduces the batch query's
+    min-id-survivor output EXACTLY (pinned by test). State is 1 bit +
+    an 8-byte key per distinct content — the same bound as
+    stream_content_dedup."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..functions import text as TX
+
+    toks = F.split(F.lower("text"), " ")
+    n = F.size("toks")
+    bgs = F.zip_with(
+        F.slice(F.col("toks"), 1, n - 1),
+        F.slice(F.col("toks"), 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    base = (
+        docs.select("doc_id", "text", toks.alias("toks"))
+        .withColumn(
+            "_lq",
+            F.explode(
+                F.array(
+                    F.struct(
+                        TX.predicted_lang(F.col("text")).alias("lang"),
+                        TX.quality_score(F.col("text")).alias("q"),
+                    )
+                )
+            ),
+        )
+        .withColumn("bgs", bgs)
+    )
+    top_share = F.array_max(
+        F.transform(
+            F.array_distinct("bgs"),
+            lambda b: F.size(F.filter(F.col("bgs"), lambda z: z == b)),
+        )
+    ).cast("double") / F.size("bgs").cast("double")
+    ttr_ok = (
+        F.size(F.array_distinct("toks")).cast("double") / n.cast("double")
+        >= F.lit(0.3)
+    ) & (top_share <= F.lit(0.18))
+    reason0 = (
+        F.when(F.col("text").isNull() | (n < 5), F.lit("too_short"))
+        .when(F.col("_lq.lang") != "en", F.lit("wrong_lang"))
+        .when(F.col("_lq.q") < 0.5, F.lit("low_quality"))
+        .when(~ttr_ok, F.lit("repetitive"))
+        .otherwise(F.lit("ok"))
+    )
+    scalar = base.select(
+        "doc_id",
+        reason0.alias("reason0"),
+        F.coalesce(
+            F.xxhash64(F.col("text")), F.lit(0).cast("long")
+        ).alias("content_fp"),
+    )
+
+    def update(key, pdfs: Iterator, state: GroupState):
+        import pandas as pd
+
+        seen = bool(state.get[0]) if state.exists else False
+        # The iterator may chunk one group's batch rows across several
+        # DataFrames — concatenate BEFORE sorting so the in-batch doc_id
+        # replay order is global to the group, not per-chunk.
+        chunks = [pdf for pdf in pdfs]
+        rows = (
+            pd.concat(chunks).sort_values("doc_id")
+            if chunks
+            else pd.DataFrame(columns=["doc_id", "reason0"])
+        )
+        out_ids, out_reasons, out_keep = [], [], []
+        for _, row in rows.iterrows():
+            r0 = row["reason0"]
+            reason = "duplicate" if (seen and r0 == "ok") else r0
+            seen = True
+            out_ids.append(int(row["doc_id"]))
+            out_reasons.append(reason)
+            out_keep.append(reason == "ok")
+        state.update((seen,))
+        yield pd.DataFrame(
+            {
+                "doc_id": out_ids,
+                "reject_reason": out_reasons,
+                "keep": out_keep,
+            }
+        )
+
+    return scalar.groupBy("content_fp").applyInPandasWithState(
+        update,
+        outputStructType=_GATE_OUT,
+        stateStructType=_GATE_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

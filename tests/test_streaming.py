@@ -767,3 +767,89 @@ def test_stream_near_dup_filter_matches_greedy_batch_replay(spark):
         want[r["doc_id"]] = not dup
     assert got == want
     assert sum(want.values()) < len(want)  # the fixture does contain near-dups
+
+
+def test_stream_curation_gate_matches_batch_pipeline(spark):
+    """The online curation gate must issue EXACTLY the verdicts of the
+    batch ext_curation_pipeline (which is itself DuckDB-oracle-checked)
+    when the whole corpus arrives as one availableNow drain: same
+    reject_reason per doc_id, same keep set. Within a batch the state
+    function replays rows in doc_id order, so the min-id survivor
+    convention carries over unchanged."""
+    from film_media_etl_spark.queries import all_queries
+    from film_media_etl_spark.streaming import (
+        read_documents_stream,
+        stream_curation_gate,
+    )
+
+    s = stream_curation_gate(read_documents_stream(spark, PARITY_SF_DIR))
+    _run_to_memory(s, "t_curgate", output_mode="update")
+    got = {
+        r["doc_id"]: (r["reject_reason"], r["keep"])
+        for r in spark.table("t_curgate").collect()
+    }
+    want = {
+        r["doc_id"]: (r["reject_reason"], r["keep"])
+        for r in all_queries()["ext_curation_pipeline"](
+            spark, PARITY_SF_DIR
+        ).collect()
+    }
+    assert got == want
+    # the fixture exercises several gates (it holds no exact text dups,
+    # so the duplicate gate gets its own corpus below)
+    reasons = {v[0] for v in want.values()}
+    assert "ok" in reasons and len(reasons) >= 2
+
+
+def test_stream_curation_gate_duplicate_reason(spark, tmp_path):
+    """Duplicate gate end-to-end: a corpus with an exact repeat of an
+    otherwise-passing document must mark the higher doc_id 'duplicate'
+    (first-writer-wins == batch MIN(doc_id) survivor), and a repeat of a
+    REJECTED document must keep the scalar reason, not 'duplicate'."""
+    from film_media_etl_spark.streaming import stream_curation_gate
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and then walks "
+        "home with a friend to share some food and water by the fire"
+    )
+    bad = "zzz qqq xxx vvv kkk www yyy jjj fff ggg hhh lll mmm nnn"
+    src = tmp_path / "src"
+    src.mkdir()
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.Table.from_pandas(
+            pd.DataFrame(
+                {
+                    "doc_id": pd.array([1, 2, 3, 4], dtype="int64"),
+                    "text": [good, good, bad, bad],
+                    "lang": ["en"] * 4,
+                    "source": ["web"] * 4,
+                    "n_chars": pd.array(
+                        [len(good), len(good), len(bad), len(bad)],
+                        dtype="int64",
+                    ),
+                }
+            )
+        ),
+        str(src / "documents.parquet"),
+    )
+    docs = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("pathGlobFilter", "documents*.parquet")
+        .parquet(str(src))
+    )
+    _run_to_memory(
+        stream_curation_gate(docs), "t_curgate_dup", output_mode="update"
+    )
+    got = {
+        r["doc_id"]: r["reject_reason"]
+        for r in spark.table("t_curgate_dup").collect()
+    }
+    assert got[1] == "ok"
+    assert got[2] == "duplicate"
+    assert got[3] == got[4] != "duplicate"  # scalar reason wins over dup

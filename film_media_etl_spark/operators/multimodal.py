@@ -434,6 +434,113 @@ def audio_stats(media: DataFrame) -> DataFrame:
     return media.mapInPandas(batches, schema=schema)
 
 
+_TONE_AMP = 12000  # well under int16 max; quantization noise ~86 dB below peak
+
+
+def tone_bin(media_id: int) -> int:
+    """The FFT bin a rendered tone occupies: 1 + id % 31 — always a
+    NON-DC bin below Nyquist for the 64-sample clips, and always an
+    INTEGER number of cycles per clip, so the DFT puts the tone's
+    entire energy in exactly this bin (no spectral leakage) and the
+    SQL oracle can state the spectral argmax closed-form."""
+    return 1 + media_id % 31
+
+
+def tone_wav_bytes(i: int) -> bytes:
+    """One pure-tone RIFF/WAVE payload: a quantized int16 sine with
+    exactly tone_bin(i) cycles over the _WAV_N-sample clip."""
+    import struct
+
+    import numpy as np
+
+    n = np.arange(_WAV_N, dtype=np.float64)
+    k = tone_bin(i)
+    samples = np.round(_TONE_AMP * np.sin(2.0 * np.pi * k * n / _WAV_N)).astype(
+        "<i2"
+    )
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, _WAV_RATE, _WAV_RATE * 2, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def render_tone_media(ids: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """Render a deterministic pure-tone 16-bit mono PCM WAV per id
+    (same REAL RIFF container as render_wav_media): samples are a
+    quantized sine at exactly tone_bin(id) cycles per clip. Because
+    the frequency sits ON an FFT bin, the rendered clip's spectrum is
+    analytically known — the feature-extraction oracle needs no FFT."""
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "payload": [tone_wav_bytes(int(i)) for i in pdf[id_col]],
+                }
+            )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+    rendered = ids.select(F.col(id_col)).mapInPandas(batches, schema=out_schema)
+    return rendered.withColumn(
+        "meta",
+        F.struct(F.lit("audio/wav").alias("mime"), F.length("payload").alias("declared_bytes")),
+    )
+
+
+def spectral_peak(media: DataFrame) -> DataFrame:
+    """Audio feature extraction off the REAL WAV decode: per-clip rFFT
+    (numpy, vectorized across the Arrow batch) and the dominant non-DC
+    spectral bin + its frequency in Hz. This is the audio twin of the
+    image feature path — decode, transform, emit a typed feature row —
+    and the shape a real fingerprinting/spectrogram stage would take:
+    constant-memory mapInPandas, one feature row per clip, no shuffle.
+
+    dominant_hz is (bin * rate) / n_samples with an exact integer
+    numerator and (here) a power-of-two denominator, so the double is
+    bit-identical to the oracle's expression. Clips of differing length
+    inside one batch are handled per-row; multi-channel clips use
+    channel 0 (the renders are mono)."""
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = {
+                k: []
+                for k in ("media_id", "n_samples", "dominant_bin", "dominant_hz")
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                samples, rate, _ = decode_wav(bytes(payload))
+                mono = samples[:, 0].astype(np.float64)
+                mag = np.abs(np.fft.rfft(mono))
+                k = int(np.argmax(mag[1:])) + 1  # exclude DC
+                rows["media_id"].append(mid)
+                rows["n_samples"].append(mono.shape[0])
+                rows["dominant_bin"].append(k)
+                rows["dominant_hz"].append(float(k * rate) / mono.shape[0])
+            yield pd.DataFrame(rows)
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("n_samples", T.IntegerType(), False),
+            T.StructField("dominant_bin", T.IntegerType(), False),
+            T.StructField("dominant_hz", T.DoubleType(), False),
+        ]
+    )
+    return media.mapInPandas(batches, schema=schema)
+
+
 DHASH_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),

@@ -730,3 +730,31 @@ def ext_multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .where(F.col("hamming") <= 3)
     )
+
+
+@register(
+    "ext_multimodal_spectrum",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(64 AS INT) AS n_samples,
+           CAST(1 + doc_id % 31 AS INT) AS dominant_bin,
+           CAST((1 + doc_id % 31) * 8000 AS DOUBLE) / 64.0 AS dominant_hz
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def ext_multimodal_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio feature extraction end-to-end: render pure-tone PCM
+    WAVs (each tone at an exact FFT bin, 1 + id % 31 cycles/clip),
+    decode the RIFF bytes back, run a per-clip numpy rFFT, and emit the
+    dominant non-DC spectral bin + frequency. Because the rendered
+    frequency sits ON a bin, the spectrum is analytically known and the
+    oracle states the argmax closed-form — a decoder, FFT windowing, or
+    bin-indexing bug fails the hash. Same constant-memory mapInPandas
+    shape as the image feature path; dominant_hz = (bin*8000)/64 is an
+    exact integer-valued double on both engines."""
+    from ..operators.multimodal import render_tone_media, spectral_peak
+
+    ids = ensure_parallelism(
+        load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    )
+    return spectral_peak(render_tone_media(ids))

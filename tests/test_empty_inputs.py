@@ -43,6 +43,7 @@ QUERIES = [
     "ext_knn_pq",
     "ext_fuzzy_match_passjoin",
     "ext_decontamination",
+    "ext_multimodal_spectrum",
     "ext_asof_join",
     "ext_tpch_q1_pricing_summary",
 ]

@@ -180,3 +180,28 @@ def test_dhash_sensitive_to_single_flip():
     # force a decisive change in one adjacent comparison
     bent[4, 2, :] = 0 if gray[4, 2] > gray[4, 3] else 300
     assert bin(_dhash_py(bent) ^ base).count("1") >= 1
+
+
+@given(st.integers(0, 2_000_000_000))
+@settings(max_examples=64, deadline=None)
+def test_tone_spectrum_argmax_exact(media_id):
+    """Every rendered tone's rFFT argmax (DC excluded) recovers exactly
+    tone_bin(id): the tone sits ON a bin, so quantization noise (~86 dB
+    down) can never move the peak. This is the closed-form fact the
+    ext_multimodal_spectrum oracle states without running an FFT."""
+    import numpy as np
+
+    from film_media_etl_spark.operators.multimodal import (
+        decode_wav,
+        tone_bin,
+        tone_wav_bytes,
+    )
+
+    samples, rate, channels = decode_wav(tone_wav_bytes(media_id))
+    assert (rate, channels) == (8000, 1)
+    mag = np.abs(np.fft.rfft(samples[:, 0].astype(np.float64)))
+    k = int(np.argmax(mag[1:])) + 1
+    assert k == tone_bin(media_id)
+    # the peak is unambiguous: every other bin is far below it
+    others = np.delete(mag, [0, k])
+    assert mag[k] > 100 * others.max()

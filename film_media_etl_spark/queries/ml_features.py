@@ -183,3 +183,74 @@ def ext_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(gap, F.lit(-1).cast("long")).alias("days_to_next"),
         (F.col("next_dt").isNull() | (gap > 90)).alias("churned_90d"),
     )
+
+
+@register(
+    "ext_linear_model_score",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      FROM documents
+    ),
+    feat AS (
+      SELECT doc_id,
+             CAST({_bucket_expr("term")} AS INT) AS bucket,
+             COUNT(*) AS tf
+      FROM tok WHERE term <> ''
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT f.doc_id,
+             3 + SUM(f.tf * ((f.bucket * 37) % 21 - 10)) AS raw_score
+      FROM feat f GROUP BY f.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(s.raw_score, 3) AS BIGINT) AS raw_score,
+           CAST(COALESCE(s.raw_score, 3) AS DOUBLE)
+             / (1.0 + CAST(abs(COALESCE(s.raw_score, 3)) AS DOUBLE))
+             AS squashed
+    FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+    """,
+)
+def ext_linear_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MODEL INFERENCE over hashed features — the step after
+    ext_feature_hashing in a real pipeline: score every document with a
+    broadcast linear model (one weight per hash bucket + bias). The
+    64-row weight table stands in for trained parameters (weights are a
+    deterministic function of bucket id so the oracle can restate them),
+    but the PLAN is the production shape: features aggregate with
+    map-side combine, the model joins as a BroadcastHashJoin (a real
+    model table would arrive the same way — never a shuffle against the
+    corpus), and the per-doc reduction keys on doc_id, so inference over
+    100 TB is two doc-keyed shuffles regardless of model size tier.
+
+    Exactness discipline: integer weights x integer term frequencies
+    -> BIGINT dot product (order-independent); the squash is the
+    rational s/(1+|s|) — one IEEE division, bit-identical across
+    engines — rather than a libm sigmoid whose exp() may differ in the
+    last ulp between the JVM and DuckDB. Docs with no features (empty
+    text) keep the bias via the left join, so every input row scores."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    ).where(F.col("term") != "")
+    feat = tok.groupBy(
+        "doc_id", F.expr(_bucket_expr("term")).cast("int").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("tf"))
+    weights = spark.range(_N_BUCKETS).select(
+        F.col("id").cast("int").alias("bucket"),
+        ((F.col("id") * 37) % 21 - 10).cast("long").alias("w"),
+    )
+    scored = (
+        feat.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg((F.lit(3) + F.sum(F.col("tf") * F.col("w"))).alias("raw_score"))
+    )
+    s = F.coalesce(F.col("raw_score"), F.lit(3).cast("long"))
+    return docs.select("doc_id").join(scored, "doc_id", "left").select(
+        "doc_id",
+        s.alias("raw_score"),
+        (s.cast("double") / (F.lit(1.0) + F.abs(s).cast("double"))).alias(
+            "squashed"
+        ),
+    )

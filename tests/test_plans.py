@@ -1023,3 +1023,12 @@ def test_plans_md_census_fresh(spark):
         if census != checked[name]:
             stale[name] = (checked[name], census)
     assert not stale, f"PLANS.md stale for {stale} — rerun tools/gen_plans.py"
+
+
+def test_model_inference_broadcasts_weights(spark):
+    """ext_linear_model_score's weight table must ride a broadcast —
+    model parameters join the corpus map-side, never as a shuffle of
+    the feature triples against a 64-row table."""
+    df = _q("ext_linear_model_score", spark)
+    assert_broadcast_join(df, 1)
+    assert_no_cartesian(df)

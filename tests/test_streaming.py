@@ -853,3 +853,128 @@ def test_stream_curation_gate_duplicate_reason(spark, tmp_path):
     assert got[1] == "ok"
     assert got[2] == "duplicate"
     assert got[3] == got[4] != "duplicate"  # scalar reason wins over dup
+
+
+def _write_docs_parquet(path, rows):
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.Table.from_pandas(
+            pd.DataFrame(
+                {
+                    "doc_id": pd.array([r[0] for r in rows], dtype="int64"),
+                    "text": [r[1] for r in rows],
+                    "lang": ["en"] * len(rows),
+                    "source": ["web"] * len(rows),
+                    "n_chars": pd.array(
+                        [len(r[1]) for r in rows], dtype="int64"
+                    ),
+                }
+            )
+        ),
+        str(path),
+    )
+
+
+def test_stream_curation_gate_state_survives_restart(spark, tmp_path):
+    """The curation gate's per-fingerprint dedup state must come back
+    from the checkpoint across query restarts: a document arriving in a
+    LATER run that repeats an earlier run's admitted text must be marked
+    'duplicate' — exactly-once admission across the stream's lifetime,
+    not per-run."""
+    from film_media_etl_spark.streaming import stream_curation_gate
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and then walks "
+        "home with a friend to share some food and water by the fire"
+    )
+    other = (
+        "a small bird sat on the old stone wall and watched the boats "
+        "come slowly in to the harbor while the sun set over the water"
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+
+    def run_once():
+        docs = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "documents*.parquet")
+            .parquet(str(src))
+        )
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out)
+
+        q = (
+            stream_curation_gate(docs)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert not q.isActive
+
+    _write_docs_parquet(src / "documents_a.parquet", [(1, good)])
+    run_once()
+    _write_docs_parquet(src / "documents_b.parquet", [(11, good), (12, other)])
+    run_once()
+
+    got = {
+        r["doc_id"]: r["reject_reason"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {1: "ok", 11: "duplicate", 12: "ok"}
+
+
+def test_stream_near_dup_filter_state_survives_restart(spark, tmp_path):
+    """The online near-dup filter's admitted-signature state must be
+    recovered across restarts: a later run's near-duplicate (identical
+    text -> Hamming 0 in the admitted bucket) of an earlier run's
+    admitted document must be suppressed."""
+    from film_media_etl_spark.streaming import stream_near_dup_filter
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then walks "
+        "home with a friend to share some food and water by the fire"
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+
+    def run_once():
+        docs = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "documents*.parquet")
+            .parquet(str(src))
+        )
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out)
+
+        q = (
+            stream_near_dup_filter(docs)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert not q.isActive
+
+    _write_docs_parquet(src / "documents_a.parquet", [(1, base)])
+    run_once()
+    _write_docs_parquet(src / "documents_b.parquet", [(11, base)])
+    run_once()
+
+    got = {r["doc_id"]: r["admitted"] for r in spark.read.parquet(out).collect()}
+    assert got == {1: True, 11: False}

@@ -1,0 +1,145 @@
+"""Persisted ANN index lifecycle: build an IVF index ONCE on disk, probe
+it many times without re-clustering — the serving shape a 100 TB vector
+store actually runs (reference's similarity surface is in-query only;
+this adds the build/probe split every production ANN deployment has).
+
+- ``build_ivf_index``: KMeans-partition the corpus, write the assigned
+  vectors as a parquet table PARTITIONED BY cell id, and the centroids
+  as a tiny side table. Clustering cost is paid once; the layout IS the
+  index — each cell is its own directory of files.
+- ``probe_ivf_index``: load the centroid table (bounded driver metadata,
+  <= nlist rows — same discipline as the PQ codebook), compute each
+  query's nprobe nearest cells as inline literals, and equi-join the
+  exploded (query, cell) pairs against the on-disk table. Because cell
+  is the PARTITION column, Catalyst prunes the scan to the probed
+  cells' directories (dynamic partition pruning under the broadcast
+  join): a probe reads ~nprobe/nlist of the index bytes, which is the
+  entire point of IVF at scale. Exact cosine + top-k re-rank inside the
+  probed cells, identical to the inline ``cosine_knn_ivf`` math.
+
+Approximate by construction -> rows-only driver check; recall floors and
+the partition-pruning plan shape are pinned in tests/test_graph_ops.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine, to_double_vec
+from ..sources import ensure_parallelism
+
+
+def build_ivf_index(
+    embeddings: DataFrame,
+    index_dir: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    seed: int = 42,
+) -> None:
+    """Cluster the corpus and persist the index layout: cell-partitioned
+    vectors + a centroid side table. Write-once; probes never re-fit."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    base = ensure_parallelism(embeddings).select(
+        F.col(id_col).alias("nbr_id"), to_double_vec(F.col(vec_col)).alias("nvec")
+    )
+    ml = base.withColumn("fv", array_to_vector("nvec"))
+    if ml.isEmpty():
+        # an empty corpus still gets a readable (empty) index
+        spark = embeddings.sparkSession
+        spark.createDataFrame([], "nbr_id long, nvec array<double>, cell int").write.mode(
+            "overwrite"
+        ).partitionBy("cell").parquet(f"{index_dir}/cells")
+        spark.createDataFrame([], "cell int, center array<double>").write.mode(
+            "overwrite"
+        ).parquet(f"{index_dir}/centroids")
+        return
+    model = KMeans(k=nlist, seed=seed, featuresCol="fv", predictionCol="cell").fit(ml)
+    assigned = model.transform(ml).select("nbr_id", "nvec", "cell")
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(f"{index_dir}/cells")
+    spark = embeddings.sparkSession
+    centers = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    spark.createDataFrame(centers, "cell int, center array<double>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{index_dir}/centroids")
+
+
+def probe_ivf_index(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Top-k cosine neighbors for each query row against a persisted IVF
+    index. The cells scan is pruned to the probed partitions; queries
+    ride broadcast, the corpus never shuffles."""
+    # <= nlist rows of driver metadata — the same bounded-collect tier as
+    # the PQ codebook (operators/similarity.py). Read BEFORE the cells
+    # table: an empty index's partitioned write leaves no data files, so
+    # the cells scan is only resolvable when centroids exist.
+    centers = [
+        (r["cell"], r["center"])
+        for r in spark.read.parquet(f"{index_dir}/centroids").collect()
+    ]
+    if not centers:
+        return spark.createDataFrame(
+            [], "query_id long, nbr_id long, score double, rank int"
+        )
+    cells = spark.read.parquet(f"{index_dir}/cells")
+
+    def _sqdist(vec, center):
+        lits = F.array(*[F.lit(float(x)) for x in center])
+        return F.aggregate(
+            F.zip_with(vec, lits, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    probe_cells = F.slice(
+        F.transform(
+            F.array_sort(
+                F.array(
+                    *[
+                        F.struct(
+                            _sqdist(F.col("qvec"), c).alias("d"),
+                            F.lit(int(i)).alias("cell"),
+                        )
+                        for i, c in centers
+                    ]
+                )
+            ),
+            lambda s: s["cell"],
+        ),
+        1,
+        nprobe,
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), to_double_vec(F.col(vec_col)).alias("qvec")
+    ).withColumn("cell", F.explode(probe_cells))
+    scored = (
+        cells.alias("n")
+        .join(
+            F.broadcast(q).alias("q"),
+            (F.col("n.cell") == F.col("q.cell"))
+            & (F.col("n.nbr_id") != F.col("q.query_id")),
+        )
+        .select(
+            "q.query_id",
+            "n.nbr_id",
+            cosine(F.col("q.qvec"), F.col("n.nvec")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("nbr_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "score", "rank")
+    )

@@ -6,6 +6,8 @@ engine-portable (hash-seeded ops are rows-only by nature).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -280,6 +282,35 @@ def ext_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_knn_ivf(
         load_table(spark, sf_dir, "embeddings"), query_ids_below=8, k=5, nlist=16, nprobe=6
     )
+
+
+@register("ext_knn_ivf_persisted")  # approximate recall -> rows-only check
+def ext_knn_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED-index spelling of ext_knn_ivf: build the IVF layout
+    on disk once (cell-partitioned vectors + centroid side table,
+    operators/ann_index.py), then answer the same queries by probing the
+    index — no re-clustering, and the cells scan is PRUNED to the
+    probed partitions, so a probe reads ~nprobe/nlist of the index
+    bytes. This is the serving shape a 100 TB vector store runs: the
+    build cost amortizes over every later probe. Index cached per
+    sf_dir within a session (the star-ETL warehouse precedent)."""
+    import tempfile
+
+    from ..operators.ann_index import build_ivf_index, probe_ivf_index
+
+    key = sf_dir.rstrip("/")
+    idx = _IVF_INDEX_CACHE.get(key)
+    if idx is None or not os.path.isdir(f"{idx}/cells"):
+        idx = tempfile.mkdtemp(prefix="ivf_index_")
+        build_ivf_index(
+            load_table(spark, sf_dir, "embeddings"), idx, nlist=16, seed=42
+        )
+        _IVF_INDEX_CACHE[key] = idx
+    queries = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 8)
+    return probe_ivf_index(spark, idx, queries, k=5, nprobe=6)
+
+
+_IVF_INDEX_CACHE: dict = {}
 
 
 # ---------------------------------------------------------------------------

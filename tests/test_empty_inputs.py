@@ -40,6 +40,7 @@ QUERIES = [
     "ext_dedup_minhash",
     "ext_dedup_paragraphs",
     "ext_knn_bruteforce",
+    "ext_knn_ivf_persisted",
     "ext_knn_pq",
     "ext_fuzzy_match_passjoin",
     "ext_decontamination",

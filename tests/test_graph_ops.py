@@ -144,6 +144,9 @@ def test_registered_knn_recall_floors(spark):
     exact = topk(qs["ext_knn_bruteforce"](spark, sf))
     for name, floor in (
         ("ext_knn_ivf", 0.6),
+        # persisted-index spelling probes the on-disk layout with the
+        # same nlist/nprobe, so its recall floor matches the inline op
+        ("ext_knn_ivf_persisted", 0.6),
         ("ext_knn_lsh", 0.6),
         # PQ with exact top-80 re-rank: measured 0.825 (sf0.001) /
         # 0.875 (sf0.01) on the uniform-random worst-case fixture
@@ -167,3 +170,28 @@ def test_connected_components_long_chain_converges(spark):
     got = connected_components(chain, max_iters=25).collect()
     assert len(got) == n + 1
     assert {r["cluster_id"] for r in got} == {0}
+
+
+def test_ivf_persisted_index_prunes_partitions(spark, tmp_path):
+    """The persisted IVF probe must read only the probed cells: the
+    cells scan carries a dynamic-partition-pruning subquery on the cell
+    partition column (without it, every probe would scan the whole
+    index and IVF's nprobe/nlist byte-saving disappears at 100 TB).
+    Also pins build->probe round-trip determinism: two probes of the
+    same persisted index return identical rows."""
+    from film_media_etl_spark.operators.ann_index import (
+        build_ivf_index,
+        probe_ivf_index,
+    )
+    from film_media_etl_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb, idx, nlist=16, seed=42)
+    queries = emb.where("vec_id < 8")
+    probe = probe_ivf_index(spark, idx, queries, k=5, nprobe=6)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), "cells scan not partition-pruned"
+    a = sorted(map(tuple, probe.collect()))
+    b = sorted(map(tuple, probe_ivf_index(spark, idx, queries, k=5, nprobe=6).collect()))
+    assert a == b and len(a) == 40

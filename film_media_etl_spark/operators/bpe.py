@@ -1,0 +1,109 @@
+"""Distributed BPE merge learning — tokenizer TRAINING as a Spark job.
+
+The one training-data stage the engine still lacked: learn the byte-pair
+merge table itself from the corpus (Sennrich et al. 2016), the way a
+production tokenizer build runs before any token counting is possible.
+
+The classic scale trick makes this tractable at 100 TB: merges are
+learned over the DEDUPLICATED WORD VOCABULARY with counts, not the raw
+corpus — one corpus-sized shuffle builds (word, n) once, and every one
+of the k merge iterations then runs over the vocabulary only (a few
+hundred thousand rows for any natural-language corpus, regardless of
+corpus bytes). Per iteration:
+
+- pair counting: per-word adjacent symbol pairs via a zip_with over the
+  symbol array and its tail, weighted by the word count, groupBy pair →
+  SUM with map-side combine (the only shuffle in the loop);
+- argmax: orderBy(count desc, pair asc) limit 1 — TakeOrdered, one row
+  of driver metadata per iteration (the merge decision IS driver state
+  in every BPE implementation; the data never collects);
+- merge application: a map-side F.aggregate fold over each symbol array
+  (greedy leftmost non-overlapping, the standard convention) — carry
+  (output, pending) so "aaa" + merge(a,a) -> [aa, a], not [aa, aa];
+- localCheckpoint every iteration bounds lineage the same way the graph
+  iterate-join loops do (operators/graph.py).
+
+Determinism: ties break lexicographically on (left, right), so the
+learned merge sequence is a pure function of the corpus — pinned in
+tests/test_function_models.py against an independent plain-Python BPE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _merge_pair_expr(col, left: str, right: str):
+    """Greedy leftmost application of one merge to a symbol array:
+    fold with a 'pending' slot; emit pending when the (pending, cur)
+    pair is not the merge, emit the fused symbol and clear pending when
+    it is. The empty-string sentinel never occurs as a symbol (words
+    come from a non-empty split)."""
+    l, r = F.lit(left), F.lit(right)
+    fused = F.lit(left + right)
+    step = lambda acc, s: F.when(  # noqa: E731
+        (acc["pending"] == l) & (s == r),
+        F.struct(
+            F.concat(acc["out"], F.array(fused)).alias("out"),
+            F.lit("").alias("pending"),
+        ),
+    ).otherwise(
+        F.struct(
+            F.when(acc["pending"] != "", F.concat(acc["out"], F.array(acc["pending"]))).otherwise(acc["out"]).alias("out"),
+            s.alias("pending"),
+        )
+    )
+    folded = F.aggregate(
+        col,
+        F.struct(
+            F.array().cast("array<string>").alias("out"),
+            F.lit("").alias("pending"),
+        ),
+        step,
+    )
+    return F.when(
+        folded["pending"] != "", F.concat(folded["out"], F.array(folded["pending"]))
+    ).otherwise(folded["out"])
+
+
+def learn_bpe_merges(docs: DataFrame, *, k: int = 8, text_col: str = "text"):
+    """Learn the top-k BPE merges from a document corpus. Returns a list
+    of (left, right, pair_count) in merge order — k rows of driver
+    metadata (the merge table is the ARTIFACT of tokenizer training; at
+    any corpus size it is k rows)."""
+    words = (
+        docs.select(F.explode(F.split(F.lower(text_col), " ")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    vocab = words.select(
+        F.split(F.col("w"), "").alias("syms"), F.col("n")
+    ).localCheckpoint()
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(k):
+        pairs = vocab.select(
+            F.explode(
+                F.zip_with(
+                    F.slice("syms", 1, F.size("syms") - 1),
+                    F.slice("syms", 2, F.size("syms") - 1),
+                    lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                )
+            ).alias("p"),
+            "n",
+        )
+        top = (
+            pairs.groupBy("p")
+            .agg(F.sum("n").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("p.l"), F.asc("p.r"))
+            .limit(1)
+            .first()
+        )
+        if top is None:
+            break
+        left, right, cnt = top["p"]["l"], top["p"]["r"], int(top["cnt"])
+        merges.append((left, right, cnt))
+        vocab = vocab.select(
+            _merge_pair_expr(F.col("syms"), left, right).alias("syms"), "n"
+        ).localCheckpoint()
+    return merges

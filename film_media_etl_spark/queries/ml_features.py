@@ -254,3 +254,26 @@ def ext_linear_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "squashed"
         ),
     )
+
+
+@register("ext_bpe_merges")  # iterative, driver-paced argmax -> rows-only check
+def ext_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer TRAINING on the corpus: learn the first 8 BPE merges
+    (operators/bpe.py — vocabulary-counted pair statistics, greedy
+    leftmost merge application, deterministic lexicographic tie-break).
+    The merge table is the artifact every downstream token-count op
+    presupposes; it is k rows regardless of corpus size, so the output
+    materializes driver-side by construction. Pinned against an
+    independent plain-Python BPE in tests/test_function_models.py."""
+    from ..operators.bpe import learn_bpe_merges
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    merges = learn_bpe_merges(docs, k=8)
+    if not merges:
+        return spark.createDataFrame(
+            [], "rank int, left string, right string, pair_count long"
+        )
+    return spark.createDataFrame(
+        [(i + 1, l, r, c) for i, (l, r, c) in enumerate(merges)],
+        "rank int, left string, right string, pair_count long",
+    )

@@ -45,6 +45,7 @@ QUERIES = [
     "ext_fuzzy_match_passjoin",
     "ext_decontamination",
     "ext_multimodal_spectrum",
+    "ext_bpe_merges",
     "ext_asof_join",
     "ext_tpch_q1_pricing_summary",
 ]

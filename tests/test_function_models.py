@@ -373,3 +373,62 @@ def test_kneser_ney_is_proper_distribution_and_matches_reference(spark, tmp_path
     for i in want:
         assert got[i][0] == want[i][0]
         assert abs(got[i][1] - want[i][1]) < 1e-12, (i, got[i], want[i])
+
+
+def test_bpe_merges_match_independent_python_bpe(spark):
+    """The distributed BPE learner must reproduce, merge for merge, an
+    independent plain-Python BPE (word-count dict, pair-count dict,
+    greedy leftmost application, lexicographic tie-break) run over the
+    same corpus — counts included."""
+    from collections import Counter
+
+    from film_media_etl_spark.operators.bpe import learn_bpe_merges
+    from film_media_etl_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    got = learn_bpe_merges(docs, k=8)
+
+    words = Counter()
+    for r in docs.select("text").collect():
+        if r["text"] is None:
+            continue
+        for w in r["text"].lower().split(" "):
+            if w:
+                words[tuple(w)] += 1
+
+    def apply(word, pair):
+        out, i = [], 0
+        while i < len(word):
+            if i + 1 < len(word) and (word[i], word[i + 1]) == pair:
+                out.append(word[i] + word[i + 1])
+                i += 2
+            else:
+                out.append(word[i])
+                i += 1
+        return tuple(out)
+
+    want = []
+    vocab = dict(words)
+    for _ in range(8):
+        pc = Counter()
+        for w, n in vocab.items():
+            for a, b in zip(w, w[1:]):
+                pc[(a, b)] += n
+        if not pc:
+            break
+        pair = min(pc, key=lambda p: (-pc[p], p))
+        want.append((pair[0], pair[1], pc[pair]))
+        # re-derive the vocab from the RAW words through all merges so
+        # far — a deliberately different composition order than the
+        # Spark learner's sequential vocab updates, so agreement also
+        # cross-checks that the two are equivalent
+        vocab = Counter()
+        merges_so_far = [(l, r) for l, r, _ in want]
+        for w, n in words.items():
+            cur = w
+            for m in merges_so_far:
+                cur = apply(cur, m)
+            vocab[cur] += n
+
+    assert got == want
+    assert len(got) == 8

@@ -107,3 +107,38 @@ def learn_bpe_merges(docs: DataFrame, *, k: int = 8, text_col: str = "text"):
             _merge_pair_expr(F.col("syms"), left, right).alias("syms"), "n"
         ).localCheckpoint()
     return merges
+
+
+def apply_bpe_merges(docs: DataFrame, merges, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Tokenize documents with a learned merge table: split to words,
+    split words to characters, apply the merges IN LEARNED ORDER as
+    map-side folds, and emit per-document BPE token counts. Pure
+    projection — tokenizing 100 TB with a learned table is an
+    embarrassingly parallel scan, exactly as in production. Each merge
+    step is isolated behind an explode(array(...)) Generate barrier so
+    the k nested folds stay separate codegen'd projections instead of
+    one collapsed expression that would blow the 64KB JVM method limit
+    (the cascaded-explode discipline from functions/text.py)."""
+    out = docs.select(
+        F.col(id_col),
+        F.coalesce(
+            F.filter(F.split(F.lower(text_col), " "), lambda w: w != ""),
+            F.array().cast("array<string>"),
+        ).alias("ws"),  # null text -> zero tokens, not a NULL count
+    ).select(
+        id_col, F.transform("ws", lambda w: F.split(w, "")).alias("wsyms")
+    )
+    for left, right, _ in merges:
+        stepped = F.transform(
+            "wsyms", lambda syms: _merge_pair_expr(syms, left, right)  # noqa: B023
+        )
+        out = out.select(
+            id_col, F.explode(F.array(stepped)).alias("wsyms")
+        )
+    return out.select(
+        id_col,
+        F.aggregate(
+            "wsyms", F.lit(0).cast("long"), lambda acc, syms: acc + F.size(syms)
+        ).alias("n_bpe_tokens"),
+        F.size("wsyms").alias("n_words"),
+    )

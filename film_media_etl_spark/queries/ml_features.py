@@ -277,3 +277,20 @@ def ext_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i + 1, l, r, c) for i, (l, r, c) in enumerate(merges)],
         "rank int, left string, right string, pair_count long",
     )
+
+
+@register("ext_bpe_tokenize")  # depends on learned merges -> rows-only check
+def ext_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY side of tokenizer training: tokenize every document
+    with the merge table ext_bpe_merges learns (same corpus), emitting
+    per-doc BPE token and word counts. Tokenization with a fixed table
+    is a pure projection — embarrassingly parallel at 100 TB; each merge
+    step sits behind a Generate barrier so k folds stay separate
+    codegen'd projections (operators/bpe.py:apply_bpe_merges). Pinned
+    token-for-token against a plain-Python BPE apply in
+    tests/test_function_models.py."""
+    from ..operators.bpe import apply_bpe_merges, learn_bpe_merges
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    merges = learn_bpe_merges(docs, k=8)
+    return apply_bpe_merges(docs, merges)

@@ -46,6 +46,7 @@ QUERIES = [
     "ext_decontamination",
     "ext_multimodal_spectrum",
     "ext_bpe_merges",
+    "ext_bpe_tokenize",
     "ext_asof_join",
     "ext_tpch_q1_pricing_summary",
 ]

@@ -432,3 +432,45 @@ def test_bpe_merges_match_independent_python_bpe(spark):
 
     assert got == want
     assert len(got) == 8
+
+
+def test_bpe_tokenize_matches_python_apply(spark):
+    """apply_bpe_merges must produce, per document, exactly the token
+    count a plain-Python greedy-leftmost BPE apply yields under the same
+    learned merge table — including docs with null/empty text (0
+    tokens, never NULL)."""
+    from film_media_etl_spark.operators.bpe import (
+        apply_bpe_merges,
+        learn_bpe_merges,
+    )
+    from film_media_etl_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    merges = learn_bpe_merges(docs, k=8)
+    got = {
+        r["doc_id"]: (r["n_bpe_tokens"], r["n_words"])
+        for r in apply_bpe_merges(docs, merges).collect()
+    }
+
+    def apply(word, pair):
+        out, i = [], 0
+        while i < len(word):
+            if i + 1 < len(word) and (word[i], word[i + 1]) == pair:
+                out.append(word[i] + word[i + 1])
+                i += 2
+            else:
+                out.append(word[i])
+                i += 1
+        return out
+
+    want = {}
+    for r in docs.select("doc_id", "text").collect():
+        words = [w for w in (r["text"] or "").lower().split(" ") if w]
+        ntok = 0
+        for w in words:
+            syms = list(w)
+            for l, rr, _ in merges:
+                syms = apply(syms, (l, rr))
+            ntok += len(syms)
+        want[r["doc_id"]] = (ntok, len(words))
+    assert got == want

@@ -81,6 +81,10 @@ HEADLINE = [
     "ext_tpch_q13_customer_distribution",
     "ext_tpch_q17_small_quantity",
     "ext_tpch_q21_waiting_orders",
+    "ext_linear_model_score",   # broadcast-model inference over hashed features
+    "ext_multimodal_spectrum",  # audio rFFT feature extraction (mapInPandas)
+    "ext_bpe_merges",           # tokenizer training: 8 vocab-shuffle iterations
+    "ext_knn_ivf_persisted",    # persisted-index ANN probe (build amortized rep 1)
 ]
 
 

@@ -474,3 +474,47 @@ def test_bpe_tokenize_matches_python_apply(spark):
             ntok += len(syms)
         want[r["doc_id"]] = (ntok, len(words))
     assert got == want
+
+
+def test_merge_pair_expr_matches_greedy_model(spark):
+    """_merge_pair_expr (the BPE fold) vs a plain-Python greedy-leftmost
+    scan over randomized symbol arrays — multi-char symbols, self-merges
+    (a,a) on runs, merges absent from the array, and pairs that only
+    ALMOST match (left present, right elsewhere). One Spark job scores
+    all cases."""
+    import random
+
+    from film_media_etl_spark.operators.bpe import _merge_pair_expr
+
+    rng = random.Random(777)
+    alphabet = ["a", "b", "ab", "ba", "c", "aa"]
+    cases = []
+    for i in range(400):
+        syms = [rng.choice(alphabet) for _ in range(rng.randint(1, 12))]
+        left, right = rng.choice(alphabet), rng.choice(alphabet)
+        cases.append((i, syms, left, right))
+
+    def greedy(word, pair):
+        out, i = [], 0
+        while i < len(word):
+            if i + 1 < len(word) and (word[i], word[i + 1]) == pair:
+                out.append(word[i] + word[i + 1])
+                i += 2
+            else:
+                out.append(word[i])
+                i += 1
+        return out
+
+    # group cases by merge pair so each pair is one literal expression
+    by_pair = {}
+    for i, syms, left, right in cases:
+        by_pair.setdefault((left, right), []).append((i, syms))
+    got = {}
+    for (left, right), rows in by_pair.items():
+        df = spark.createDataFrame(rows, "i long, syms array<string>")
+        for r in df.select(
+            "i", _merge_pair_expr(F.col("syms"), left, right).alias("m")
+        ).collect():
+            got[r["i"]] = r["m"]
+    for i, syms, left, right in cases:
+        assert got[i] == greedy(syms, (left, right)), (syms, left, right)

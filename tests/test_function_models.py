@@ -518,3 +518,60 @@ def test_merge_pair_expr_matches_greedy_model(spark):
             got[r["i"]] = r["m"]
     for i, syms, left, right in cases:
         assert got[i] == greedy(syms, (left, right)), (syms, left, right)
+
+
+def test_bpe_learner_unicode_corpus(spark):
+    """Character splitting must be CODE-POINT based on both sides —
+    Spark's split(w, '') yields full code points (verified up to
+    astral-plane emoji, which are surrogate PAIRS in the JVM), so BPE
+    learned over a CJK/emoji corpus must still match the Python model
+    merge for merge."""
+    from collections import Counter
+
+    from film_media_etl_spark.operators.bpe import learn_bpe_merges
+
+    texts = [
+        "データ データ パイプ",
+        "😀😀 😀😀 deep",
+        "héllo héllo wörld",
+        "データ😀 mix データ😀",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = learn_bpe_merges(docs, k=4)
+
+    words = Counter()
+    for t in texts:
+        for w in t.lower().split(" "):
+            if w:
+                words[tuple(w)] += 1
+
+    def apply(word, pair):
+        out, i = [], 0
+        while i < len(word):
+            if i + 1 < len(word) and (word[i], word[i + 1]) == pair:
+                out.append(word[i] + word[i + 1])
+                i += 2
+            else:
+                out.append(word[i])
+                i += 1
+        return tuple(out)
+
+    want, vocab = [], dict(words)
+    for _ in range(4):
+        pc = Counter()
+        for w, n in vocab.items():
+            for a, b in zip(w, w[1:]):
+                pc[(a, b)] += n
+        if not pc:
+            break
+        pair = min(pc, key=lambda p: (-pc[p], p))
+        want.append((pair[0], pair[1], pc[pair]))
+        vocab = {}
+        for w, n in words.items():
+            cur = tuple(w)
+            for l, r, _ in want:
+                cur = apply(cur, (l, r))
+            vocab[cur] = vocab.get(cur, 0) + n
+    assert got == want and len(got) == 4

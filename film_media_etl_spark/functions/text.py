@@ -175,3 +175,52 @@ def oracle_fingerprint(text: str) -> str:
         f"list_transform(string_split({text}, ''), ch -> CAST(ascii(ch) AS BIGINT))), "
         f"(acc, x) -> (acc * 31 + x) % {FINGERPRINT_MOD})"
     )
+
+
+# --- Curation gate contract (shared by batch ext_curation_pipeline and
+# --- streaming stream_curation_gate; both parity-pinned against it) ----
+
+CURATION_MIN_TOKENS = 5
+CURATION_LANG = "en"
+CURATION_MIN_QUALITY = 0.5
+CURATION_MIN_TTR = 0.3
+CURATION_MAX_TOP_BIGRAM_SHARE = 0.18
+
+
+def curation_scalar_reason(
+    text: Column, n_toks: Column, lang: Column, q: Column, ttr_ok: Column
+) -> Column:
+    """The FIXED scalar gate order every curation surface must apply:
+    length -> language -> quality -> repetition. Returns the
+    reject_reason through the scalar gates ('ok' if all pass); callers
+    append their own duplicate gate after (batch: min-id join; stream:
+    per-fingerprint state). One builder so a threshold or gate-order
+    change cannot drift between the batch and streaming twins."""
+    return (
+        F.when(
+            text.isNull() | (n_toks < CURATION_MIN_TOKENS), F.lit("too_short")
+        )
+        .when(lang != CURATION_LANG, F.lit("wrong_lang"))
+        .when(q < CURATION_MIN_QUALITY, F.lit("low_quality"))
+        .when(~ttr_ok, F.lit("repetitive"))
+        .otherwise(F.lit("ok"))
+    )
+
+
+def lang_quality_barrier(df, text_col: str = "text"):
+    """Materialize (predicted_lang, quality_score) ONCE behind a
+    Generate barrier — higher-order functions are excluded from codegen
+    subexpression elimination, so without the barrier every consumer of
+    the reason chain re-evaluates the lexicon scans (~16 marker counts)
+    per reference. Adds columns `lang` and `q`."""
+    return df.withColumn(
+        "_lq",
+        F.explode(
+            F.array(
+                F.struct(
+                    predicted_lang(F.col(text_col)).alias("lang"),
+                    quality_score(F.col(text_col)).alias("q"),
+                )
+            )
+        ),
+    ).withColumns({"lang": F.col("_lq.lang"), "q": F.col("_lq.q")}).drop("_lq")

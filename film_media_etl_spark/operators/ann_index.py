@@ -23,11 +23,12 @@ the partition-pruning plan shape are pinned in tests/test_graph_ops.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine, to_double_vec
+from ..functions.vectors import to_double_vec
 from ..sources import ensure_parallelism
+from .similarity import ivf_probe_topk
 
 
 def build_ivf_index(
@@ -94,52 +95,7 @@ def probe_ivf_index(
             [], "query_id long, nbr_id long, score double, rank int"
         )
     cells = spark.read.parquet(f"{index_dir}/cells")
-
-    def _sqdist(vec, center):
-        lits = F.array(*[F.lit(float(x)) for x in center])
-        return F.aggregate(
-            F.zip_with(vec, lits, lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    probe_cells = F.slice(
-        F.transform(
-            F.array_sort(
-                F.array(
-                    *[
-                        F.struct(
-                            _sqdist(F.col("qvec"), c).alias("d"),
-                            F.lit(int(i)).alias("cell"),
-                        )
-                        for i, c in centers
-                    ]
-                )
-            ),
-            lambda s: s["cell"],
-        ),
-        1,
-        nprobe,
-    )
     q = queries.select(
         F.col(id_col).alias("query_id"), to_double_vec(F.col(vec_col)).alias("qvec")
-    ).withColumn("cell", F.explode(probe_cells))
-    scored = (
-        cells.alias("n")
-        .join(
-            F.broadcast(q).alias("q"),
-            (F.col("n.cell") == F.col("q.cell"))
-            & (F.col("n.nbr_id") != F.col("q.query_id")),
-        )
-        .select(
-            "q.query_id",
-            "n.nbr_id",
-            cosine(F.col("q.qvec"), F.col("n.nvec")).alias("score"),
-        )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("nbr_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "nbr_id", "score", "rank")
-    )
+    return ivf_probe_topk(cells, q, centers, k=k, nprobe=nprobe)

@@ -330,25 +330,25 @@ _WAV_N = 64  # samples per rendered clip
 _WAV_RATE = 8000
 
 
-def render_wav_media(ids: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
-    """Render a deterministic 16-bit mono PCM WAV per id — a REAL RIFF
-    container (RIFF/WAVE header, fmt chunk, data chunk, little-endian
-    int16 samples), closed-form sample values for the SQL oracle."""
+def _wav_container(samples) -> bytes:
+    """Pack little-endian int16 samples into a REAL RIFF/WAVE container
+    (RIFF header, fmt chunk, data chunk) — the ONE encoder both WAV
+    renders share, so a container fix cannot diverge them."""
+    import struct
+
+    data = samples.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, _WAV_RATE, _WAV_RATE * 2, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _render_wav(ids: DataFrame, id_col: str, wav_bytes) -> DataFrame:
+    """Shared mapInPandas scaffolding for the WAV renders: one payload
+    per id via ``wav_bytes(i)``, typed (mime, declared_bytes) meta."""
 
     def batches(it: Iterator) -> Iterator:
-        import struct
-
-        import numpy as np
         import pandas as pd
-
-        def wav_bytes(i: int) -> bytes:
-            n = np.arange(_WAV_N, dtype=np.int64)
-            samples = (((i * 13 + n * 7) % 2001) - 1000).astype("<i2")
-            data = samples.tobytes()
-            fmt = struct.pack("<HHIIHH", 1, 1, _WAV_RATE, _WAV_RATE * 2, 2, 16)
-            body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
-            body += b"data" + struct.pack("<I", len(data)) + data
-            return b"RIFF" + struct.pack("<I", len(body)) + body
 
         for pdf in it:
             yield pd.DataFrame(
@@ -369,6 +369,22 @@ def render_wav_media(ids: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
         "meta",
         F.struct(F.lit("audio/wav").alias("mime"), F.length("payload").alias("declared_bytes")),
     )
+
+
+def saw_wav_bytes(i: int) -> bytes:
+    """One pseudo-random sawtooth payload: s[n] = ((i*13 + n*7) % 2001)
+    - 1000 — the closed-form the amplitude-stats oracle restates."""
+    import numpy as np
+
+    n = np.arange(_WAV_N, dtype=np.int64)
+    return _wav_container(((i * 13 + n * 7) % 2001) - 1000)
+
+
+def render_wav_media(ids: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """Render a deterministic 16-bit mono PCM WAV per id — a REAL RIFF
+    container (RIFF/WAVE header, fmt chunk, data chunk, little-endian
+    int16 samples), closed-form sample values for the SQL oracle."""
+    return _render_wav(ids, id_col, saw_wav_bytes)
 
 
 def decode_wav(payload: bytes):
@@ -449,20 +465,11 @@ def tone_bin(media_id: int) -> int:
 def tone_wav_bytes(i: int) -> bytes:
     """One pure-tone RIFF/WAVE payload: a quantized int16 sine with
     exactly tone_bin(i) cycles over the _WAV_N-sample clip."""
-    import struct
-
     import numpy as np
 
     n = np.arange(_WAV_N, dtype=np.float64)
     k = tone_bin(i)
-    samples = np.round(_TONE_AMP * np.sin(2.0 * np.pi * k * n / _WAV_N)).astype(
-        "<i2"
-    )
-    data = samples.tobytes()
-    fmt = struct.pack("<HHIIHH", 1, 1, _WAV_RATE, _WAV_RATE * 2, 2, 16)
-    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
-    body += b"data" + struct.pack("<I", len(data)) + data
-    return b"RIFF" + struct.pack("<I", len(body)) + body
+    return _wav_container(np.round(_TONE_AMP * np.sin(2.0 * np.pi * k * n / _WAV_N)))
 
 
 def render_tone_media(ids: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
@@ -471,29 +478,7 @@ def render_tone_media(ids: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
     quantized sine at exactly tone_bin(id) cycles per clip. Because
     the frequency sits ON an FFT bin, the rendered clip's spectrum is
     analytically known — the feature-extraction oracle needs no FFT."""
-
-    def batches(it: Iterator) -> Iterator:
-        import pandas as pd
-
-        for pdf in it:
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf[id_col].astype("int64"),
-                    "payload": [tone_wav_bytes(int(i)) for i in pdf[id_col]],
-                }
-            )
-
-    out_schema = T.StructType(
-        [
-            T.StructField("media_id", T.LongType(), False),
-            T.StructField("payload", T.BinaryType(), False),
-        ]
-    )
-    rendered = ids.select(F.col(id_col)).mapInPandas(batches, schema=out_schema)
-    return rendered.withColumn(
-        "meta",
-        F.struct(F.lit("audio/wav").alias("mime"), F.length("payload").alias("declared_bytes")),
-    )
+    return _render_wav(ids, id_col, tone_wav_bytes)
 
 
 def spectral_peak(media: DataFrame) -> DataFrame:
@@ -523,11 +508,15 @@ def spectral_peak(media: DataFrame) -> DataFrame:
                 samples, rate, _ = decode_wav(bytes(payload))
                 mono = samples[:, 0].astype(np.float64)
                 mag = np.abs(np.fft.rfft(mono))
-                k = int(np.argmax(mag[1:])) + 1  # exclude DC
+                if mag.shape[0] > 1:  # a 0/1-sample clip has only DC
+                    k = int(np.argmax(mag[1:])) + 1  # exclude DC
+                    hz = float(k * rate) / mono.shape[0]
+                else:
+                    k, hz = 0, 0.0
                 rows["media_id"].append(mid)
                 rows["n_samples"].append(mono.shape[0])
                 rows["dominant_bin"].append(k)
-                rows["dominant_hz"].append(float(k * rate) / mono.shape[0])
+                rows["dominant_hz"].append(hz)
             yield pd.DataFrame(rows)
 
     schema = T.StructType(

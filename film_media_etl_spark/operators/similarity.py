@@ -175,11 +175,34 @@ def cosine_knn_ivf(
         )
     model = KMeans(k=nlist, seed=seed, featuresCol="fv", predictionCol="cell").fit(ml)
     assigned = model.transform(ml).select("nbr_id", "nvec", "cell")
+    centers = [(i, c.tolist()) for i, c in enumerate(model.clusterCenters())]
+    queries = assigned.where(F.col("nbr_id") < query_ids_below).select(
+        F.col("nbr_id").alias("query_id"), F.col("nvec").alias("qvec")
+    )
+    return ivf_probe_topk(assigned, queries, centers, k=k, nprobe=nprobe)
 
-    # Each query probes its nprobe nearest centroids. Centroids are a
-    # handful of doubles -> inline literals; argsort via array of
-    # (distance, cell) structs sorted lexicographically.
-    centers = [c.tolist() for c in model.clusterCenters()]
+
+def ivf_probe_topk(
+    cells: DataFrame,
+    queries: DataFrame,
+    centers: list,
+    *,
+    k: int = 5,
+    nprobe: int = 4,
+) -> DataFrame:
+    """The ONE IVF probe both the inline op and the persisted index use
+    (operators/ann_index.py), so the probe math cannot diverge between
+    the two paths whose recall floors are pinned to match. Each query's
+    nprobe nearest centroids come from inline literals (centroids are a
+    handful of doubles; argsort via an array of (distance, cell) structs
+    sorted lexicographically); candidate retrieval is a broadcast
+    equi-join of the exploded (query, cell) pairs against the
+    cell-assigned corpus — on a cell-PARTITIONED on-disk table Catalyst
+    turns that into dynamic partition pruning; exact cosine + windowed
+    top-k re-rank inside the probed cells.
+
+    ``cells``: (nbr_id, nvec, cell); ``queries``: (query_id, qvec);
+    ``centers``: [(cell_id, [float, ...])]."""
 
     def _sqdist(vec, center: list[float]):
         lits = F.array(*[F.lit(float(x)) for x in center])
@@ -195,9 +218,10 @@ def cosine_knn_ivf(
                 F.array(
                     *[
                         F.struct(
-                            _sqdist(F.col("qvec"), c).alias("d"), F.lit(i).alias("cell")
+                            _sqdist(F.col("qvec"), c).alias("d"),
+                            F.lit(int(i)).alias("cell"),
                         )
-                        for i, c in enumerate(centers)
+                        for i, c in centers
                     ]
                 )
             ),
@@ -206,13 +230,9 @@ def cosine_knn_ivf(
         1,
         nprobe,
     )
-    q = (
-        assigned.where(F.col("nbr_id") < query_ids_below)
-        .select(F.col("nbr_id").alias("query_id"), F.col("nvec").alias("qvec"))
-        .withColumn("cell", F.explode(probe_cells))
-    )
+    q = queries.withColumn("cell", F.explode(probe_cells))
     scored = (
-        assigned.alias("n")
+        cells.alias("n")
         .join(
             F.broadcast(q).alias("q"),
             (F.col("n.cell") == F.col("q.cell")) & (F.col("n.nbr_id") != F.col("q.query_id")),

@@ -284,34 +284,6 @@ def ext_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ext_knn_ivf_persisted")  # approximate recall -> rows-only check
-def ext_knn_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The PERSISTED-index spelling of ext_knn_ivf: build the IVF layout
-    on disk once (cell-partitioned vectors + centroid side table,
-    operators/ann_index.py), then answer the same queries by probing the
-    index — no re-clustering, and the cells scan is PRUNED to the
-    probed partitions, so a probe reads ~nprobe/nlist of the index
-    bytes. This is the serving shape a 100 TB vector store runs: the
-    build cost amortizes over every later probe. Index cached per
-    sf_dir within a session (the star-ETL warehouse precedent)."""
-    import tempfile
-
-    from ..operators.ann_index import build_ivf_index, probe_ivf_index
-
-    key = sf_dir.rstrip("/")
-    idx = _IVF_INDEX_CACHE.get(key)
-    if idx is None or not os.path.isdir(f"{idx}/cells"):
-        idx = tempfile.mkdtemp(prefix="ivf_index_")
-        build_ivf_index(
-            load_table(spark, sf_dir, "embeddings"), idx, nlist=16, seed=42
-        )
-        _IVF_INDEX_CACHE[key] = idx
-    queries = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 8)
-    return probe_ivf_index(spark, idx, queries, k=5, nprobe=6)
-
-
-_IVF_INDEX_CACHE: dict = {}
-
 
 # ---------------------------------------------------------------------------
 # Text analysis
@@ -789,3 +761,46 @@ def ext_multimodal_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
     )
     return spectral_peak(render_tone_media(ids))
+
+
+@register("ext_knn_ivf_persisted")  # approximate recall -> rows-only check
+def ext_knn_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED-index spelling of ext_knn_ivf: build the IVF layout
+    on disk once (cell-partitioned vectors + centroid side table,
+    operators/ann_index.py), then answer the same queries by probing the
+    index — no re-clustering, and the cells scan is PRUNED to the
+    probed partitions, so a probe reads ~nprobe/nlist of the index
+    bytes. This is the serving shape a 100 TB vector store runs: the
+    build cost amortizes over every later probe. Index cached per
+    sf_dir within a session (the star-ETL warehouse precedent)."""
+    import tempfile
+
+    from ..operators.ann_index import build_ivf_index, probe_ivf_index
+
+    key = sf_dir.rstrip("/")
+    idx = _IVF_INDEX_CACHE.get(key)
+    if idx is None or not os.path.isdir(f"{idx}/cells"):
+        idx = tempfile.mkdtemp(prefix="ivf_index_")
+        _IVF_INDEX_DIRS.append(idx)  # reaped at interpreter exit
+        build_ivf_index(
+            load_table(spark, sf_dir, "embeddings"), idx, nlist=16, seed=42
+        )
+        _IVF_INDEX_CACHE[key] = idx
+    queries = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 8)
+    return probe_ivf_index(spark, idx, queries, k=5, nprobe=6)
+
+
+_IVF_INDEX_CACHE: dict = {}
+_IVF_INDEX_DIRS: list = []
+
+
+def _reap_ivf_index_dirs() -> None:
+    import shutil
+
+    for d in _IVF_INDEX_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+import atexit  # noqa: E402  (registration belongs next to the dir list)
+
+atexit.register(_reap_ivf_index_dirs)

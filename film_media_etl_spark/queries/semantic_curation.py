@@ -526,21 +526,9 @@ def ext_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # JVM 64KB method limit that silently drops a stage out of codegen.
     # Materializing (lang, q) once behind the barrier keeps the downstream
     # CASE tiny, the stage codegen'd, and the lexicon scans single-pass.
-    t = (
+    t = TX.lang_quality_barrier(
         docs.select("doc_id", "text", F.split(F.lower("text"), " ").alias("toks"))
-        .withColumn(
-            "_lq",
-            F.explode(
-                F.array(
-                    F.struct(
-                        TX.predicted_lang(F.col("text")).alias("lang"),
-                        TX.quality_score(F.col("text")).alias("q"),
-                    )
-                )
-            ),
-        )
-        .select("doc_id", "text", "toks", "_lq.lang", "_lq.q")
-    )
+    ).select("doc_id", "text", "toks", "lang", "q")
     n = F.size("toks")
     bg = F.explode(
         F.zip_with(
@@ -572,13 +560,18 @@ def ext_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         dup, t["text"] == F.col("dtext"), "left"
     )
     ttr_ok = (
-        F.size(F.array_distinct("toks")).cast("double") / n.cast("double") >= 0.3
-    ) & (F.col("topc").cast("double") / F.col("n_bigrams").cast("double") <= 0.18)
+        F.size(F.array_distinct("toks")).cast("double") / n.cast("double")
+        >= TX.CURATION_MIN_TTR
+    ) & (
+        F.col("topc").cast("double") / F.col("n_bigrams").cast("double")
+        <= TX.CURATION_MAX_TOP_BIGRAM_SHARE
+    )
+    # shared FIXED gate order (functions/text.py) + the batch dup gate
+    scalar = TX.curation_scalar_reason(
+        F.col("text"), n, F.col("lang"), F.col("q"), ttr_ok
+    )
     reason = (
-        F.when(F.col("text").isNull() | (n < 5), F.lit("too_short"))
-        .when(F.col("lang") != "en", F.lit("wrong_lang"))
-        .when(F.col("q") < 0.5, F.lit("low_quality"))
-        .when(~ttr_ok, F.lit("repetitive"))
+        F.when(scalar != "ok", scalar)
         .when(F.col("keep_id") < F.col("doc_id"), F.lit("duplicate"))
         .otherwise(F.lit("ok"))
     )

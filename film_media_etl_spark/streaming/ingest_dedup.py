@@ -91,21 +91,28 @@ def stream_near_dup_filter(
 
         admitted: list[int] = list(state.get[0]) if state.exists else []
         out_ids, out_sigs, out_adm = [], [], []
-        for pdf in pdfs:
-            # within-batch order: doc_id ascending — deterministic
-            # replay-stable tie-break for same-batch near-dups
-            for _, row in pdf.sort_values("doc_id").iterrows():
-                sig = int(row["sig"])
-                dup = any(
-                    bin(sig ^ s).count("1") <= max_hamming for s in admitted
-                )
-                if not dup:
-                    admitted.append(sig)
-                    if len(admitted) > max_state:
-                        admitted.pop(0)  # bounded state: evict oldest
-                out_ids.append(int(row["doc_id"]))
-                out_sigs.append(sig)
-                out_adm.append(not dup)
+        # One group's batch rows can arrive split across several Arrow
+        # chunks — concatenate BEFORE sorting so the within-batch doc_id
+        # order (the deterministic replay-stable tie-break for
+        # same-batch near-dups) is global to the group, not per-chunk.
+        chunks = [pdf for pdf in pdfs]
+        rows = (
+            pd.concat(chunks).sort_values("doc_id")
+            if chunks
+            else pd.DataFrame(columns=["doc_id", "sig"])
+        )
+        for _, row in rows.iterrows():
+            sig = int(row["sig"])
+            dup = any(
+                bin(sig ^ s).count("1") <= max_hamming for s in admitted
+            )
+            if not dup:
+                admitted.append(sig)
+                if len(admitted) > max_state:
+                    admitted.pop(0)  # bounded state: evict oldest
+            out_ids.append(int(row["doc_id"]))
+            out_sigs.append(sig)
+            out_adm.append(not dup)
         state.update((admitted,))
         yield pd.DataFrame({"doc_id": out_ids, "sig": out_sigs, "admitted": out_adm})
 
@@ -143,11 +150,10 @@ def stream_curation_gate(docs: DataFrame) -> DataFrame:
     Generate barrier — predicted_lang + quality_score materialize once).
     The repetition gate needs no per-doc aggregation on a stream: the
     type-token ratio and the top-bigram share are per-ROW higher-order
-    functions over the token array (the top-bigram count is
-    max over distinct bigrams of filter-count — O(n_tokens^2) per doc
-    in the worst case, bounded by document length, stateless on the
-    stream; the batch query's explode+groupBy computes the identical
-    number). Only the DUPLICATE gate is stateful: one boolean per
+    functions over the token array (the top-bigram count is the longest
+    equal run in the SORTED bigram array — an O(n log n) fold, stateless
+    on the stream; the batch query's explode+groupBy computes the
+    identical number). Only the DUPLICATE gate is stateful: one boolean per
     content fingerprint in applyInPandasWithState, first-writer-wins —
     any document with the text claims the fingerprint (matching the
     batch dup CTE, which takes MIN(doc_id) over ALL docs with the text,
@@ -167,44 +173,47 @@ def stream_curation_gate(docs: DataFrame) -> DataFrame:
         F.slice(F.col("toks"), 2, n - 1),
         lambda a, b: F.concat(a, F.lit(" "), b),
     )
-    base = (
+    base = TX.lang_quality_barrier(
         docs.select("doc_id", "text", toks.alias("toks"))
-        .withColumn(
-            "_lq",
-            F.explode(
-                F.array(
-                    F.struct(
-                        TX.predicted_lang(F.col("text")).alias("lang"),
-                        TX.quality_score(F.col("text")).alias("q"),
-                    )
-                )
-            ),
-        )
-        .withColumn("bgs", bgs)
+    ).withColumn("bgs", bgs)
+    # top-bigram count == longest equal run in the SORTED bigram array —
+    # O(n log n) per doc vs the O(distinct x n) distinct/filter spelling
+    # (this runs per-row on the ingest hot path). "" is a safe run
+    # sentinel: every bigram contains the joining space.
+    top_count = F.aggregate(
+        F.array_sort("bgs"),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
     )
-    top_share = F.array_max(
-        F.transform(
-            F.array_distinct("bgs"),
-            lambda b: F.size(F.filter(F.col("bgs"), lambda z: z == b)),
-        )
-    ).cast("double") / F.size("bgs").cast("double")
+    top_share = top_count.cast("double") / F.size("bgs").cast("double")
     ttr_ok = (
         F.size(F.array_distinct("toks")).cast("double") / n.cast("double")
-        >= F.lit(0.3)
-    ) & (top_share <= F.lit(0.18))
-    reason0 = (
-        F.when(F.col("text").isNull() | (n < 5), F.lit("too_short"))
-        .when(F.col("_lq.lang") != "en", F.lit("wrong_lang"))
-        .when(F.col("_lq.q") < 0.5, F.lit("low_quality"))
-        .when(~ttr_ok, F.lit("repetitive"))
-        .otherwise(F.lit("ok"))
+        >= F.lit(TX.CURATION_MIN_TTR)
+    ) & (top_share <= F.lit(TX.CURATION_MAX_TOP_BIGRAM_SHARE))
+    # shared FIXED gate order (functions/text.py); the dup gate is the
+    # per-fingerprint state below
+    reason0 = TX.curation_scalar_reason(
+        F.col("text"), n, F.col("lang"), F.col("q"), ttr_ok
     )
     scalar = base.select(
         "doc_id",
         reason0.alias("reason0"),
-        F.coalesce(
-            F.xxhash64(F.col("text")), F.lit(0).cast("long")
-        ).alias("content_fp"),
+        # xxhash64 never returns NULL: null text hashes to the seed
+        # (42), so all null-text docs share one state group — harmless,
+        # they are all rejected 'too_short' before the dup gate.
+        F.xxhash64(F.col("text")).alias("content_fp"),
     )
 
     def update(key, pdfs: Iterator, state: GroupState):

@@ -1032,3 +1032,52 @@ def test_model_inference_broadcasts_weights(spark):
     df = _q("ext_linear_model_score", spark)
     assert_broadcast_join(df, 1)
     assert_no_cartesian(df)
+
+
+def test_runtime_bloom_filter_injects_on_selective_join(spark):
+    """The session enables runtime bloom-filter join pruning
+    (session.py); at 100 TB a selective dimension side builds a bloom
+    filter that prunes the fact scan BEFORE the shuffle. The fixture
+    tables sit under the default size thresholds, so this test tunes
+    them to fixture scale and pins the mechanism: a might_contain
+    filter on the fact side fed by a bloom_filter_agg subquery on the
+    filtered dimension side."""
+    from film_media_etl_spark.plans import physical_plan
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "100MB",
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "1KB",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = spark.read.parquet(f"{PARITY_SF_DIR}/lineitem.parquet")
+        o = spark.read.parquet(f"{PARITY_SF_DIR}/orders.parquet").where(
+            "o_totalprice > 400000"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = physical_plan(j)
+        assert "might_contain" in plan, "no runtime bloom filter injected"
+        assert "bloom_filter_agg" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

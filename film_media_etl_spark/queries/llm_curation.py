@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.vectors import cosine, oracle_cosine, to_double_vec
 from ..operators.dedup import _shingle_set
 from ..sources import ensure_parallelism, load_table
 from .registry import register
@@ -385,4 +386,44 @@ def ext_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.transform("_kept", lambda s: s["chunk_text"]), " "
             ).alias("retained_text"),
         )
+    )
+
+
+@register(
+    "ext_semantic_decontamination",
+    oracle=f"""
+    SELECT t.vec_id,
+           MAX({oracle_cosine("t.embedding", "e.embedding")}) AS max_eval_cos,
+           MAX({oracle_cosine("t.embedding", "e.embedding")}) >= 0.3
+             AS contaminated
+    FROM embeddings t
+    JOIN embeddings e ON e.vec_id < 8
+    WHERE t.vec_id >= 8
+    GROUP BY t.vec_id
+    """,
+)
+def ext_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level benchmark decontamination — the SEMANTIC twin of
+    ext_decontamination's exact-shingle screen: a training example whose
+    embedding sits too close to ANY held-out example (vec_id < 8 is the
+    eval set) is flagged even when no 8-gram matches (paraphrase-style
+    contamination, the leak n-gram screens miss). Eval embeddings ride a
+    broadcast against the training scan; max-cosine reduces with
+    map-side combine keyed on the training id, so the corpus is scanned
+    once and shuffles only ~one row per training vector. The cosine is
+    the bit-exact left-to-right fold, so flags match the oracle with no
+    tolerance."""
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    ev = emb.where(F.col("vec_id") < 8).select(
+        to_double_vec(F.col("embedding")).alias("evec")
+    )
+    tr = emb.where(F.col("vec_id") >= 8).select(
+        "vec_id", to_double_vec(F.col("embedding")).alias("tvec")
+    )
+    scored = tr.crossJoin(F.broadcast(ev)).select(
+        "vec_id", cosine(F.col("tvec"), F.col("evec")).alias("cos")
+    )
+    return scored.groupBy("vec_id").agg(
+        F.max("cos").alias("max_eval_cos"),
+        (F.max("cos") >= 0.3).alias("contaminated"),
     )

@@ -44,6 +44,7 @@ QUERIES = [
     "ext_knn_pq",
     "ext_fuzzy_match_passjoin",
     "ext_decontamination",
+    "ext_semantic_decontamination",
     "ext_multimodal_spectrum",
     "ext_bpe_merges",
     "ext_bpe_tokenize",

@@ -745,3 +745,85 @@ def ext_ab_significance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("z_score"),
     )
+
+
+@register(
+    "ext_golden_record",
+    oracle=f"""
+    WITH RECURSIVE pr AS ({_FUZZY_ORACLE}),
+    edges AS (
+      SELECT key_a AS a, key_b AS b FROM pr
+      UNION SELECT key_b AS a, key_a AS b FROM pr
+    ),
+    reach(src, dst) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    ),
+    cc AS (SELECT src AS pk, MIN(dst) AS cluster_id FROM reach GROUP BY src),
+    m AS (
+      SELECT p.p_partkey, p.p_name, p.p_size, p.p_retailprice,
+             COALESCE(cc.cluster_id, p.p_partkey) AS cluster_id
+      FROM part p LEFT JOIN cc ON p.p_partkey = cc.pk
+    ),
+    per AS (
+      SELECT cluster_id, COUNT(*) AS n_members,
+             MAX(length(p_name)) AS maxlen,
+             CAST(MIN(p_size) AS INT) AS min_size,
+             CAST(MAX(p_retailprice) AS DOUBLE) AS max_retail
+      FROM m GROUP BY cluster_id
+    ),
+    nm AS (
+      SELECT m.cluster_id, MIN(m.p_name) AS golden_name
+      FROM m JOIN per ON m.cluster_id = per.cluster_id
+                      AND length(m.p_name) = per.maxlen
+      GROUP BY m.cluster_id
+    )
+    SELECT per.cluster_id, per.n_members, nm.golden_name,
+           per.min_size, per.max_retail
+    FROM per JOIN nm ON per.cluster_id = nm.cluster_id
+    """,
+)
+def ext_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution END-TO-END — the MDM pipeline the pair ops feed:
+    fuzzy-match pairs (the PassJoin scale path), transitive duplicate
+    CLUSTERS via pointer-doubling connected components, then per-cluster
+    SURVIVORSHIP into one golden record (deterministic rules: name =
+    longest, ties lexicographically smallest; min size; max price;
+    unmatched parts are their own singleton cluster via the left join).
+    The longest-name pick is groupBy-max + join-back + min — two
+    skew-safe aggregates instead of a per-cluster window, so one
+    boilerplate mega-cluster cannot pin a partition at 100 TB. The
+    oracle re-derives the same clusters as a recursive-CTE closure over
+    the identical (oracle-checked) pair set."""
+    from ..operators.dedup import connected_components
+
+    pairs = ext_fuzzy_match_passjoin(spark, sf_dir).select(
+        F.col("key_a").alias("doc_id_a"), F.col("key_b").alias("doc_id_b")
+    )
+    cc = connected_components(pairs).withColumnRenamed("doc_id", "pk")
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_size", "p_retailprice"
+    )
+    m = p.join(cc, p["p_partkey"] == cc["pk"], "left").select(
+        "p_partkey",
+        "p_name",
+        "p_size",
+        "p_retailprice",
+        F.coalesce("cluster_id", "p_partkey").alias("cluster_id"),
+    )
+    per = m.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.max(F.length("p_name")).alias("maxlen"),
+        F.min("p_size").cast("int").alias("min_size"),
+        F.max("p_retailprice").cast("double").alias("max_retail"),
+    )
+    nm = (
+        m.join(per.select("cluster_id", "maxlen"), "cluster_id")
+        .where(F.length("p_name") == F.col("maxlen"))
+        .groupBy("cluster_id")
+        .agg(F.min("p_name").alias("golden_name"))
+    )
+    return per.join(nm, "cluster_id").select(
+        "cluster_id", "n_members", "golden_name", "min_size", "max_retail"
+    )

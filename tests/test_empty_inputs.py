@@ -43,6 +43,7 @@ QUERIES = [
     "ext_knn_ivf_persisted",
     "ext_knn_pq",
     "ext_fuzzy_match_passjoin",
+    "ext_golden_record",
     "ext_decontamination",
     "ext_semantic_decontamination",
     "ext_multimodal_spectrum",

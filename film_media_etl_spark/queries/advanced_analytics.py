@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources import ensure_parallelism, load_table
+from ._oracle_closure import oracle_closure
 from .registry import register
 
 
@@ -750,16 +751,8 @@ def ext_ab_significance(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ext_golden_record",
     oracle=f"""
-    WITH RECURSIVE pr AS ({_FUZZY_ORACLE}),
-    edges AS (
-      SELECT key_a AS a, key_b AS b FROM pr
-      UNION SELECT key_b AS a, key_a AS b FROM pr
-    ),
-    reach(src, dst) AS (
-      SELECT a, a FROM edges
-      UNION
-      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
-    ),
+    WITH RECURSIVE pr AS MATERIALIZED ({_FUZZY_ORACLE}),
+    {oracle_closure(a="key_a", b="key_b")},
     cc AS (SELECT src AS pk, MIN(dst) AS cluster_id FROM reach GROUP BY src),
     m AS (
       SELECT p.p_partkey, p.p_name, p.p_size, p.p_retailprice,

@@ -34,6 +34,7 @@ from ..operators.similarity import (
     embedding_near_dup_pairs,
 )
 from ..sources import ensure_parallelism, load_table
+from ._oracle_closure import oracle_closure
 from .registry import register
 
 # ---------------------------------------------------------------------------
@@ -123,13 +124,13 @@ def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ext_dedup_clusters",
-    oracle="""
-    WITH RECURSIVE tok AS (
+    oracle=f"""
+    WITH RECURSIVE tok AS MATERIALIZED (
       SELECT doc_id, source, lang,
              list_distinct(string_split(lower(text), ' ')) AS toks
       FROM documents
     ),
-    pr AS (
+    pr AS MATERIALIZED (
       SELECT a.doc_id AS a, b.doc_id AS b
       FROM tok a
       JOIN tok b ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id
@@ -137,12 +138,7 @@ def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
               / CAST(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS DOUBLE)
             >= 0.9
     ),
-    edges AS (SELECT a, b FROM pr UNION SELECT b AS a, a AS b FROM pr),
-    reach(src, dst) AS (
-      SELECT a, a FROM edges
-      UNION
-      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
-    )
+    {oracle_closure()}
     SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
     """,
 )

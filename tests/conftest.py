@@ -2,6 +2,7 @@ from __future__ import annotations
 
 import os
 import sys
+from contextlib import contextmanager
 
 import pytest
 
@@ -11,6 +12,28 @@ sys.path.insert(0, REPO_ROOT)
 # Parity tests default to smoke scale for speed; set SPARK_GRAFT_PARITY_SF
 # to /root/testdata/sf0.01 to mirror the driver's t2 gate exactly.
 PARITY_SF_DIR = os.environ.get("SPARK_GRAFT_PARITY_SF", "/root/testdata/sf0.001")
+
+
+@contextmanager
+def spark_conf(spark, overrides):
+    """Temporarily apply session-conf overrides, restoring (or unsetting
+    previously-unset keys) on exit — shared by every test that tunes
+    optimizer thresholds to fixture scale."""
+    old = {}
+    for k, v in overrides.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:  # noqa: BLE001 — unset key
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
 
 
 @pytest.fixture(scope="session")

@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import re
 
-from conftest import PARITY_SF_DIR
+from conftest import PARITY_SF_DIR, spark_conf
 
 from film_media_etl_spark.etl.star import build_fact_sales
 from film_media_etl_spark.plans import (
@@ -1044,25 +1044,15 @@ def test_runtime_bloom_filter_injects_on_selective_join(spark):
     filtered dimension side."""
     from film_media_etl_spark.plans import physical_plan
 
-    saved = {
-        k: spark.conf.get(k, None)
-        for k in (
-            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
-            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
-            "spark.sql.autoBroadcastJoinThreshold",
-        )
-    }
-    try:
-        spark.conf.set(
-            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
-            "100MB",
-        )
-        spark.conf.set(
+    with spark_conf(
+        spark,
+        {
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
             "spark.sql.optimizer.runtime.bloomFilter."
-            "applicationSideScanSizeThreshold",
-            "1KB",
-        )
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            "applicationSideScanSizeThreshold": "1KB",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+        },
+    ):
         li = spark.read.parquet(f"{PARITY_SF_DIR}/lineitem.parquet")
         o = spark.read.parquet(f"{PARITY_SF_DIR}/orders.parquet").where(
             "o_totalprice > 400000"
@@ -1075,9 +1065,3 @@ def test_runtime_bloom_filter_injects_on_selective_join(spark):
         plan = physical_plan(j)
         assert "might_contain" in plan, "no runtime bloom filter injected"
         assert "bloom_filter_agg" in plan
-    finally:
-        for k, v in saved.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)

@@ -12,12 +12,11 @@ floor) never trigger at fixture scale."""
 from __future__ import annotations
 
 import time
-from contextlib import contextmanager
 
 import pytest
 from pyspark.sql import functions as F
 
-from conftest import PARITY_SF_DIR
+from conftest import PARITY_SF_DIR, spark_conf
 
 # test-local AQE thresholds: tiny partitions must qualify as "skewed"
 _SKEW_CONF = {
@@ -29,23 +28,7 @@ _SKEW_CONF = {
 }
 
 
-@contextmanager
-def _conf(spark, overrides):
-    old = {}
-    for k, v in overrides.items():
-        try:
-            old[k] = spark.conf.get(k)
-        except Exception:  # noqa: BLE001 — unset key
-            old[k] = None
-        spark.conf.set(k, v)
-    try:
-        yield
-    finally:
-        for k, v in old.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)
+_conf = spark_conf
 
 
 def _hot_big(spark, n: int):

@@ -85,6 +85,7 @@ HEADLINE = [
     "ext_multimodal_spectrum",  # audio rFFT feature extraction (mapInPandas)
     "ext_bpe_merges",           # tokenizer training: 8 vocab-shuffle iterations
     "ext_knn_ivf_persisted",    # persisted-index ANN probe (build amortized rep 1)
+    "ext_token_budget_sample",  # 256-bin two-pass budget fill (no per-source window)
 ]
 
 

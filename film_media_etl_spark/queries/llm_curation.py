@@ -427,3 +427,185 @@ def ext_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("cos").alias("max_eval_cos"),
         (F.max("cos") >= 0.3).alias("contaminated"),
     )
+
+
+@register(
+    "ext_mixture_temperature",
+    oracle="""
+    WITH counts AS MATERIALIZED (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    d AS (
+      SELECT CAST(SUM(n_tokens) AS BIGINT) AS total,
+             list_reduce(
+               list_prepend(0.0, list_sort(list(sqrt(CAST(n_tokens AS DOUBLE))))),
+               (acc, x) -> acc + x
+             ) AS denom
+      FROM counts
+    )
+    SELECT c.source, c.n_docs, c.n_tokens,
+           sqrt(CAST(c.n_tokens AS DOUBLE)) / d.denom AS weight,
+           CAST(d.total AS DOUBLE)
+             * (sqrt(CAST(c.n_tokens AS DOUBLE)) / d.denom) AS expected_tokens,
+           CAST(d.total AS DOUBLE)
+             * (sqrt(CAST(c.n_tokens AS DOUBLE)) / d.denom)
+             / CAST(c.n_tokens AS DOUBLE) AS epochs
+    FROM counts c CROSS JOIN d
+    """,
+)
+def ext_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixture (the multilingual-sampling
+    convention popularized by mBERT/mT5): source s is sampled with
+    weight w_s ∝ p_s^α at α = 0.5, flattening the natural token
+    distribution so over-represented domains stop drowning the tail —
+    the knob between ext_corpus_rebalance's hard-uniform mix and the
+    natural mix. α = 0.5 is deliberately sqrt, the one power IEEE 754
+    requires correctly rounded, so both engines produce bit-identical
+    weights (an arbitrary pow() would differ in the last ulp between
+    libm implementations). Since w_s = sqrt(n_s)/Σ sqrt(n_s), the
+    normalizer over sources is a SORTED left-to-right double fold
+    (sort_array + aggregate == list_sort + list_reduce) — the exact-
+    moments discipline; a bare SUM of doubles is partition-order-
+    dependent. 'epochs' is each source's repetition factor when the
+    mixture is sampled back to the corpus's own token total — the
+    data-constrained-scaling readout (how many passes the tail domains
+    must make). Cost: one map-side-combined aggregate over the corpus,
+    then arithmetic on an n_sources-row broadcast; nothing here grows
+    with corpus size except the first scan."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    counts = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("long").alias("n_tokens"),
+    )
+    d = counts.agg(
+        F.sum("n_tokens").cast("long").alias("total"),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.sqrt(F.col("n_tokens").cast("double")))),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("denom"),
+    )
+    w = F.sqrt(F.col("n_tokens").cast("double")) / F.col("denom")
+    return counts.crossJoin(F.broadcast(d)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        w.alias("weight"),
+        (F.col("total").cast("double") * w).alias("expected_tokens"),
+        (F.col("total").cast("double") * w / F.col("n_tokens").cast("double")).alias(
+            "epochs"
+        ),
+    )
+
+
+@register(
+    "ext_token_budget_sample",
+    oracle="""
+    WITH tok AS MATERIALIZED (
+      SELECT source, doc_id, md5(CAST(doc_id AS STRING)) AS h,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+      FROM documents
+    ),
+    tot AS (
+      SELECT CAST(SUM(nt) AS BIGINT) AS total,
+             CAST(COUNT(DISTINCT source) AS BIGINT) AS ns
+      FROM tok
+    ),
+    cum AS (
+      SELECT source, nt,
+             COALESCE(SUM(nt) OVER (
+               PARTITION BY source ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS prior
+      FROM tok
+    )
+    SELECT c.source,
+           (t.total // (2 * t.ns)) AS budget_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(c.nt) AS BIGINT) AS tokens_total,
+           CAST(COUNT(*) FILTER (WHERE c.prior < t.total // (2 * t.ns))
+                AS BIGINT) AS n_kept,
+           CAST(COALESCE(SUM(c.nt) FILTER (WHERE c.prior < t.total // (2 * t.ns)), 0)
+                AS BIGINT) AS tokens_kept
+    FROM cum c CROSS JOIN tot t
+    GROUP BY c.source, t.total, t.ns
+    """,
+)
+def ext_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus fill: each source contributes documents in a
+    deterministic md5-shuffled order until its token budget is reached
+    (budget = half the uniform per-source share), the step that turns
+    mixture WEIGHTS into an actual training corpus. Greedy rule: a doc
+    is kept iff the tokens BEFORE it in hash order are under budget, so
+    exactly one doc may straddle the boundary — reproducible, engine-
+    portable, no rand().
+
+    Scale design — the naive spelling is one window per source
+    (PARTITION BY source ORDER BY hash), and a 100 TB corpus with a
+    handful of sources makes each partition an unsplittable sequential
+    scan. Instead the hash order is split on its own 2-hex-digit PREFIX
+    into 256 bins: bin totals aggregate map-side into an
+    (n_sources x 256)-row broadcast, bins fully under budget keep all
+    docs and bins past it drop all docs with NO window at all, and only
+    the one boundary bin per source runs the exact within-bin cumsum —
+    a window over 1/256th of a source, 256-way-parallel and shrinking
+    with corpus growth. Ordering by (prefix, full hash) equals ordering
+    by full hash, so the result is identical to the oracle's plain
+    per-source window."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "source",
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("nt"),
+    ).withColumn("bin", F.substring("h", 1, 2))
+
+    binagg = tok.groupBy("source", "bin").agg(F.sum("nt").alias("bin_sum"))
+    tot = binagg.agg(
+        F.sum("bin_sum").cast("long").alias("total"),
+        F.count_distinct("source").cast("long").alias("ns"),
+    )
+    wbin = (
+        Window.partitionBy("source")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    binmeta = (
+        binagg.withColumn("bin_prior", F.coalesce(F.sum("bin_sum").over(wbin), F.lit(0)))
+        .crossJoin(F.broadcast(tot))
+        .withColumn("budget", F.expr("total div (2 * ns)"))
+    )
+    t = tok.join(F.broadcast(binmeta), ["source", "bin"])
+
+    below = F.col("bin_prior") + F.col("bin_sum") <= F.col("budget")
+    above = F.col("bin_prior") >= F.col("budget")
+    wdoc = (
+        Window.partitionBy("source", "bin")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    boundary = t.where(~below & ~above).withColumn(
+        "kept",
+        (F.col("bin_prior") + F.coalesce(F.sum("nt").over(wdoc), F.lit(0)))
+        < F.col("budget"),
+    )
+    decided = t.where(below | above).withColumn("kept", below)
+    return (
+        decided.unionByName(boundary)
+        .groupBy("source", "budget")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("nt").cast("long").alias("tokens_total"),
+            F.count(F.when(F.col("kept"), 1)).cast("long").alias("n_kept"),
+            F.coalesce(F.sum(F.when(F.col("kept"), F.col("nt"))), F.lit(0))
+            .cast("long")
+            .alias("tokens_kept"),
+        )
+        .withColumnRenamed("budget", "budget_tokens")
+        .select(
+            "source", "budget_tokens", "n_docs", "tokens_total", "n_kept", "tokens_kept"
+        )
+    )

@@ -46,6 +46,8 @@ QUERIES = [
     "ext_golden_record",
     "ext_decontamination",
     "ext_semantic_decontamination",
+    "ext_mixture_temperature",
+    "ext_token_budget_sample",
     "ext_multimodal_spectrum",
     "ext_bpe_merges",
     "ext_bpe_tokenize",

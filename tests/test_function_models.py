@@ -575,3 +575,68 @@ def test_bpe_learner_unicode_corpus(spark):
                 cur = apply(cur, (l, r))
             vocab[cur] = vocab.get(cur, 0) + n
     assert got == want and len(got) == 4
+
+
+def test_token_budget_sample_matches_python_greedy(spark):
+    """The 256-bin two-pass selection must equal the naive semantics: per
+    source, docs in md5-hash order are kept while the tokens BEFORE them
+    are under budget. Re-derives the expected (n_kept, tokens_kept) per
+    source with a pure-Python greedy over the same parquet."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from film_media_etl_spark.queries.llm_curation import ext_token_budget_sample
+
+    tbl = pq.read_table(f"{PARITY_SF_DIR}/documents.parquet").to_pylist()
+    per = {}
+    for r in tbl:
+        nt = len(r["text"].split(" "))
+        h = hashlib.md5(str(r["doc_id"]).encode()).hexdigest()
+        per.setdefault(r["source"], []).append((h, r["doc_id"], nt))
+    total = sum(nt for docs in per.values() for _, _, nt in docs)
+    budget = total // (2 * len(per))
+    want = {}
+    for src, docs in per.items():
+        docs.sort()
+        prior, n_kept, tokens_kept = 0, 0, 0
+        for _, _, nt in docs:
+            if prior < budget:
+                n_kept += 1
+                tokens_kept += nt
+            prior += nt
+        want[src] = (budget, len(docs), prior, n_kept, tokens_kept)
+
+    got = {
+        r["source"]: (
+            r["budget_tokens"],
+            r["n_docs"],
+            r["tokens_total"],
+            r["n_kept"],
+            r["tokens_kept"],
+        )
+        for r in ext_token_budget_sample(spark, PARITY_SF_DIR).collect()
+    }
+    assert got == want
+    # the greedy boundary actually bites: at least one source truncated
+    assert any(k < n for _, n, _, k, _ in want.values())
+
+
+def test_mixture_temperature_closure_properties(spark):
+    """Temperature weights must form a distribution and conserve the
+    token budget: sum(weight) == 1 and sum(expected_tokens) == total
+    (to float tolerance); epochs * n_tokens == expected_tokens exactly
+    by construction; flattening: every weight strictly between the
+    natural share p_s and uniform 1/n when p_s != 1/n."""
+    from film_media_etl_spark.queries.llm_curation import ext_mixture_temperature
+
+    rows = ext_mixture_temperature(spark, PARITY_SF_DIR).collect()
+    total = sum(r["n_tokens"] for r in rows)
+    assert abs(sum(r["weight"] for r in rows) - 1.0) < 1e-9
+    assert abs(sum(r["expected_tokens"] for r in rows) - total) < 1e-6 * total
+    for r in rows:
+        assert abs(r["epochs"] * r["n_tokens"] - r["expected_tokens"]) < 1e-9 * total
+        p = r["n_tokens"] / total
+        lo, hi = sorted((p, 1.0 / len(rows)))
+        if abs(p - 1.0 / len(rows)) > 1e-12:
+            assert lo < r["weight"] < hi

@@ -86,6 +86,8 @@ HEADLINE = [
     "ext_bpe_merges",           # tokenizer training: 8 vocab-shuffle iterations
     "ext_knn_ivf_persisted",    # persisted-index ANN probe (build amortized rep 1)
     "ext_token_budget_sample",  # 256-bin two-pass budget fill (no per-source window)
+    "ext_dedup_winnowing",      # minimizer fingerprints -> inverted-index pair join
+    "ext_rrf_fusion",           # lexical+semantic top-k legs fused, bounded ranking
 ]
 
 

@@ -51,5 +51,6 @@ from . import collocations  # noqa: E402,F401  token bigrams + rolling corr
 from . import weighted_stats  # noqa: E402,F401  weighted median + activity bitmap
 from . import tpch_extended  # noqa: E402,F401  Q4/Q6/Q8/Q9/Q11-Q17/Q19-Q22 shapes
 from . import semantic_curation  # noqa: E402,F401  SemDeDup + DSIR weighting
+from . import hybrid_retrieval  # noqa: E402,F401  RRF lexical+semantic fusion
 
 __all__ = ["EngineQuery", "register", "get", "all_queries", "all_oracles"]

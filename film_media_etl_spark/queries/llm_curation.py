@@ -609,3 +609,57 @@ def ext_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source", "budget_tokens", "n_docs", "tokens_total", "n_kept", "tokens_kept"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit
+# ---------------------------------------------------------------------------
+
+_KANON_K = 5
+_KANON_BAND = 4000.0
+
+
+@register(
+    "ext_k_anonymity",
+    oracle=f"""
+    WITH qi AS (
+      SELECT CAST(c_nationkey AS INT) AS nationkey,
+             c_mktsegment AS segment,
+             CAST(floor(c_acctbal / {_KANON_BAND}) AS BIGINT) AS bal_band
+      FROM customer
+    )
+    SELECT nationkey, segment, bal_band,
+           CAST(COUNT(*) AS BIGINT) AS group_n,
+           COUNT(*) >= {_KANON_K} AS k_anonymous
+    FROM qi
+    GROUP BY nationkey, segment, bal_band
+    """,
+)
+def ext_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (Sweeney 2002) over the customer table: every
+    quasi-identifier equivalence class — (nation, market segment,
+    account-balance band) — with its size and whether it meets k={_KANON_K}.
+    Classes below k are re-identification risks; this is the privacy
+    screen a training pipeline runs BEFORE releasing or joining
+    customer-derived features (the structured-data sibling of
+    ext_pii_redact's free-text scrub).
+
+    The balance band generalizes the continuous column the way
+    k-anonymization generalizes birth dates to years: floor(x / width)
+    — one correctly-rounded double division then floor, identical in
+    both engines (no decimal quantization boundary).
+
+    Scale: one map-side-combined groupBy on the QI tuple; cardinality
+    is the product of the generalized domains (25 nations x 5 segments
+    x ~7 bands), independent of row count — the aggregate never grows
+    with the corpus, and no per-row data leaves the executors."""
+    cust = ensure_parallelism(load_table(spark, sf_dir, "customer"))
+    qi = cust.select(
+        F.col("c_nationkey").cast("int").alias("nationkey"),
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("c_acctbal") / F.lit(_KANON_BAND)).alias("bal_band"),
+    )
+    return qi.groupBy("nationkey", "segment", "bal_band").agg(
+        F.count(F.lit(1)).cast("long").alias("group_n"),
+        (F.count(F.lit(1)) >= _KANON_K).alias("k_anonymous"),
+    )

@@ -48,6 +48,9 @@ QUERIES = [
     "ext_semantic_decontamination",
     "ext_mixture_temperature",
     "ext_token_budget_sample",
+    "ext_dedup_winnowing",
+    "ext_k_anonymity",
+    "ext_rrf_fusion",
     "ext_multimodal_spectrum",
     "ext_bpe_merges",
     "ext_bpe_tokenize",

@@ -640,3 +640,172 @@ def test_mixture_temperature_closure_properties(spark):
         lo, hi = sorted((p, 1.0 / len(rows)))
         if abs(p - 1.0 / len(rows)) > 1e-12:
             assert lo < r["weight"] < hi
+
+
+def test_winnowing_matches_python_model(spark):
+    """Recompute winnowing end-to-end in pure Python (k-gram md5s,
+    sliding-window min, df-capped inverted index, pair counts) and
+    compare the full pair set at the parity SF."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from film_media_etl_spark.queries.feature_ops import (
+        _WIN_DF_CAP,
+        _WIN_K,
+        _WIN_SHARED_MIN,
+        _WIN_W,
+        ext_dedup_winnowing,
+    )
+
+    tbl = pq.read_table(
+        f"{PARITY_SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pylist()
+    fps = {}
+    for r in tbl:
+        toks = r["text"].lower().split(" ")
+        if len(toks) < _WIN_K:
+            continue
+        hs = [
+            hashlib.md5(" ".join(toks[i : i + _WIN_K]).encode()).hexdigest()
+            for i in range(len(toks) - _WIN_K + 1)
+        ]
+        sel = {
+            min(hs[j - _WIN_W + 1 : j + 1]) for j in range(_WIN_W - 1, len(hs))
+        }
+        fps[r["doc_id"]] = sel
+    df = {}
+    for sel in fps.values():
+        for fp in sel:
+            df[fp] = df.get(fp, 0) + 1
+    keep = {fp for fp, n in df.items() if 2 <= n <= _WIN_DF_CAP}
+    pairs = {}
+    ids = sorted(fps)
+    inv = {}
+    for d in ids:
+        for fp in fps[d] & keep:
+            inv.setdefault(fp, []).append(d)
+    for fp, ds in inv.items():
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                pairs[(ds[i], ds[j])] = pairs.get((ds[i], ds[j]), 0) + 1
+    want = {p: n for p, n in pairs.items() if n >= _WIN_SHARED_MIN}
+
+    got = {
+        (r["doc_a"], r["doc_b"]): r["n_shared_fp"]
+        for r in ext_dedup_winnowing(spark, PARITY_SF_DIR).collect()
+    }
+    assert got == want
+
+
+def test_winnowing_detects_planted_passage(spark, tmp_path):
+    """The guarantee that makes winnowing a SUBSTRING detector: a passage
+    of >= k + 2w tokens pasted into two otherwise-unrelated documents
+    must surface that pair. Unique sentinel tokens keep the planted
+    fingerprints' df at exactly 2 (inside the stop-phrase cap)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from film_media_etl_spark.queries.feature_ops import (
+        ext_dedup_winnowing,
+    )
+    from film_media_etl_spark.sources import TABLES
+
+    passage = " ".join(f"zqplant{i}" for i in range(20))
+    filler_a = " ".join(f"aw{i}" for i in range(30))
+    filler_b = " ".join(f"bw{i}" for i in range(30))
+    texts = [
+        filler_a + " " + passage,
+        passage + " " + filler_b,
+        " ".join(f"cw{i}" for i in range(40)),
+    ]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([10, 20, 30], pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["xx"] * 3, pa.string()),
+                "source": pa.array(["t"] * 3, pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        f"{src}/documents.parquet",
+    )
+    for t in TABLES:
+        if t != "documents":
+            os.symlink(f"{PARITY_SF_DIR}/{t}.parquet", f"{src}/{t}.parquet")
+
+    rows = ext_dedup_winnowing(spark, src).collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in rows] == [(10, 20)]
+    assert rows[0]["n_shared_fp"] >= 2
+
+
+def test_k_anonymity_matches_pandas_model(spark):
+    """QI grouping recomputed with pandas: identical classes, sizes, and
+    k flags."""
+    import math
+    import os
+
+    import pyarrow.parquet as pq
+
+    from film_media_etl_spark.queries.llm_curation import (
+        _KANON_BAND,
+        _KANON_K,
+        ext_k_anonymity,
+    )
+
+    tbl = pq.read_table(f"{PARITY_SF_DIR}/customer.parquet").to_pylist()
+    want = {}
+    for r in tbl:
+        key = (
+            int(r["c_nationkey"]),
+            r["c_mktsegment"],
+            math.floor(r["c_acctbal"] / _KANON_BAND),
+        )
+        want[key] = want.get(key, 0) + 1
+    got = {
+        (r["nationkey"], r["segment"], r["bal_band"]): (
+            r["group_n"],
+            r["k_anonymous"],
+        )
+        for r in ext_k_anonymity(spark, PARITY_SF_DIR).collect()
+    }
+    assert got == {k: (n, n >= _KANON_K) for k, n in want.items()}
+    # at the driver's correctness SF the audit must flag BOTH outcomes
+    # (all-pass or all-fail would mean the QI generalization is mistuned)
+    sib = os.path.join(os.path.dirname(PARITY_SF_DIR.rstrip("/")), "sf0.01")
+    if os.path.isdir(sib):
+        flags = {
+            r["k_anonymous"] for r in ext_k_anonymity(spark, sib).collect()
+        }
+        assert flags == {True, False}
+
+
+def test_rrf_fusion_score_formula_and_order(spark):
+    """Every fused score must equal the closed form from its own rank
+    columns, ranks must be unique per leg, and the output must be the
+    top-20 by (score desc, doc_id)."""
+    from film_media_etl_spark.queries.hybrid_retrieval import (
+        _FUSED_N,
+        _RRF_K,
+        ext_rrf_fusion,
+    )
+
+    rows = ext_rrf_fusion(spark, PARITY_SF_DIR).collect()
+    assert len(rows) == _FUSED_N
+    for r in rows:
+        want = (1.0 / (_RRF_K + r["lex_rank"]) if r["lex_rank"] != -1 else 0.0) + (
+            1.0 / (_RRF_K + r["sem_rank"]) if r["sem_rank"] != -1 else 0.0
+        )
+        assert r["rrf_score"] == want
+    lex = [r["lex_rank"] for r in rows if r["lex_rank"] != -1]
+    sem = [r["sem_rank"] for r in rows if r["sem_rank"] != -1]
+    assert len(lex) == len(set(lex)) and len(sem) == len(set(sem))
+    keys = [(-r["rrf_score"], r["doc_id"]) for r in rows]
+    assert keys == sorted(keys)
+    # fusion is doing work: at least one doc carries both ranks
+    assert any(r["lex_rank"] != -1 and r["sem_rank"] != -1 for r in rows)

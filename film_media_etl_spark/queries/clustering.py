@@ -6,9 +6,16 @@ A full k-means run is iterative and not SQL-expressible, but a single
 assignment step against FIXED deterministic seeds is: every vector goes
 to its nearest seed by squared-L2 (left-to-right fold, bit-identical in
 both engines — functions/vectors.py), ties break on the lower seed id.
-Cluster centroid UPDATES (means of doubles) are deliberately not
-oracle-compared: parallel double sums drift by ulps; the IVF operator
-does that part with tolerance-tested pytest coverage instead.
+
+Centroid UPDATES (ext_kmeans_update) are oracle-exact too, via the
+engine's integer fixed-point discipline (the ext_pagerank_exact trick):
+coordinates quantize to Q20 fixed point with floor (the float * 2^20
+product is exact — power-of-two scaling — and floor is unambiguous, no
+round-half boundary), per-(cluster, dim) sums are BIGINT and therefore
+order-free at any parallelism, and the mean is a single correctly-
+rounded double division at the end. A raw double mean would drift by
+ulps under parallel summation; this is how production systems make the
+reduce deterministic, not a fixture workaround.
 """
 
 from __future__ import annotations
@@ -87,4 +94,115 @@ def ext_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("dist2").alias("min_dist2"),
         F.max("dist2").alias("max_dist2"),
         F.countDistinct("label").alias("n_labels"),
+    )
+
+_FP_SCALE = 1 << 20  # Q20 fixed point: exact for |x| < 2^43, floor-quantized
+
+
+@register(
+    "ext_kmeans_update",
+    oracle=f"""
+    WITH seeds AS (
+      SELECT vec_id AS centroid_id, embedding AS ce
+      FROM embeddings WHERE vec_id < {_N_SEEDS}
+    ),
+    scored AS (
+      SELECT v.vec_id, s.centroid_id,
+             {oracle_l2sq("v.embedding", "s.ce")} AS dist2
+      FROM embeddings v CROSS JOIN seeds s
+    ),
+    assigned AS (
+      SELECT vec_id, centroid_id
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY vec_id ORDER BY dist2 ASC, centroid_id ASC) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    ),
+    vals AS (
+      SELECT a.centroid_id, i - 1 AS dim,
+             CAST(floor(e.embedding[i]::DOUBLE * {_FP_SCALE}.0) AS BIGINT)
+               AS v_fp
+      FROM assigned a
+      JOIN embeddings e USING (vec_id),
+      UNNEST(range(1, len(e.embedding) + 1)) AS r(i)
+    ),
+    sums AS (
+      SELECT centroid_id, CAST(dim AS INT) AS dim,
+             CAST(COUNT(*) AS BIGINT) AS n_vectors,
+             CAST(SUM(v_fp) AS BIGINT) AS s_fp
+      FROM vals GROUP BY 1, 2
+    )
+    SELECT m.centroid_id, m.dim, m.n_vectors,
+           CAST(m.s_fp AS DOUBLE)
+             / (CAST(m.n_vectors AS DOUBLE) * {_FP_SCALE}.0) AS new_coord,
+           CAST(CAST(floor(s.ce[m.dim + 1]::DOUBLE * {_FP_SCALE}.0) AS BIGINT)
+                AS DOUBLE) / {_FP_SCALE}.0 AS old_coord,
+           CAST(m.s_fp AS DOUBLE)
+             / (CAST(m.n_vectors AS DOUBLE) * {_FP_SCALE}.0)
+           - CAST(CAST(floor(s.ce[m.dim + 1]::DOUBLE * {_FP_SCALE}.0) AS BIGINT)
+                  AS DOUBLE) / {_FP_SCALE}.0 AS shift
+    FROM sums m JOIN seeds s ON m.centroid_id = s.centroid_id
+    """,
+)
+def ext_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd UPDATE step: per-(cluster, dimension) centroid means
+    recomputed from the ext_kmeans_assign partition, in Q20 integer
+    fixed point so the reduce is order-free and the oracle exact (see
+    module doc). Output is long format — (centroid, dim, n, new/old
+    coordinate, shift) — k x d = {_N_SEEDS} x 64 rows.
+
+    Scale shape: assignment is the same broadcast-seeds map-only score;
+    the explode multiplies rows by d but every (cluster, dim) partial
+    sum combines map-side, so the shuffle carries at most
+    partitions x k x d rows regardless of corpus size; the final join
+    against seeds is a broadcast of k rows. BIGINT headroom: |coord| < 1
+    so each term is < 2^20 — the sum stays exact past 2^42 vectors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = F.broadcast(
+        emb.where(F.col("vec_id") < _N_SEEDS).select(
+            F.col("vec_id").alias("centroid_id"),
+            to_double_vec(F.col("embedding")).alias("ce"),
+        )
+    )
+    scored = emb.select(
+        "vec_id", to_double_vec(F.col("embedding")).alias("ve")
+    ).crossJoin(seeds).select(
+        "vec_id",
+        "ve",
+        "centroid_id",
+        l2sq(F.col("ve"), F.col("ce")).alias("dist2"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("dist2"), F.asc("centroid_id"))
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "centroid_id", "ve")
+    )
+    vals = assigned.select(
+        "centroid_id",
+        F.posexplode("ve").alias("dim", "v"),
+    ).select(
+        "centroid_id",
+        F.col("dim").cast("int").alias("dim"),
+        F.floor(F.col("v") * F.lit(float(_FP_SCALE))).cast("long").alias("v_fp"),
+    )
+    sums = vals.groupBy("centroid_id", "dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.sum("v_fp").cast("long").alias("s_fp"),
+    )
+    old_fp = F.floor(
+        F.element_at(F.col("ce"), F.col("dim") + 1) * F.lit(float(_FP_SCALE))
+    ).cast("long")
+    old_coord = old_fp.cast("double") / F.lit(float(_FP_SCALE))
+    new_coord = F.col("s_fp").cast("double") / (
+        F.col("n_vectors").cast("double") * F.lit(float(_FP_SCALE))
+    )
+    return sums.join(seeds, "centroid_id").select(
+        "centroid_id",
+        "dim",
+        "n_vectors",
+        new_coord.alias("new_coord"),
+        old_coord.alias("old_coord"),
+        (new_coord - old_coord).alias("shift"),
     )

@@ -51,6 +51,7 @@ QUERIES = [
     "ext_dedup_winnowing",
     "ext_k_anonymity",
     "ext_rrf_fusion",
+    "ext_kmeans_update",
     "ext_multimodal_spectrum",
     "ext_bpe_merges",
     "ext_bpe_tokenize",

@@ -809,3 +809,50 @@ def test_rrf_fusion_score_formula_and_order(spark):
     assert keys == sorted(keys)
     # fusion is doing work: at least one doc carries both ranks
     assert any(r["lex_rank"] != -1 and r["sem_rank"] != -1 for r in rows)
+
+
+def test_kmeans_update_matches_numpy_fixed_point(spark):
+    """Recompute the Lloyd update in numpy with the same Q20 floor
+    quantization: identical assignment (exact squared-L2 argmin on
+    doubles), identical integer sums, identical means."""
+    import math
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from film_media_etl_spark.queries.clustering import (
+        _FP_SCALE,
+        _N_SEEDS,
+        ext_kmeans_update,
+    )
+
+    tbl = pq.read_table(f"{PARITY_SF_DIR}/embeddings.parquet").to_pylist()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in tbl}
+    seeds = {i: vecs[i] for i in range(_N_SEEDS)}
+    agg = {}
+    for vid, v in vecs.items():
+        best = min(
+            seeds, key=lambda c: (float(np.sum((v - seeds[c]) ** 2)), c)
+        )
+        for dim, x in enumerate(v):
+            n, s = agg.get((best, dim), (0, 0))
+            agg[(best, dim)] = (n + 1, s + math.floor(x * _FP_SCALE))
+    want = {
+        k: (n, s / (n * float(_FP_SCALE))) for k, (n, s) in agg.items()
+    }
+
+    rows = ext_kmeans_update(spark, PARITY_SF_DIR).collect()
+    got = {
+        (r["centroid_id"], r["dim"]): (r["n_vectors"], r["new_coord"])
+        for r in rows
+    }
+    assert got == want
+    for r in rows:
+        old = math.floor(seeds[r["centroid_id"]][r["dim"]] * _FP_SCALE) / float(
+            _FP_SCALE
+        )
+        assert r["old_coord"] == old
+        assert r["shift"] == r["new_coord"] - old
+    # every vector contributes each dimension exactly once
+    d = len(next(iter(vecs.values())))
+    assert sum(r["n_vectors"] for r in rows) == len(vecs) * d

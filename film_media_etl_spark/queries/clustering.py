@@ -16,6 +16,11 @@ order-free at any parallelism, and the mean is a single correctly-
 rounded double division at the end. A raw double mean would drift by
 ulps under parallel summation; this is how production systems make the
 reduce deterministic, not a fixture workaround.
+
+Assign and update share ONE assignment stage — `_ASSIGN_CTES` (oracle)
+and `_assigned` (Spark) — so the tiebreak and seed rule cannot diverge
+between the two steps; Catalyst column-prunes whatever a consumer does
+not use (assign drops `ve`, update drops `label`).
 """
 
 from __future__ import annotations
@@ -24,16 +29,14 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import l2sq, oracle_l2sq, to_double_vec
-from ..sources import load_table
+from ..sources import ensure_parallelism, load_table
 from .registry import register
 
 _N_SEEDS = 8
 
-
-@register(
-    "ext_kmeans_assign",
-    oracle=f"""
-    WITH seeds AS (
+# seeds -> per-vector nearest-seed assignment, shared by both queries.
+_ASSIGN_CTES = f"""
+    seeds AS (
       SELECT vec_id AS centroid_id, embedding AS ce
       FROM embeddings WHERE vec_id < {_N_SEEDS}
     ),
@@ -49,7 +52,43 @@ _N_SEEDS = 8
           PARTITION BY vec_id ORDER BY dist2 ASC, centroid_id ASC) AS rn
         FROM scored
       ) WHERE rn = 1
+    )"""
+
+
+def _seeds(emb: DataFrame) -> DataFrame:
+    return F.broadcast(
+        emb.where(F.col("vec_id") < _N_SEEDS).select(
+            F.col("vec_id").alias("centroid_id"),
+            to_double_vec(F.col("embedding")).alias("ce"),
+        )
     )
+
+
+def _assigned(emb: DataFrame) -> DataFrame:
+    """Spark twin of `_ASSIGN_CTES.assigned`, with the vector (`ve`) and
+    `label` carried along for consumers that need them (unused columns
+    are pruned by Catalyst)."""
+    scored = emb.select(
+        "vec_id", "label", to_double_vec(F.col("embedding")).alias("ve")
+    ).crossJoin(_seeds(emb)).select(
+        "vec_id",
+        "label",
+        "ve",
+        "centroid_id",
+        l2sq(F.col("ve"), F.col("ce")).alias("dist2"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("dist2"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "label", "ve", "centroid_id", "dist2")
+    )
+
+
+@register(
+    "ext_kmeans_assign",
+    oracle=f"""
+    WITH {_ASSIGN_CTES}
     SELECT a.centroid_id,
            COUNT(*) AS n_vectors,
            MIN(a.dist2) AS min_dist2,
@@ -70,31 +109,14 @@ def ext_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster stats are one k-row aggregate. This is exactly how the IVF
     trainer scales to a billion vectors: the only corpus-sized shuffle
     is the final tiny groupBy."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    seeds = F.broadcast(
-        emb.where(F.col("vec_id") < _N_SEEDS).select(
-            F.col("vec_id").alias("centroid_id"),
-            to_double_vec(F.col("embedding")).alias("ce"),
-        )
-    )
-    scored = emb.select(
-        "vec_id", "label", to_double_vec(F.col("embedding")).alias("ve")
-    ).crossJoin(seeds).select(
-        "vec_id",
-        "label",
-        "centroid_id",
-        l2sq(F.col("ve"), F.col("ce")).alias("dist2"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.asc("dist2"), F.asc("centroid_id"))
-    assigned = (
-        scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
-    )
-    return assigned.groupBy("centroid_id").agg(
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    return _assigned(emb).groupBy("centroid_id").agg(
         F.count(F.lit(1)).alias("n_vectors"),
         F.min("dist2").alias("min_dist2"),
         F.max("dist2").alias("max_dist2"),
         F.countDistinct("label").alias("n_labels"),
     )
+
 
 _FP_SCALE = 1 << 20  # Q20 fixed point: exact for |x| < 2^43, floor-quantized
 
@@ -102,23 +124,7 @@ _FP_SCALE = 1 << 20  # Q20 fixed point: exact for |x| < 2^43, floor-quantized
 @register(
     "ext_kmeans_update",
     oracle=f"""
-    WITH seeds AS (
-      SELECT vec_id AS centroid_id, embedding AS ce
-      FROM embeddings WHERE vec_id < {_N_SEEDS}
-    ),
-    scored AS (
-      SELECT v.vec_id, s.centroid_id,
-             {oracle_l2sq("v.embedding", "s.ce")} AS dist2
-      FROM embeddings v CROSS JOIN seeds s
-    ),
-    assigned AS (
-      SELECT vec_id, centroid_id
-      FROM (
-        SELECT *, ROW_NUMBER() OVER (
-          PARTITION BY vec_id ORDER BY dist2 ASC, centroid_id ASC) AS rn
-        FROM scored
-      ) WHERE rn = 1
-    ),
+    WITH {_ASSIGN_CTES},
     vals AS (
       SELECT a.centroid_id, i - 1 AS dim,
              CAST(floor(e.embedding[i]::DOUBLE * {_FP_SCALE}.0) AS BIGINT)
@@ -158,28 +164,8 @@ def ext_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitions x k x d rows regardless of corpus size; the final join
     against seeds is a broadcast of k rows. BIGINT headroom: |coord| < 1
     so each term is < 2^20 — the sum stays exact past 2^42 vectors."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    seeds = F.broadcast(
-        emb.where(F.col("vec_id") < _N_SEEDS).select(
-            F.col("vec_id").alias("centroid_id"),
-            to_double_vec(F.col("embedding")).alias("ce"),
-        )
-    )
-    scored = emb.select(
-        "vec_id", to_double_vec(F.col("embedding")).alias("ve")
-    ).crossJoin(seeds).select(
-        "vec_id",
-        "ve",
-        "centroid_id",
-        l2sq(F.col("ve"), F.col("ce")).alias("dist2"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.asc("dist2"), F.asc("centroid_id"))
-    assigned = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "centroid_id", "ve")
-    )
-    vals = assigned.select(
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    vals = _assigned(emb).select(
         "centroid_id",
         F.posexplode("ve").alias("dim", "v"),
     ).select(
@@ -198,7 +184,7 @@ def ext_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_coord = F.col("s_fp").cast("double") / (
         F.col("n_vectors").cast("double") * F.lit(float(_FP_SCALE))
     )
-    return sums.join(seeds, "centroid_id").select(
+    return sums.join(_seeds(emb), "centroid_id").select(
         "centroid_id",
         "dim",
         "n_vectors",

@@ -351,12 +351,14 @@ _WIN_SHARED_MIN = 2  # doc pairs must share at least this many fingerprints
                AS fp
       FROM g
     ),
-    fps AS (SELECT DISTINCT doc_id, fp FROM m WHERE pos >= {_WIN_W}),
+    fps AS MATERIALIZED (
+      SELECT DISTINCT doc_id, fp FROM m WHERE pos >= {_WIN_W}
+    ),
     kept AS (
       SELECT fp FROM fps GROUP BY fp
       HAVING COUNT(*) BETWEEN 2 AND {_WIN_DF_CAP}
     ),
-    shared AS (SELECT doc_id, fp FROM fps JOIN kept USING (fp))
+    shared AS MATERIALIZED (SELECT doc_id, fp FROM fps JOIN kept USING (fp))
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(COUNT(*) AS BIGINT) AS n_shared_fp
     FROM shared a JOIN shared b

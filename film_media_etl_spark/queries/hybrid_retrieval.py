@@ -8,6 +8,10 @@ Exactness: ranks are integers (deterministic doc_id tiebreaks on both
 legs), each RRF contribution is one correctly-rounded double division
 1/(60 + rank), and the fused score is a fixed two-term expression — so
 Spark and DuckDB agree bit-for-bit with no tolerance.
+
+The lexical leg is the SHARED ext_bm25_search scorer
+(retail_analytics.bm25_scores / bm25_oracle_ctes) — one formula, one
+exactness convention, two consumers.
 """
 
 from __future__ import annotations
@@ -18,7 +22,7 @@ from pyspark.sql import functions as F
 from ..functions.vectors import cosine, oracle_cosine, to_double_vec
 from ..sources import ensure_parallelism, load_table
 from .registry import register
-from .retail_analytics import _BM25_B, _BM25_K1, _BM25_TERMS
+from .retail_analytics import bm25_oracle_ctes, bm25_scores
 
 _RRF_K = 60  # the standard dampening constant from the RRF paper
 _LEG_N = 50  # candidates taken from each leg before fusion
@@ -29,36 +33,10 @@ _FUSED_N = 20
 @register(
     "ext_rrf_fusion",
     oracle=f"""
-    WITH tok AS (
-      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
-      FROM documents
-    ),
-    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
-    stats AS (
-      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
-      FROM dl
-    ),
-    tf AS (
-      SELECT doc_id, term, COUNT(*) AS tf
-      FROM tok WHERE term IN {str(tuple(_BM25_TERMS))}
-      GROUP BY 1, 2
-    ),
-    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+    WITH {bm25_oracle_ctes()},
     lex AS (
-      SELECT tf.doc_id,
-             ROUND(SUM(
-               ln((CAST(s.n_docs AS DOUBLE) - df.df + 0.5) / (df.df + 0.5) + 1.0)
-               * (tf.tf * ({_BM25_K1} + 1.0))
-               / (tf.tf + {_BM25_K1}
-                  * (1.0 - {_BM25_B} + {_BM25_B} * d.dl / s.avgdl))
-             ), 4) AS bm25
-      FROM tf
-      JOIN df USING (term)
-      JOIN dl d USING (doc_id)
-      CROSS JOIN stats s
-      GROUP BY tf.doc_id
-      ORDER BY bm25 DESC, tf.doc_id ASC
+      SELECT doc_id, bm25 FROM scored
+      ORDER BY bm25 DESC, doc_id ASC
       LIMIT {_LEG_N}
     ),
     lexr AS (
@@ -93,9 +71,9 @@ _FUSED_N = 20
     """,
 )
 def ext_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fuse a BM25 top-{_LEG_N} (the ext_bm25_search scorer, same
-    constants) with a dense-cosine top-{_LEG_N} (query = embedding
-    {_QUERY_VEC_ID}, the ext_knn_bruteforce scorer) via RRF:
+    """Fuse a BM25 top-{_LEG_N} (the shared ext_bm25_search scorer) with
+    a dense-cosine top-{_LEG_N} (query = embedding {_QUERY_VEC_ID}, the
+    ext_knn_bruteforce scorer) via RRF:
     score(d) = sum over legs of 1/({_RRF_K} + rank_leg(d)), missing
     legs contributing 0 — documents surfaced by BOTH signals rise,
     single-leg outliers are dampened. Ranks carry a -1 sentinel in the
@@ -109,36 +87,9 @@ def ext_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row query vector; the lexical leg broadcasts df and the length
     stats exactly like ext_bm25_search."""
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    tok = docs.select(
-        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
-    )
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    stats = dl.agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
-    )
-    tf = (
-        tok.where(F.col("term").isin(*_BM25_TERMS))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    idf = F.log(
-        (F.col("n_docs").cast("double") - F.col("df") + F.lit(0.5))
-        / (F.col("df") + F.lit(0.5))
-        + F.lit(1.0)
-    )
-    term_score = idf * (F.col("tf") * F.lit(_BM25_K1 + 1.0)) / (
-        F.col("tf")
-        + F.lit(_BM25_K1)
-        * (F.lit(1.0 - _BM25_B) + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl"))
-    )
     lex = (
-        tf.join(F.broadcast(df), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .groupBy("doc_id")
-        .agg(F.round(F.sum(term_score), 4).alias("bm25"))
+        bm25_scores(docs)
+        .select("doc_id", "bm25")
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(_LEG_N)
     )

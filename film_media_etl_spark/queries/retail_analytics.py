@@ -354,22 +354,27 @@ _BM25_K1 = 1.2
 _BM25_B = 0.75
 
 
-@register(
-    "ext_bm25_search",
-    oracle=f"""
-    WITH tok AS (
+def bm25_oracle_ctes() -> str:
+    """The WITH-body prefix every BM25-consuming oracle shares: corpus
+    tokenization through per-doc scores. Multiply-referenced CTEs are
+    AS MATERIALIZED (DuckDB inlines by default and would re-tokenize
+    the corpus once per reference). Ends with `scored(doc_id,
+    matched_terms, bm25)` — callers append their own final SELECT."""
+    in_list = "(" + ", ".join(f"'{t}'" for t in _BM25_TERMS) + ")"
+    return f"""
+    tok AS MATERIALIZED (
       SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
       FROM documents
     ),
-    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+    dl AS MATERIALIZED (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
     stats AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
              CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
       FROM dl
     ),
-    tf AS (
+    tf AS MATERIALIZED (
       SELECT doc_id, term, COUNT(*) AS tf
-      FROM tok WHERE term IN ('hash', 'stream', 'filter')
+      FROM tok WHERE term IN {in_list}
       GROUP BY 1, 2
     ),
     df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
@@ -387,27 +392,15 @@ _BM25_B = 0.75
       JOIN dl d USING (doc_id)
       CROSS JOIN stats s
       GROUP BY tf.doc_id
-    )
-    SELECT doc_id, matched_terms, bm25
-    FROM scored
-    ORDER BY bm25 DESC, doc_id ASC
-    LIMIT 20
-    """,
-)
-def ext_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 document retrieval (k1=1.2, b=0.75) for a fixed 3-term query:
-    Okapi idf = ln((N - df + 0.5)/(df + 0.5) + 1), tf saturation with
-    doc-length normalization against the corpus mean length — the lexical
-    ranking function every retrieval pipeline baselines against, layered
-    on the same tokenize->tf->df dataflow as ext_tfidf_top_terms.
+    )"""
 
-    The query-term filter lands BEFORE the (doc, term) aggregate, so the
-    scored frame is |query| x matching docs, not vocabulary-sized; df and
-    the global length stats are broadcast. Top-20 uses orderBy + limit —
-    Spark plans TakeOrderedAndProject (distributed per-partition top-k,
-    no global sort). Scores round to 4 decimals over 1-ulp ln() noise
-    (see module doc) with doc_id as the deterministic tiebreak."""
-    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+
+def bm25_scores(docs: DataFrame) -> DataFrame:
+    """Spark twin of :func:`bm25_oracle_ctes`'s `scored`: per-doc
+    (doc_id, matched_terms, bm25) for the fixed query terms. df and the
+    corpus length stats broadcast; the query-term filter lands before
+    the (doc, term) aggregate so the scored frame is |query| x matching
+    docs, never vocabulary-sized."""
     tok = docs.select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
     )
@@ -441,6 +434,37 @@ def ext_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("int").alias("matched_terms"),
             F.round(F.sum(term_score), 4).alias("bm25"),
         )
+    )
+
+
+@register(
+    "ext_bm25_search",
+    oracle=f"""
+    WITH {bm25_oracle_ctes()}
+    SELECT doc_id, matched_terms, bm25
+    FROM scored
+    ORDER BY bm25 DESC, doc_id ASC
+    LIMIT 20
+    """,
+)
+def ext_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 document retrieval (k1=1.2, b=0.75) for a fixed 3-term query:
+    Okapi idf = ln((N - df + 0.5)/(df + 0.5) + 1), tf saturation with
+    doc-length normalization against the corpus mean length — the lexical
+    ranking function every retrieval pipeline baselines against, layered
+    on the same tokenize->tf->df dataflow as ext_tfidf_top_terms.
+
+    The query-term filter lands BEFORE the (doc, term) aggregate, so the
+    scored frame is |query| x matching docs, not vocabulary-sized; df and
+    the global length stats are broadcast. Top-20 uses orderBy + limit —
+    Spark plans TakeOrderedAndProject (distributed per-partition top-k,
+    no global sort). Scores round to 4 decimals over 1-ulp ln() noise
+    (see module doc) with doc_id as the deterministic tiebreak.
+    The scorer itself is the shared :func:`bm25_scores` builder (also
+    the lexical leg of ext_rrf_fusion)."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    return (
+        bm25_scores(docs)
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(20)
     )

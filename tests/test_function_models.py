@@ -829,11 +829,18 @@ def test_kmeans_update_matches_numpy_fixed_point(spark):
     tbl = pq.read_table(f"{PARITY_SF_DIR}/embeddings.parquet").to_pylist()
     vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in tbl}
     seeds = {i: vecs[i] for i in range(_N_SEEDS)}
+
+    def l2sq_fold(a, b):
+        # strict left-to-right fold: the engine's pinned evaluation
+        # order (np.sum's pairwise summation can differ in the last ulp)
+        s = 0.0
+        for x, y in zip(a, b):
+            s = s + (x - y) * (x - y)
+        return s
+
     agg = {}
     for vid, v in vecs.items():
-        best = min(
-            seeds, key=lambda c: (float(np.sum((v - seeds[c]) ** 2)), c)
-        )
+        best = min(seeds, key=lambda c: (l2sq_fold(v, seeds[c]), c))
         for dim, x in enumerate(v):
             n, s = agg.get((best, dim), (0, 0))
             agg[(best, dim)] = (n + 1, s + math.floor(x * _FP_SCALE))
@@ -856,3 +863,52 @@ def test_kmeans_update_matches_numpy_fixed_point(spark):
     # every vector contributes each dimension exactly once
     d = len(next(iter(vecs.values())))
     assert sum(r["n_vectors"] for r in rows) == len(vecs) * d
+
+
+def test_winnowing_boilerplate_suppressed_by_df_cap(spark, tmp_path):
+    """Stop-phrase behavior: a boilerplate passage shared by EVERY doc
+    (df way past the cap) must produce zero pairs on its own, while a
+    passage planted in just two docs still surfaces that pair — the df
+    cap is what keeps a 100 TB corpus's shared headers/footers from
+    exploding the fingerprint join."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from film_media_etl_spark.queries.feature_ops import (
+        _WIN_DF_CAP,
+        ext_dedup_winnowing,
+    )
+    from film_media_etl_spark.sources import TABLES
+
+    boiler = " ".join(f"footer{i}" for i in range(16))
+    plant = " ".join(f"zq{i}" for i in range(20))
+    n_docs = _WIN_DF_CAP + 10
+    texts = []
+    for d in range(n_docs):
+        body = " ".join(f"u{d}w{i}" for i in range(25))
+        t = body + " " + boiler
+        if d in (3, 7):
+            t = plant + " " + t
+        texts.append(t)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(n_docs), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["xx"] * n_docs, pa.string()),
+                "source": pa.array(["t"] * n_docs, pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        f"{src}/documents.parquet",
+    )
+    for t in TABLES:
+        if t != "documents":
+            os.symlink(f"{PARITY_SF_DIR}/{t}.parquet", f"{src}/{t}.parquet")
+
+    rows = ext_dedup_winnowing(spark, src).collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in rows] == [(3, 7)]

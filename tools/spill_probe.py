@@ -84,6 +84,28 @@ def _spills_by_stage(log_path: str) -> dict[int, tuple[int, int]]:
     return {k: (v[0], v[1]) for k, v in out.items()}
 
 
+def _respawn(driver_mem: str, mem_fraction: str):
+    """Rebuild the session after a query OOM-killed the local JVM — one
+    boundary query must not shadow the rest of the suite's measurements
+    (the 16x PassJoin cascade: 1 real OOM read as 21 failures). Dropping
+    the cached py4j gateway makes the next builder launch a fresh JVM."""
+    from pyspark import SparkContext
+    from pyspark.sql import SparkSession
+
+    try:
+        active = SparkSession.getActiveSession()
+        if active is not None:
+            active.stop()
+    except Exception:  # noqa: BLE001 — the JVM may already be gone
+        pass
+    SparkContext._active_spark_context = None
+    SparkContext._gateway = None
+    SparkContext._jvm = None
+    SparkSession._instantiatedSession = None
+    SparkSession._activeSession = None
+    return _session(driver_mem, mem_fraction)
+
+
 def main() -> None:
     driver_mem = sys.argv[1] if len(sys.argv) > 1 else "8g"
     mem_fraction = sys.argv[2] if len(sys.argv) > 2 else "0.05"
@@ -119,6 +141,10 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — report, keep probing
             failed.append(name)
             print(f"FAILED {name}: {exc}", file=sys.stderr)
+            spark = _respawn(driver_mem, mem_fraction)
+            spark.sparkContext.setLogLevel("ERROR")
+            app_id = spark.sparkContext.applicationId
+            stage_watermark = 0
             continue
         spills = stages_done()
         new = {k: v for k, v in spills.items() if k >= stage_watermark}

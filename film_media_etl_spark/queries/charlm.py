@@ -14,7 +14,7 @@ per-document SUM, so the mean is an exact decimal sum divided once.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources import ensure_parallelism, load_table
@@ -140,18 +140,22 @@ def ext_charlm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ext_kneser_ney_lm",
-    oracle="""
-    WITH d AS (
+def kn_oracle_ctes() -> str:
+    """The WITH-body prefix every Kneser-Ney consumer shares: corpus ->
+    bigrams -> counts -> model -> per-doc scores. bg/cnt/kn_scores are
+    AS MATERIALIZED — each is referenced more than once and DuckDB's
+    default CTE inlining would re-explode the corpus per reference.
+    Ends with `kn_scores(doc_id, n_bigrams, kn_avg_logp)`."""
+    return """
+    d AS (
       SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
       WHERE text IS NOT NULL AND len(string_split(lower(text), ' ')) >= 2
     ),
-    bg AS (
+    bg AS MATERIALIZED (
       SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
       FROM d, LATERAL unnest(generate_series(1, len(toks)-1)) AS u(i)
     ),
-    cnt AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+    cnt AS MATERIALIZED (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY 1, 2),
     w1s AS (SELECT w1, SUM(c) AS ctx, COUNT(*) AS n1fwd FROM cnt GROUP BY 1),
     w2s AS (SELECT w2, COUNT(*) AS cont FROM cnt GROUP BY 1),
     tys AS (SELECT COUNT(*) AS types FROM cnt),
@@ -166,42 +170,20 @@ def ext_charlm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN w1s USING (w1)
       JOIN w2s USING (w2)
       CROSS JOIN tys
-    )
-    SELECT bg.doc_id, COUNT(*) AS n_bigrams,
-           CAST(SUM(logp) AS DOUBLE) / COUNT(*) AS kn_avg_logp
-    FROM bg JOIN model USING (w1, w2)
-    GROUP BY bg.doc_id
-    """,
-)
-def ext_kneser_ney_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Interpolated Kneser-Ney bigram LM with per-document mean
-    log10-probability — the word-level statistical quality filter next
-    to the char-level ext_charlm_quality (CCNet-style pipelines score
-    documents by LM perplexity and drop the worst tail; the per-doc
-    mean logp IS that signal, monotone in perplexity).
+    ),
+    kn_scores AS MATERIALIZED (
+      SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+             CAST(SUM(logp) AS DOUBLE) / COUNT(*) AS kn_avg_logp
+      FROM bg JOIN model USING (w1, w2)
+      GROUP BY bg.doc_id
+    )"""
 
-    Model (fixed discount D = 0.75, the textbook default):
-      P(w2|w1) = (max(c(w1,w2) - D, 0) + D * N1+(w1,*) * Pcont(w2)) / c(w1,*)
-      Pcont(w2) = N1+(*,w2) / |distinct bigram types|
-    Self-scored, so every scored bigram has c >= 1 and the discounted
-    mass never zeroes out — no OOV branch needed.
 
-    Cross-engine exactness: every model input is an exact integer
-    count; the probability is one fixed-shape double expression
-    (identical op order both engines), and its log10 is rounded to 6
-    decimals and cast DECIMAL before the per-doc SUM — the same
-    convention as ext_charlm_quality, making fold order irrelevant.
-
-    Scale: the corpus is exploded to bigrams exactly twice (count pass,
-    score pass — same as any self-scored LM). The bigram-TYPE table
-    `cnt` (vocabulary-squared bounded, corpus-sublinear in practice) is
-    localCheckpoint'ed so the three model aggregates (context totals,
-    continuation counts, type count) derive from the materialized types
-    and do NOT re-explode the corpus per branch. Map-side partial
-    aggregation collapses the count shuffle to types; scoring is one
-    equi-join on (w1, w2) — broadcastable when the model is small, a
-    keyed shuffle otherwise; AQE picks. No windows, no driver loops."""
-    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+def kn_doc_scores(docs: DataFrame) -> DataFrame:
+    """Spark twin of :func:`kn_oracle_ctes`'s `kn_scores`: per-document
+    (doc_id, n_bigrams, kn_avg_logp) under the self-trained interpolated
+    Kneser-Ney bigram model (D = 0.75). See ext_kneser_ney_lm for the
+    model and exactness notes."""
     t = (
         docs.where(F.col("text").isNotNull())
         .select("doc_id", F.split(F.lower("text"), " ").alias("toks"))
@@ -249,5 +231,97 @@ def ext_kneser_ney_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
             (F.sum("logp").cast("double") / F.count(F.lit(1))).alias("kn_avg_logp"),
+        )
+    )
+
+
+@register(
+    "ext_kneser_ney_lm",
+    oracle=f"""
+    WITH {kn_oracle_ctes()}
+    SELECT doc_id, n_bigrams, kn_avg_logp FROM kn_scores
+    """,
+)
+def ext_kneser_ney_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM with per-document mean
+    log10-probability — the word-level statistical quality filter next
+    to the char-level ext_charlm_quality (CCNet-style pipelines score
+    documents by LM perplexity and drop the worst tail; the per-doc
+    mean logp IS that signal, monotone in perplexity).
+
+    Model (fixed discount D = 0.75, the textbook default):
+      P(w2|w1) = (max(c(w1,w2) - D, 0) + D * N1+(w1,*) * Pcont(w2)) / c(w1,*)
+      Pcont(w2) = N1+(*,w2) / |distinct bigram types|
+    Self-scored, so every scored bigram has c >= 1 and the discounted
+    mass never zeroes out — no OOV branch needed.
+
+    Cross-engine exactness: every model input is an exact integer
+    count; the probability is one fixed-shape double expression
+    (identical op order both engines), and its log10 is rounded to 6
+    decimals and cast DECIMAL before the per-doc SUM — the same
+    convention as ext_charlm_quality, making fold order irrelevant.
+
+    Scale: the corpus is exploded to bigrams exactly twice (count pass,
+    score pass — same as any self-scored LM). The bigram-TYPE table
+    `cnt` (vocabulary-squared bounded, corpus-sublinear in practice) is
+    localCheckpoint'ed so the three model aggregates (context totals,
+    continuation counts, type count) derive from the materialized types
+    and do NOT re-explode the corpus per branch. Map-side partial
+    aggregation collapses the count shuffle to types; scoring is one
+    equi-join on (w1, w2) — broadcastable when the model is small, a
+    keyed shuffle otherwise; AQE picks. No windows, no driver loops.
+    The scorer itself is the shared :func:`kn_doc_scores` builder (also
+    the signal behind ext_perplexity_buckets)."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    return kn_doc_scores(docs)
+
+
+@register(
+    "ext_perplexity_buckets",
+    oracle=f"""
+    WITH {kn_oracle_ctes()},
+    ranked AS (
+      SELECT d2.lang, s.kn_avg_logp,
+             NTILE(3) OVER (
+               PARTITION BY d2.lang
+               ORDER BY s.kn_avg_logp DESC, s.doc_id ASC) AS bucket
+      FROM kn_scores s JOIN documents d2 USING (doc_id)
+    )
+    SELECT lang, CAST(bucket AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(kn_avg_logp) AS min_logp,
+           MAX(kn_avg_logp) AS max_logp
+    FROM ranked
+    GROUP BY lang, bucket
+    """,
+)
+def ext_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): per
+    language, rank documents by their Kneser-Ney mean log-probability
+    (monotone in perplexity — the shared :func:`kn_doc_scores` signal)
+    and cut into head / middle / tail terciles; bucket 1 is the
+    cleanest third, bucket 3 the candidate-discard tail. NTILE (exact
+    integer rank arithmetic, doc_id tiebreak) instead of interpolated
+    percentile cut points: quantile interpolation is the one spot where
+    engines can diverge by an ulp AT a sample value, while rank terciles
+    are deterministic everywhere.
+
+    Scale: scoring is ext_kneser_ney_lm's dataflow; the tercile window
+    partitions on lang — a handful of unsplittable per-language sorts,
+    the documented ext_sequence_packing caveat, with the same fix
+    (the bucketed two-pass rank of etl/star.py:_global_index) when a
+    single language dominates the corpus."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    scored = kn_doc_scores(docs).join(docs.select("doc_id", "lang"), "doc_id")
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("kn_avg_logp"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("bucket", F.ntile(3).over(w).cast("int"))
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("kn_avg_logp").alias("min_logp"),
+            F.max("kn_avg_logp").alias("max_logp"),
         )
     )

@@ -52,6 +52,7 @@ QUERIES = [
     "ext_k_anonymity",
     "ext_rrf_fusion",
     "ext_kmeans_update",
+    "ext_perplexity_buckets",
     "ext_multimodal_spectrum",
     "ext_bpe_merges",
     "ext_bpe_tokenize",

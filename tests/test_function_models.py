@@ -912,3 +912,33 @@ def test_winnowing_boilerplate_suppressed_by_df_cap(spark, tmp_path):
 
     rows = ext_dedup_winnowing(spark, src).collect()
     assert [(r["doc_a"], r["doc_b"]) for r in rows] == [(3, 7)]
+
+
+def test_perplexity_buckets_tercile_invariants(spark):
+    """Rank-tercile contract per language: bucket sizes differ by at
+    most 1 (NTILE), buckets are ordered by score (head's worst >= the
+    middle's best, etc., up to exact ties), and totals equal the number
+    of scored (>= 2-token) documents."""
+    import pyarrow.parquet as pq
+
+    from film_media_etl_spark.queries.charlm import ext_perplexity_buckets
+
+    rows = ext_perplexity_buckets(spark, PARITY_SF_DIR).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], {})[r["bucket"]] = r
+    tbl = pq.read_table(
+        f"{PARITY_SF_DIR}/documents.parquet", columns=["lang", "text"]
+    ).to_pylist()
+    scored = {}
+    for t in tbl:
+        if t["text"] is not None and len(t["text"].lower().split(" ")) >= 2:
+            scored[t["lang"]] = scored.get(t["lang"], 0) + 1
+    assert {k: sum(r["n_docs"] for r in v.values()) for k, v in by_lang.items()} == scored
+    for lang, buckets in by_lang.items():
+        assert set(buckets) == {1, 2, 3}
+        sizes = [buckets[b]["n_docs"] for b in (1, 2, 3)]
+        assert max(sizes) - min(sizes) <= 1
+        assert sizes == sorted(sizes, reverse=True)  # NTILE puts remainders first
+        assert buckets[1]["min_logp"] >= buckets[2]["max_logp"]
+        assert buckets[2]["min_logp"] >= buckets[3]["max_logp"]

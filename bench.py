@@ -88,6 +88,7 @@ HEADLINE = [
     "ext_token_budget_sample",  # 256-bin two-pass budget fill (no per-source window)
     "ext_dedup_winnowing",      # minimizer fingerprints -> inverted-index pair join
     "ext_rrf_fusion",           # lexical+semantic top-k legs fused, bounded ranking
+    "ext_unigram_tokenize",     # Viterbi DP fold per distinct word (vocab trick)
 ]
 
 

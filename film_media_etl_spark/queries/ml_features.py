@@ -294,3 +294,72 @@ def ext_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     merges = learn_bpe_merges(docs, k=8)
     return apply_bpe_merges(docs, merges)
+
+
+@register(
+    "ext_unigram_vocab",
+    oracle="""
+    WITH words AS MATERIALIZED (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+      WHERE w <> '' GROUP BY w
+    ),
+    subs AS MATERIALIZED (
+      SELECT substr(w, i, l) AS piece, SUM(n) AS c
+      FROM words,
+           UNNEST(range(1, len(w) + 1)) AS u(i),
+           UNNEST(range(1, 7)) AS v(l)
+      WHERE i + l - 1 <= len(w)
+      GROUP BY 1
+    ),
+    top AS (
+      SELECT piece, c FROM subs WHERE len(piece) > 1
+      ORDER BY c DESC, piece ASC LIMIT 64
+    ),
+    vocab AS (
+      SELECT piece, c FROM top
+      UNION ALL
+      SELECT piece, c FROM subs WHERE len(piece) = 1
+    ),
+    tot AS (SELECT SUM(c) AS t FROM vocab)
+    SELECT piece, CAST(c AS BIGINT) AS c,
+           CAST(ROUND(log10(CAST(c AS DOUBLE) / t), 6) AS DECIMAL(20,6))
+             AS logp
+    FROM vocab CROSS JOIN tot
+    """,
+)
+def ext_unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer VOCABULARY seeding (Kudo 2018 /
+    SentencePiece; operators/unigram.py): top-64 multi-character
+    substrings of the word vocabulary by weighted count (lexicographic
+    tie-break) plus every single character (coverage guarantee), with
+    frequency-initialized log10 probabilities normalized over the kept
+    mass — rounded to 6 decimals as DECIMAL so downstream Viterbi sums
+    are exact (the TF-IDF convention).
+
+    Scale: one corpus shuffle for (word, n); the substring explode is
+    bounded by word length x max piece length over DISTINCT words only;
+    the top-64 is TakeOrdered. The piece table is vocab+charset rows —
+    driver/broadcast-sized at any corpus size by construction."""
+    from ..operators.unigram import build_unigram_vocab
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    return build_unigram_vocab(docs)
+
+
+@register("ext_unigram_tokenize")  # in-fold Viterbi DP -> rows-only check
+def ext_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY side of the unigram-LM tokenizer: exact Viterbi
+    segmentation of every DISTINCT word under ext_unigram_vocab's piece
+    probabilities (one JVM-side aggregate fold carrying the DP arrays —
+    the (logp, piece-count) state needs no backtracking, see
+    operators/unigram.py), then per-document token counts and total
+    segmentation log-probability via the (doc, word) aggregate join.
+    Pinned token-for-token against an independent plain-Python Viterbi
+    in tests/test_function_models.py; rows-only driver check (the DP
+    is iterative, not SQL-expressible in one query)."""
+    from ..operators.unigram import build_unigram_vocab, unigram_tokenize_docs
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    pieces = build_unigram_vocab(docs)
+    return unigram_tokenize_docs(docs, pieces)

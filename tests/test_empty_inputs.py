@@ -53,6 +53,8 @@ QUERIES = [
     "ext_rrf_fusion",
     "ext_kmeans_update",
     "ext_perplexity_buckets",
+    "ext_unigram_vocab",
+    "ext_unigram_tokenize",
     "ext_multimodal_spectrum",
     "ext_bpe_merges",
     "ext_bpe_tokenize",

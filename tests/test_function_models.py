@@ -942,3 +942,69 @@ def test_perplexity_buckets_tercile_invariants(spark):
         assert sizes == sorted(sizes, reverse=True)  # NTILE puts remainders first
         assert buckets[1]["min_logp"] >= buckets[2]["max_logp"]
         assert buckets[2]["min_logp"] >= buckets[3]["max_logp"]
+
+
+def test_unigram_tokenize_matches_python_viterbi(spark):
+    """The in-fold Viterbi DP pinned token-for-token against an
+    independent plain-Python Viterbi (decimal arithmetic, same
+    max-logp-then-fewest-pieces tie rule) over the ENGINE's own piece
+    table (itself oracle-pinned by ext_unigram_vocab)."""
+    from decimal import Decimal
+
+    import pyarrow.parquet as pq
+
+    from film_media_etl_spark.operators.unigram import MAX_PIECE_LEN
+    from film_media_etl_spark.queries.ml_features import (
+        ext_unigram_tokenize,
+        ext_unigram_vocab,
+    )
+
+    pieces = {
+        r["piece"]: Decimal(str(r["logp"]))
+        for r in ext_unigram_vocab(spark, PARITY_SF_DIR).collect()
+    }
+
+    def viterbi(w):
+        neg = Decimal("-Infinity")
+        best = [(Decimal(0), 0)] + [(neg, 0)] * len(w)
+        for j in range(1, len(w) + 1):
+            cand = []
+            for l in range(1, min(MAX_PIECE_LEN, j) + 1):
+                p = pieces.get(w[j - l : j])
+                if p is not None and best[j - l][0] != neg:
+                    lp, np_ = best[j - l]
+                    cand.append((lp + p, -(np_ + 1)))
+            best[j] = (
+                (max(cand)[0], -max(cand)[1]) if cand else (neg, 0)
+            )
+        return best[len(w)]
+
+    tbl = pq.read_table(
+        f"{PARITY_SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pylist()
+    seg = {}
+    want = {}
+    for r in tbl:
+        toks = [w for w in (r["text"] or "").lower().split(" ") if w]
+        nt, lp = 0, Decimal(0)
+        for w in toks:
+            if w not in seg:
+                seg[w] = viterbi(w)
+            wl, wn = seg[w]
+            nt += wn
+            lp += wl
+        want[r["doc_id"]] = (nt, len(toks), lp)
+
+    got = {
+        r["doc_id"]: (
+            r["n_unigram_tokens"],
+            r["n_words"],
+            Decimal(str(r["doc_logp"])),
+        )
+        for r in ext_unigram_tokenize(spark, PARITY_SF_DIR).collect()
+    }
+    assert got == want
+    # segmentation does real work: strictly fewer tokens than characters
+    # for at least one multi-piece word corpus-wide
+    assert any(g[0] < sum(len(w) for w in (r["text"] or "").lower().split(" ") if w)
+               for g, r in zip(got.values(), tbl))

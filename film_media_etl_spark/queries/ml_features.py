@@ -363,3 +363,19 @@ def ext_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     pieces = build_unigram_vocab(docs)
     return unigram_tokenize_docs(docs, pieces)
+
+
+@register("ext_unigram_em")  # iterative Viterbi EM round -> rows-only check
+def ext_unigram_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One hard-EM round of the unigram-LM tokenizer: segment every
+    distinct word under the seed vocabulary (Viterbi path extracted by
+    the backward fold, operators/unigram.py:viterbi_segment_pieces),
+    re-count each piece's corpus-weighted usage, re-normalize log-probs
+    over the used mass, and flag never-used pieces as pruned —
+    SentencePiece's vocabulary refinement with the Viterbi hard-count
+    approximation. Pinned piece-for-piece against an independent Python
+    EM round in tests/test_function_models.py."""
+    from ..operators.unigram import unigram_em_round
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    return unigram_em_round(docs)

@@ -55,6 +55,7 @@ QUERIES = [
     "ext_perplexity_buckets",
     "ext_unigram_vocab",
     "ext_unigram_tokenize",
+    "ext_unigram_em",
     "ext_multimodal_spectrum",
     "ext_bpe_merges",
     "ext_bpe_tokenize",

@@ -1008,3 +1008,80 @@ def test_unigram_tokenize_matches_python_viterbi(spark):
     # for at least one multi-piece word corpus-wide
     assert any(g[0] < sum(len(w) for w in (r["text"] or "").lower().split(" ") if w)
                for g, r in zip(got.values(), tbl))
+
+
+def test_unigram_em_matches_python_model(spark):
+    """The hard-EM round pinned against an independent Python
+    implementation: identical forward DP (max logp, then fewest
+    pieces), identical backward walk (smallest start index among
+    optimal candidates), identical corpus-weighted piece counts and
+    prune flags. logp_em compared to 1e-6 (libm log10 may differ in
+    the last ulp; counts and flags are exact)."""
+    import math
+    from decimal import Decimal
+
+    import pyarrow.parquet as pq
+
+    from film_media_etl_spark.operators.unigram import MAX_PIECE_LEN
+    from film_media_etl_spark.queries.ml_features import ext_unigram_em
+    from film_media_etl_spark.queries.ml_features import ext_unigram_vocab
+
+    pieces = {
+        r["piece"]: Decimal(str(r["logp"]))
+        for r in ext_unigram_vocab(spark, PARITY_SF_DIR).collect()
+    }
+
+    def best_path(w):
+        neg = Decimal("-Infinity")
+        best = [(Decimal(0), 0)] + [(neg, 0)] * len(w)
+        for j in range(1, len(w) + 1):
+            cand = [
+                (best[j - l][0] + pieces[w[j - l : j]], -(best[j - l][1] + 1))
+                for l in range(1, min(MAX_PIECE_LEN, j) + 1)
+                if w[j - l : j] in pieces and best[j - l][0] != neg
+            ]
+            m = max(cand)
+            best[j] = (m[0], -m[1])
+        out, j = [], len(w)
+        while j > 0:
+            starts = [
+                j - l + 1
+                for l in range(1, min(MAX_PIECE_LEN, j) + 1)
+                if w[j - l : j] in pieces
+                and best[j - l][0] + pieces[w[j - l : j]] == best[j][0]
+                and best[j - l][1] + 1 == best[j][1]
+            ]
+            i = min(starts)
+            out.append(w[i - 1 : j])
+            j = i - 1
+        return out[::-1]
+
+    tbl = pq.read_table(
+        f"{PARITY_SF_DIR}/documents.parquet", columns=["text"]
+    ).to_pylist()
+    wc = {}
+    for r in tbl:
+        for w in (r["text"] or "").lower().split(" "):
+            if w:
+                wc[w] = wc.get(w, 0) + 1
+    c_em = {}
+    for w, n in wc.items():
+        for p in best_path(w):
+            c_em[p] = c_em.get(p, 0) + n
+    t = sum(c_em.values())
+
+    rows = ext_unigram_em(spark, PARITY_SF_DIR).collect()
+    assert {r["piece"] for r in rows} == set(pieces)
+    for r in rows:
+        want_c = c_em.get(r["piece"], 0)
+        assert r["c_em"] == want_c, (r["piece"], r["c_em"], want_c)
+        assert r["pruned"] == (want_c == 0)
+        if want_c:
+            assert abs(
+                float(r["logp_em"]) - math.log10(want_c / t)
+            ) < 2e-6
+        else:
+            assert float(r["logp_em"]) == 0.0
+    # the round does real work: some pieces pruned, some kept
+    flags = {r["pruned"] for r in rows}
+    assert flags == {True, False}

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.skew import salted_aggregate
-from ..sources import load_table
+from ..sources import ensure_parallelism, load_table
 from .registry import register
 
 
@@ -293,3 +293,116 @@ def ext_pagerank_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     return pagerank(trans, weight="n").orderBy(F.desc("rank"), "node")
+
+
+# ---------------------------------------------------------------------------
+# Count-Min Sketch with exact verification
+# ---------------------------------------------------------------------------
+
+_CMS_D = 4  # hash rows
+_CMS_W = 256  # buckets per row (two md5 hex nibbles)
+_CMS_TOPK = 20
+_HEXDIGITS = "0123456789abcdef"
+
+
+def _cms_bucket_sql(tok_sql: str, r: int) -> str:
+    """Engine-portable bucket index in [0, 256): the first two hex
+    nibbles of md5(token || '#' || row) folded to an integer — the same
+    instr/substr spelling both engines share (no conv() in DuckDB)."""
+    h = f"md5(concat({tok_sql}, '#{r}'))"
+    return (
+        f"((instr('{_HEXDIGITS}', substr({h}, 1, 1)) - 1) * 16"
+        f" + (instr('{_HEXDIGITS}', substr({h}, 2, 1)) - 1))"
+    )
+
+
+@register(
+    "ext_countmin_sketch",
+    oracle=f"""
+    WITH tok AS MATERIALIZED (
+      SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+    ),
+    toks AS MATERIALIZED (SELECT w FROM tok WHERE w <> ''),
+    cells AS MATERIALIZED (
+      SELECT r, bucket, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (
+        SELECT u.r,
+               CASE u.r
+                 {' '.join(f"WHEN {r} THEN {_cms_bucket_sql('w', r)}" for r in range(_CMS_D))}
+               END AS bucket
+        FROM toks, UNNEST(range(0, {_CMS_D})) AS u(r)
+      )
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS true_c
+      FROM toks GROUP BY w
+      ORDER BY true_c DESC, w ASC LIMIT {_CMS_TOPK}
+    ),
+    probes AS (
+      SELECT t.w, t.true_c, u.r,
+             CASE u.r
+               {' '.join(f"WHEN {r} THEN {_cms_bucket_sql('t.w', r)}" for r in range(_CMS_D))}
+             END AS bucket
+      FROM truth t, UNNEST(range(0, {_CMS_D})) AS u(r)
+    )
+    SELECT p.w AS token, p.true_c,
+           CAST(MIN(c.c) AS BIGINT) AS est_c,
+           CAST(MIN(c.c) - p.true_c AS BIGINT) AS overestimate
+    FROM probes p JOIN cells c ON c.r = p.r AND c.bucket = p.bucket
+    GROUP BY p.w, p.true_c
+    """,
+)
+def ext_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch (Cormode & Muthukrishnan 2005) over corpus token
+    frequencies — {_CMS_D} md5-derived hash rows x {_CMS_W} buckets —
+    with the sketch's point-query estimates verified against exact
+    counts for the top-{_CMS_TOPK} tokens. CMS never underestimates
+    (est = min over rows of the bucket counter >= true), so
+    `overestimate` is the per-token collision error the sketch's
+    (d, w) bounds promise to keep small; every number here is an exact
+    integer, making a probabilistic data structure fully oracle-checkable.
+
+    Scale shape: the sketch IS the scale story — the cell table is a
+    fixed {_CMS_D}x{_CMS_W} grid regardless of corpus size (one
+    map-side-combined groupBy; cells merge by addition across any
+    partitioning, the CMS mergeability property), and the probe side
+    touches only top-k tokens joined against the tiny grid."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        F.explode(F.split(F.lower("text"), " ")).alias("w")
+    ).where(F.col("w") != "")
+
+    def buckets(tok_col: str):
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("r"),
+                    F.expr(_cms_bucket_sql(tok_col, r)).cast("int").alias("bucket"),
+                )
+                for r in range(_CMS_D)
+            ]
+        )
+
+    cells = (
+        toks.select(F.explode(buckets("w")).alias("rb"))
+        .groupBy(F.col("rb.r").alias("r"), F.col("rb.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    truth = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("true_c"))
+        .orderBy(F.desc("true_c"), F.asc("w"))
+        .limit(_CMS_TOPK)
+    )
+    probes = truth.select(
+        "w", "true_c", F.explode(buckets("w")).alias("rb")
+    ).select("w", "true_c", F.col("rb.r").alias("r"), F.col("rb.bucket").alias("bucket"))
+    return (
+        probes.join(F.broadcast(cells), ["r", "bucket"])
+        .groupBy(F.col("w").alias("token"), "true_c")
+        .agg(
+            F.min("c").cast("long").alias("est_c"),
+            (F.min("c") - F.col("true_c")).cast("long").alias("overestimate"),
+        )
+    )

@@ -56,6 +56,7 @@ QUERIES = [
     "ext_unigram_vocab",
     "ext_unigram_tokenize",
     "ext_unigram_em",
+    "ext_countmin_sketch",
     "ext_multimodal_spectrum",
     "ext_bpe_merges",
     "ext_bpe_tokenize",

@@ -1085,3 +1085,50 @@ def test_unigram_em_matches_python_model(spark):
     # the round does real work: some pieces pruned, some kept
     flags = {r["pruned"] for r in rows}
     assert flags == {True, False}
+
+
+def test_countmin_sketch_matches_python_model(spark):
+    """CMS cells and point estimates recomputed in pure Python (same
+    md5-nibble buckets); the never-underestimate invariant checked over
+    the ENTIRE vocabulary, not just the emitted top-k."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from film_media_etl_spark.queries.scale_ops import (
+        _CMS_D,
+        ext_countmin_sketch,
+    )
+
+    tbl = pq.read_table(
+        f"{PARITY_SF_DIR}/documents.parquet", columns=["text"]
+    ).to_pylist()
+    true_c = {}
+    for r in tbl:
+        for w in (r["text"] or "").lower().split(" "):
+            if w:
+                true_c[w] = true_c.get(w, 0) + 1
+
+    def bucket(w, r):
+        h = hashlib.md5(f"{w}#{r}".encode()).hexdigest()
+        return int(h[:2], 16)
+
+    cells = {}
+    for w, n in true_c.items():
+        for r in range(_CMS_D):
+            key = (r, bucket(w, r))
+            cells[key] = cells.get(key, 0) + n
+
+    def est(w):
+        return min(cells[(r, bucket(w, r))] for r in range(_CMS_D))
+
+    # invariant over the whole vocab: the sketch never underestimates
+    assert all(est(w) >= n for w, n in true_c.items())
+
+    top = sorted(true_c.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    want = {w: (n, est(w), est(w) - n) for w, n in top}
+    got = {
+        r["token"]: (r["true_c"], r["est_c"], r["overestimate"])
+        for r in ext_countmin_sketch(spark, PARITY_SF_DIR).collect()
+    }
+    assert got == want

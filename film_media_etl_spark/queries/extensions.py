@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as TX
@@ -800,3 +800,92 @@ def _reap_ivf_index_dirs() -> None:
 import atexit  # noqa: E402  (registration belongs next to the dir list)
 
 atexit.register(_reap_ivf_index_dirs)
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining (contrastive training pairs)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ext_hard_negatives",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS qid, label AS qlabel, embedding AS qv
+      FROM embeddings WHERE vec_id < 8
+    ),
+    scored AS MATERIALIZED (
+      SELECT q.qid, q.qlabel, e.vec_id AS nid, e.label AS nlabel,
+             {oracle_cosine("e.embedding", "q.qv")} AS cos
+      FROM embeddings e JOIN q ON e.vec_id <> q.qid
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY qid, (nlabel = qlabel)
+        ORDER BY cos DESC, nid ASC) AS rn
+      FROM scored
+    )
+    SELECT qid AS query_id, CAST(qlabel AS INT) AS label,
+           COALESCE(MAX(CASE WHEN nlabel = qlabel THEN nid END), -1)
+             AS pos_id,
+           COALESCE(MAX(CASE WHEN nlabel = qlabel THEN cos END), -2.0)
+             AS pos_cos,
+           COALESCE(MAX(CASE WHEN nlabel <> qlabel THEN nid END), -1)
+             AS neg_id,
+           COALESCE(MAX(CASE WHEN nlabel <> qlabel THEN cos END), -2.0)
+             AS neg_cos,
+           COALESCE(MAX(CASE WHEN nlabel = qlabel THEN cos END), -2.0)
+             - COALESCE(MAX(CASE WHEN nlabel <> qlabel THEN cos END), -2.0)
+             AS margin
+    FROM ranked WHERE rn = 1
+    GROUP BY qid, qlabel
+    """,
+)
+def ext_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training: for each
+    query vector (vec_id < 8), the most-similar vector of the SAME
+    label (the positive) and the most-similar vector of a DIFFERENT
+    label (the hard negative — the example contrastive/triplet losses
+    learn the most from), plus the margin between them. Exact cosine
+    (left-to-right fold), doc-id tiebreaks, -1/-2.0 sentinels when a
+    class has no counterpart (never NULL — driver hash contract).
+
+    Scale shape: the query side broadcasts (k rows) so scoring is one
+    map-only corpus pass — the ext_knn_bruteforce plan; the per-(query,
+    same-label) argmax is a window over k x 2 partition keys; output is
+    k rows. Mining against a billion-vector corpus is the same single
+    scan."""
+    from ..functions.vectors import cosine, to_double_vec
+
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    q = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        to_double_vec(F.col("embedding")).alias("qv"),
+    )
+    scored = emb.join(
+        F.broadcast(q), F.col("vec_id") != F.col("qid")
+    ).select(
+        "qid",
+        "qlabel",
+        F.col("vec_id").alias("nid"),
+        (F.col("label") == F.col("qlabel")).alias("same"),
+        cosine(to_double_vec(F.col("embedding")), F.col("qv")).alias("cos"),
+    )
+    w = Window.partitionBy("qid", "same").orderBy(F.desc("cos"), F.asc("nid"))
+    best = scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    pos_cos = F.coalesce(F.max(F.when(F.col("same"), F.col("cos"))), F.lit(-2.0))
+    neg_cos = F.coalesce(F.max(F.when(~F.col("same"), F.col("cos"))), F.lit(-2.0))
+    return best.groupBy(
+        F.col("qid").alias("query_id"), F.col("qlabel").cast("int").alias("label")
+    ).agg(
+        F.coalesce(F.max(F.when(F.col("same"), F.col("nid"))), F.lit(-1)).alias(
+            "pos_id"
+        ),
+        pos_cos.alias("pos_cos"),
+        F.coalesce(F.max(F.when(~F.col("same"), F.col("nid"))), F.lit(-1)).alias(
+            "neg_id"
+        ),
+        neg_cos.alias("neg_cos"),
+        (pos_cos - neg_cos).alias("margin"),
+    )

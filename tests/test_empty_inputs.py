@@ -57,6 +57,7 @@ QUERIES = [
     "ext_unigram_tokenize",
     "ext_unigram_em",
     "ext_countmin_sketch",
+    "ext_hard_negatives",
     "ext_multimodal_spectrum",
     "ext_bpe_merges",
     "ext_bpe_tokenize",

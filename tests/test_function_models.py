@@ -1132,3 +1132,59 @@ def test_countmin_sketch_matches_python_model(spark):
         for r in ext_countmin_sketch(spark, PARITY_SF_DIR).collect()
     }
     assert got == want
+
+
+def test_hard_negatives_matches_numpy_model(spark):
+    """Positive/negative selection recomputed in Python with the
+    left-to-right cosine fold and the same (score desc, id asc)
+    tiebreak; margins and sentinels must match exactly."""
+    import pyarrow.parquet as pq
+
+    from film_media_etl_spark.queries.extensions import ext_hard_negatives
+
+    tbl = pq.read_table(f"{PARITY_SF_DIR}/embeddings.parquet").to_pylist()
+    vecs = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in tbl}
+    labels = {r["vec_id"]: r["label"] for r in tbl}
+
+    def fold_cos(a, b):
+        dot = na = nb = 0.0
+        for x, y in zip(a, b):
+            dot = dot + x * y
+        for x in a:
+            na = na + x * x
+        for y in b:
+            nb = nb + y * y
+        return dot / (na**0.5 * nb**0.5)
+
+    want = {}
+    for qid in sorted(vecs):
+        if qid >= 8:
+            continue
+        pos = neg = None
+        for nid in sorted(vecs):
+            if nid == qid:
+                continue
+            c = fold_cos(vecs[nid], vecs[qid])
+            cand = (-c, nid)
+            if labels[nid] == labels[qid]:
+                pos = cand if pos is None else min(pos, cand)
+            else:
+                neg = cand if neg is None else min(neg, cand)
+        p = (pos[1], -pos[0]) if pos else (-1, -2.0)
+        n = (neg[1], -neg[0]) if neg else (-1, -2.0)
+        want[qid] = (labels[qid], p[0], p[1], n[0], n[1], p[1] - n[1])
+
+    got = {
+        r["query_id"]: (
+            r["label"],
+            r["pos_id"],
+            r["pos_cos"],
+            r["neg_id"],
+            r["neg_cos"],
+            r["margin"],
+        )
+        for r in ext_hard_negatives(spark, PARITY_SF_DIR).collect()
+    }
+    assert got == want
+    # mining does real work on this fixture: every query found both
+    assert all(v[1] != -1 and v[3] != -1 for v in got.values())

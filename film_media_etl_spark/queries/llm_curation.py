@@ -663,3 +663,72 @@ def ext_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("group_n"),
         (F.count(F.lit(1)) >= _KANON_K).alias("k_anonymous"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Laplace-mechanism noisy counts (reproducible-noise tier)
+# ---------------------------------------------------------------------------
+
+_DP_EPS = 1.0  # Laplace scale b = sensitivity/epsilon = 1/eps for counts
+
+
+def _laplace_noise_sql(key_sql: str) -> str:
+    """Seeded Laplace draw via inverse CDF on the md5-uniform of the
+    group key: -b * sign(u - 0.5) * ln(1 - 2|u - 0.5|). The ln is
+    rounded to 6 decimals and cast DECIMAL before use (engine libm
+    differs in the last ulp — the TF-IDF convention), so noise and the
+    noisy count are bit-identical cross-engine. The 1e-12 floor guards
+    the u = 0.5 pole."""
+    u = _uniform_expr(key_sql)
+    mag = f"greatest(1.0 - 2.0 * abs({u} - 0.5), 1e-12)"
+    sign = f"(CASE WHEN {u} >= 0.5 THEN 1.0 ELSE -1.0 END)"
+    return (
+        f"CAST(ROUND(-(1.0 / {_DP_EPS}) * {sign} * ln({mag}), 6)"
+        f" AS DECIMAL(20,6))"
+    )
+
+
+@register(
+    "ext_dp_noisy_counts",
+    oracle=f"""
+    WITH g AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS true_c
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, true_c,
+           {_laplace_noise_sql("event_type")} AS noise,
+           CAST(true_c + {_laplace_noise_sql("event_type")}
+                AS DECIMAL(24,6)) AS noisy_c,
+           {_DP_EPS} AS epsilon
+    FROM g
+    """,
+)
+def ext_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace-mechanism count release (Dwork et al. 2006): per-group
+    counts plus Laplace(1/epsilon) noise at epsilon = {_DP_EPS} — the
+    aggregate-release step of a privacy pipeline, completing the trio
+    with ext_pii_redact (free text) and ext_k_anonymity (row release).
+
+    Stated honestly: the noise is SEEDED from the group key (the
+    engine's reproducible-randomness convention — rand() would break
+    both re-runs and the oracle), which demonstrates the mechanism's
+    dataflow and calibration but is NOT differential privacy (real DP
+    requires fresh secret randomness per release; swap the md5-uniform
+    for a secure draw in deployment). The true counts are emitted
+    alongside as the audit view.
+
+    Scale: one map-side-combined groupBy; noise is one hash + one
+    fixed-shape expression per GROUP (not per row) — output cardinality
+    is the group count regardless of corpus size."""
+    ev = ensure_parallelism(load_table(spark, sf_dir, "events"))
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("true_c")
+    )
+    noise = F.expr(_laplace_noise_sql("event_type"))
+    return g.select(
+        "event_type",
+        "true_c",
+        noise.alias("noise"),
+        (F.col("true_c") + noise).cast("decimal(24,6)").alias("noisy_c"),
+        F.lit(_DP_EPS).alias("epsilon"),
+    )

@@ -58,6 +58,7 @@ QUERIES = [
     "ext_unigram_em",
     "ext_countmin_sketch",
     "ext_hard_negatives",
+    "ext_dp_noisy_counts",
     "ext_multimodal_spectrum",
     "ext_bpe_merges",
     "ext_bpe_tokenize",

@@ -1188,3 +1188,42 @@ def test_hard_negatives_matches_numpy_model(spark):
     assert got == want
     # mining does real work on this fixture: every query found both
     assert all(v[1] != -1 and v[3] != -1 for v in got.values())
+
+
+def test_dp_noisy_counts_model_and_seed_stability(spark):
+    """Laplace release: noise recomputed in Python from the md5-uniform
+    inverse CDF (1.5e-6 tolerance for the last-ulp ln difference the
+    6-decimal rounding absorbs); noisy_c - true_c == noise exactly; and
+    the draw is a pure function of the GROUP KEY — identical noise for
+    the same event_type at a different corpus scale."""
+    import hashlib
+    import math
+    import os
+    from decimal import Decimal
+
+    from film_media_etl_spark.queries.llm_curation import (
+        _DP_EPS,
+        ext_dp_noisy_counts,
+    )
+
+    def noise_model(key):
+        h = hashlib.md5(key.encode()).hexdigest()
+        u = int(h[:6], 16) / 16**6
+        mag = max(1.0 - 2.0 * abs(u - 0.5), 1e-12)
+        sign = 1.0 if u >= 0.5 else -1.0
+        return -(1.0 / _DP_EPS) * sign * math.log(mag)
+
+    rows = ext_dp_noisy_counts(spark, PARITY_SF_DIR).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert abs(float(r["noise"]) - noise_model(r["event_type"])) < 1.5e-6
+        assert Decimal(r["noisy_c"]) - r["true_c"] == Decimal(r["noise"])
+    sib = os.path.join(os.path.dirname(PARITY_SF_DIR.rstrip("/")), "sf0.01")
+    if os.path.isdir(sib):
+        other = {
+            r["event_type"]: r["noise"]
+            for r in ext_dp_noisy_counts(spark, sib).collect()
+        }
+        for r in rows:
+            if r["event_type"] in other:
+                assert other[r["event_type"]] == r["noise"]

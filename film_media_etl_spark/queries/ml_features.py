@@ -379,3 +379,88 @@ def ext_unigram_em(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     return unigram_em_round(docs)
+
+
+@register(
+    "ext_linear_gradient_step",
+    oracle=f"""
+    WITH tok AS MATERIALIZED (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      FROM documents
+    ),
+    feat AS MATERIALIZED (
+      SELECT doc_id,
+             CAST({_bucket_expr("term")} AS INT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok WHERE term <> ''
+      GROUP BY 1, 2
+    ),
+    resid AS MATERIALIZED (
+      SELECT f.doc_id,
+             CAST(3 + SUM(f.tf * ((f.bucket * 37) % 21 - 10))
+                  - MAX(d.n_chars) AS BIGINT) AS r
+      FROM feat f JOIN documents d ON f.doc_id = d.doc_id
+      GROUP BY f.doc_id
+    )
+    SELECT f.bucket,
+           CAST((f.bucket * 37) % 21 - 10 AS BIGINT) AS w_old,
+           CAST(SUM(r.r * f.tf) AS BIGINT) AS grad,
+           CAST(COUNT(DISTINCT f.doc_id) AS BIGINT) AS n_docs,
+           CAST(((f.bucket * 37) % 21 - 10)
+                - SUM(r.r * f.tf) * CAST(0.000000001 AS DECIMAL(12,12))
+                AS DECIMAL(38,12)) AS w_new
+    FROM feat f JOIN resid r ON f.doc_id = r.doc_id
+    GROUP BY f.bucket
+    """,
+)
+def ext_linear_gradient_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One EXACT batch-gradient step for the hashed-feature linear model
+    — the TRAINING twin of ext_linear_model_score's inference. Target
+    is the document's n_chars; residual r = (w.x + 3) - y is BIGINT
+    because weights, tf, and y are all integers, so the per-bucket
+    gradient G_j = sum over docs of r * tf_j is an order-free integer
+    sum (exact at any parallelism — the fixed-point discipline), and
+    the weight update w - lr*G with lr = 1e-9 is one exact DECIMAL
+    multiply. Nothing here is approximate: a distributed SGD step with
+    a bit-exact oracle.
+
+    Scale shape: two corpus-keyed aggregates (doc features, per-doc
+    residual) and one bucket-keyed aggregate whose output is the FIXED
+    {_N_BUCKETS}-row weight table; the residual join is doc-keyed and
+    AQE-planable. Integer headroom: |r| <= ~10 x tokens + y, so the
+    gradient sum stays inside BIGINT past 10^9 documents."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    ).where(F.col("term") != "")
+    feat = (
+        tok.select("doc_id", F.expr(_bucket_expr("term")).cast("int").alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    w_of = (F.col("bucket") * 37) % 21 - 10
+    resid = (
+        feat.join(docs.select("doc_id", "n_chars"), "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            (F.lit(3) + F.sum(F.col("tf") * w_of) - F.max("n_chars"))
+            .cast("long")
+            .alias("r")
+        )
+    )
+    lr = F.lit("0.000000001").cast("decimal(12,12)")
+    return (
+        feat.join(resid, "doc_id")
+        .groupBy("bucket")
+        .agg(
+            F.max(w_of).cast("long").alias("w_old"),
+            F.sum(F.col("r") * F.col("tf")).cast("long").alias("grad"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            (
+                F.max(w_of)
+                - F.sum(F.col("r") * F.col("tf")) * lr
+            )
+            .cast("decimal(38,12)")
+            .alias("w_new"),
+        )
+    )

@@ -1227,3 +1227,54 @@ def test_dp_noisy_counts_model_and_seed_stability(spark):
         for r in rows:
             if r["event_type"] in other:
                 assert other[r["event_type"]] == r["noise"]
+
+
+def test_linear_gradient_step_matches_python_model(spark):
+    """The exact SGD step recomputed in Python with integer arithmetic:
+    identical per-bucket gradients, doc counts, and decimal updates."""
+    import hashlib
+    from decimal import Decimal
+
+    import pyarrow.parquet as pq
+
+    from film_media_etl_spark.queries.ml_features import (
+        _N_BUCKETS,
+        ext_linear_gradient_step,
+    )
+
+    def bucket(term):
+        return int(hashlib.md5(term.encode()).hexdigest()[:6], 16) % _N_BUCKETS
+
+    tbl = pq.read_table(
+        f"{PARITY_SF_DIR}/documents.parquet", columns=["doc_id", "text", "n_chars"]
+    ).to_pylist()
+    grads, docs_per_bucket = {}, {}
+    for row in tbl:
+        toks = [t for t in (row["text"] or "").lower().split(" ") if t]
+        if not toks:
+            continue
+        tf = {}
+        for t in toks:
+            b = bucket(t)
+            tf[b] = tf.get(b, 0) + 1
+        r = 3 + sum(n * ((b * 37) % 21 - 10) for b, n in tf.items()) - row["n_chars"]
+        for b, n in tf.items():
+            grads[b] = grads.get(b, 0) + r * n
+            docs_per_bucket[b] = docs_per_bucket.get(b, 0) + 1
+    lr = Decimal("0.000000001")
+    want = {
+        b: (
+            (b * 37) % 21 - 10,
+            g,
+            docs_per_bucket[b],
+            Decimal((b * 37) % 21 - 10) - g * lr,
+        )
+        for b, g in grads.items()
+    }
+    got = {
+        r["bucket"]: (r["w_old"], r["grad"], r["n_docs"], Decimal(r["w_new"]))
+        for r in ext_linear_gradient_step(spark, PARITY_SF_DIR).collect()
+    }
+    assert got == want
+    # the step moves at least one weight
+    assert any(v[1] != 0 for v in got.values())

@@ -60,6 +60,7 @@ QUERIES = [
     "ext_hard_negatives",
     "ext_dp_noisy_counts",
     "ext_linear_gradient_step",
+    "ext_binaryfile_ingest",
     "ext_multimodal_spectrum",
     "ext_bpe_merges",
     "ext_bpe_tokenize",

@@ -179,11 +179,10 @@ def kn_oracle_ctes() -> str:
     )"""
 
 
-def kn_doc_scores(docs: DataFrame) -> DataFrame:
-    """Spark twin of :func:`kn_oracle_ctes`'s `kn_scores`: per-document
-    (doc_id, n_bigrams, kn_avg_logp) under the self-trained interpolated
-    Kneser-Ney bigram model (D = 0.75). See ext_kneser_ney_lm for the
-    model and exactness notes."""
+def kn_model_parts(docs: DataFrame):
+    """(bg, model, w1s): the Kneser-Ney building blocks shared by the
+    per-doc scorer and the greedy decoder — bigram occurrences, the
+    (w1, w2, logp) model table, and the per-context totals."""
     t = (
         docs.where(F.col("text").isNotNull())
         .select("doc_id", F.split(F.lower("text"), " ").alias("toks"))
@@ -225,6 +224,15 @@ def kn_doc_scores(docs: DataFrame) -> DataFrame:
             "w1", "w2", F.round(F.log10(p), 6).cast("decimal(12,6)").alias("logp")
         )
     )
+    return bg, model, w1s
+
+
+def kn_doc_scores(docs: DataFrame) -> DataFrame:
+    """Spark twin of :func:`kn_oracle_ctes`'s `kn_scores`: per-document
+    (doc_id, n_bigrams, kn_avg_logp) under the self-trained interpolated
+    Kneser-Ney bigram model (D = 0.75). See ext_kneser_ney_lm for the
+    model and exactness notes."""
+    bg, model, _ = kn_model_parts(docs)
     return (
         bg.join(model, ["w1", "w2"])
         .groupBy("doc_id")
@@ -324,4 +332,88 @@ def ext_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("kn_avg_logp").alias("min_logp"),
             F.max("kn_avg_logp").alias("max_logp"),
         )
+    )
+
+
+_DECODE_STEPS = 8
+
+
+def _decode_oracle() -> str:
+    """Unrolled greedy-decode oracle (the ext_pagerank_exact discipline:
+    iteration count is a FIXED constant, so the loop unrolls into one
+    static SQL text): seed = highest-context-mass token, then 8 argmax
+    steps through the model, each a 1-row LIMIT with (logp desc, w2)
+    tie-break."""
+    ctes = [
+        "s0 AS (SELECT 0 AS step, w1 AS tok, CAST(0 AS DECIMAL(12,6)) AS lp"
+        " FROM w1s ORDER BY ctx DESC, w1 ASC LIMIT 1)"
+    ]
+    for k in range(1, _DECODE_STEPS + 1):
+        ctes.append(
+            f"s{k} AS (SELECT {k} AS step, m.w2 AS tok, m.logp AS lp"
+            f" FROM s{k - 1} p JOIN model m ON m.w1 = p.tok"
+            f" ORDER BY m.logp DESC, m.w2 ASC LIMIT 1)"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT step, tok, lp FROM s{k}" for k in range(_DECODE_STEPS + 1)
+    )
+    return f"""
+    WITH {kn_oracle_ctes()},
+    {", ".join(ctes)},
+    path AS ({union})
+    SELECT CAST(step AS INT) AS step, tok AS token,
+           CAST(lp AS DOUBLE) AS step_logp,
+           CAST(CAST(SUM(lp) OVER (ORDER BY step ASC) AS DECIMAL(20,6))
+                AS DOUBLE) AS cum_logp
+    FROM path
+    """
+
+
+@register("ext_lm_greedy_decode", oracle=_decode_oracle())
+def ext_lm_greedy_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy LM DECODING over the self-trained Kneser-Ney bigram model:
+    from the highest-context-mass seed token, take {_DECODE_STEPS}
+    argmax steps (ties: lexicographic on the next token) and emit the
+    generated path with per-step and cumulative log10 probabilities —
+    the generation/inference side of the LM family (scoring:
+    ext_kneser_ney_lm; quality split: ext_perplexity_buckets). Fully
+    deterministic, so the oracle unrolls the loop into static CTEs
+    (the exact-iterative discipline shared with ext_pagerank_exact).
+
+    Scale shape: the model build is ext_kneser_ney_lm's dataflow; each
+    decode step is a TakeOrdered over ONE context's continuations —
+    per-step work is the out-degree of the current token, independent
+    of corpus size, and the k argmax decisions are driver metadata
+    exactly like BPE's merge choices. Cumulative log-probs sum rounded
+    DECIMALs, so the path and its scores are bit-identical cross-engine."""
+    from decimal import Decimal
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    _, model, w1s = kn_model_parts(docs)
+    model = model.localCheckpoint(eager=False)
+    seed = w1s.orderBy(F.desc("ctx"), F.asc("w1")).limit(1).first()
+    rows = []
+    if seed is not None:
+        cur, cum = seed["w1"], Decimal("0")
+        rows.append((0, cur, Decimal("0"), cum))
+        for k in range(1, _DECODE_STEPS + 1):
+            nxt = (
+                model.where(F.col("w1") == cur)
+                .orderBy(F.desc("logp"), F.asc("w2"))
+                .limit(1)
+                .first()
+            )
+            if nxt is None:
+                break
+            cur = nxt["w2"]
+            cum += nxt["logp"]
+            rows.append((k, cur, nxt["logp"], cum))
+    return spark.createDataFrame(
+        rows,
+        "step int, token string, step_logp decimal(12,6), cum_logp decimal(20,6)",
+    ).select(
+        "step",
+        "token",
+        F.col("step_logp").cast("double").alias("step_logp"),
+        F.col("cum_logp").cast("double").alias("cum_logp"),
     )

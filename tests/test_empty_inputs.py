@@ -61,6 +61,7 @@ QUERIES = [
     "ext_dp_noisy_counts",
     "ext_linear_gradient_step",
     "ext_binaryfile_ingest",
+    "ext_lm_greedy_decode",
     "ext_multimodal_spectrum",
     "ext_bpe_merges",
     "ext_bpe_tokenize",

@@ -1278,3 +1278,45 @@ def test_linear_gradient_step_matches_python_model(spark):
     assert got == want
     # the step moves at least one weight
     assert any(v[1] != 0 for v in got.values())
+
+
+def test_lm_greedy_decode_matches_python_model(spark):
+    """The greedy path recomputed in Python from the engine's own model
+    table (itself oracle-pinned via ext_kneser_ney_lm): same seed rule
+    (max context mass, lexicographic tie), same argmax tie rule, same
+    decimal cumulative sums."""
+    from decimal import Decimal
+
+    from film_media_etl_spark.queries.charlm import (
+        _DECODE_STEPS,
+        ext_lm_greedy_decode,
+        kn_model_parts,
+    )
+    from film_media_etl_spark.sources import ensure_parallelism, load_table
+
+    docs = ensure_parallelism(load_table(spark, PARITY_SF_DIR, "documents"))
+    bg, model, w1s = kn_model_parts(docs)
+    m = {}
+    for r in model.collect():
+        m.setdefault(r["w1"], []).append((r["w2"], Decimal(str(r["logp"]))))
+    ctx = {r["w1"]: r["ctx"] for r in w1s.collect()}
+    seed = min(ctx, key=lambda w: (-ctx[w], w))
+    want = [(0, seed, Decimal(0), Decimal(0))]
+    cur, cum = seed, Decimal(0)
+    for k in range(1, _DECODE_STEPS + 1):
+        outs = m.get(cur)
+        if not outs:
+            break
+        w2, lp = min(outs, key=lambda t: (-t[1], t[0]))
+        cur, cum = w2, cum + lp
+        want.append((k, cur, lp, cum))
+
+    got = [
+        (r["step"], r["token"], Decimal(str(r["step_logp"])), Decimal(str(r["cum_logp"])))
+        for r in sorted(
+            ext_lm_greedy_decode(spark, PARITY_SF_DIR).collect(),
+            key=lambda r: r["step"],
+        )
+    ]
+    assert got == want
+    assert len(got) == _DECODE_STEPS + 1  # the chain never dead-ends here

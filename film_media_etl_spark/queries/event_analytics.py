@@ -177,3 +177,63 @@ def ext_collect_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(seq, ">").alias("event_path"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CEP-style sequence pattern matching
+# ---------------------------------------------------------------------------
+
+_SEQ_PATTERN = "v[cv]*p"  # a view leading through clicks/views to a purchase
+
+
+@register(
+    "ext_event_regex",
+    oracle=f"""
+    WITH j AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             string_agg(substr(event_type, 1, 1), ''
+                        ORDER BY ts ASC, event_id ASC) AS journey
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, n_events,
+           CAST(len(regexp_extract_all(journey, '{_SEQ_PATTERN}')) AS INT)
+             AS n_conversions,
+           len(regexp_extract_all(journey, '{_SEQ_PATTERN}')) > 0 AS converted
+    FROM j
+    """,
+)
+def ext_event_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-event-processing pattern match (the MATCH_RECOGNIZE /
+    Flink-CEP workload as a batch query): each user's event history
+    collapses to an initials string in exact (ts, event_id) order, and
+    the journey pattern '{_SEQ_PATTERN}' — a view funneling through
+    clicks/views into a purchase — is counted with non-overlapping
+    leftmost regex semantics (identical in Java regex and DuckDB's RE2
+    for this alternation-free pattern class).
+
+    Scale shape: one user-keyed shuffle; the per-user ordered collect is
+    bounded by that user's event count (the ext_top_paths caveat — a
+    whale user's history should be capped or windowed upstream); the
+    regex runs JVM-side per user, never per event. Event initials are
+    distinct across the 5 reference types, so the string is lossless."""
+    ev = load_table(spark, sf_dir, "events")
+    j = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda s: F.substring(s["event_type"], 1, 1),
+            ),
+            "",
+        ).alias("journey"),
+    )
+    n_conv = F.regexp_count(F.col("journey"), F.lit(_SEQ_PATTERN)).cast("int")
+    return j.select(
+        "user_id",
+        "n_events",
+        n_conv.alias("n_conversions"),
+        (n_conv > 0).alias("converted"),
+    )

@@ -62,6 +62,7 @@ QUERIES = [
     "ext_linear_gradient_step",
     "ext_binaryfile_ingest",
     "ext_lm_greedy_decode",
+    "ext_event_regex",
     "ext_multimodal_spectrum",
     "ext_bpe_merges",
     "ext_bpe_tokenize",

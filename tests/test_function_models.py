@@ -1320,3 +1320,48 @@ def test_lm_greedy_decode_matches_python_model(spark):
     ]
     assert got == want
     assert len(got) == _DECODE_STEPS + 1  # the chain never dead-ends here
+
+
+def test_event_regex_matches_python_model(spark):
+    """Journey strings and non-overlapping match counts recomputed in
+    Python re over the same (ts, event_id) ordering."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    from film_media_etl_spark.queries.event_analytics import (
+        _SEQ_PATTERN,
+        ext_event_regex,
+    )
+
+    tbl = pq.read_table(
+        f"{PARITY_SF_DIR}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    ).to_pylist()
+    per = {}
+    for r in tbl:
+        per.setdefault(r["user_id"], []).append(
+            (r["ts"], r["event_id"], r["event_type"][0])
+        )
+    want = {}
+    for u, evs in per.items():
+        evs.sort()
+        j = "".join(e[2] for e in evs)
+        n = len(re.findall(_SEQ_PATTERN, j))
+        want[u] = (len(evs), n, n > 0)
+    got = {
+        r["user_id"]: (r["n_events"], r["n_conversions"], r["converted"])
+        for r in ext_event_regex(spark, PARITY_SF_DIR).collect()
+    }
+    assert got == want
+    assert any(v[2] for v in got.values())
+    # at the driver's correctness SF both outcomes occur (at sf0.001
+    # every user's dense history happens to convert)
+    import os
+
+    sib = os.path.join(os.path.dirname(PARITY_SF_DIR.rstrip("/")), "sf0.01")
+    if os.path.isdir(sib):
+        flags = {
+            r["converted"] for r in ext_event_regex(spark, sib).collect()
+        }
+        assert flags == {True, False}

@@ -316,6 +316,30 @@ def _cms_bucket_sql(tok_sql: str, r: int) -> str:
     )
 
 
+def cms_buckets(tok_col: str):
+    """Array of (r, bucket) pairs for one token — one entry per hash row."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"),
+                F.expr(_cms_bucket_sql(tok_col, r)).cast("int").alias("bucket"),
+            )
+            for r in range(_CMS_D)
+        ]
+    )
+
+
+def cms_cells(toks: DataFrame) -> DataFrame:
+    """(r, bucket, c): the Count-Min grid over a token frame — the
+    MERGEABLE sketch state (cells add across any split of the input;
+    streaming/sketches.py exploits exactly that)."""
+    return (
+        toks.select(F.explode(cms_buckets("w")).alias("rb"))
+        .groupBy(F.col("rb.r").alias("r"), F.col("rb.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+
+
 @register(
     "ext_countmin_sketch",
     oracle=f"""
@@ -372,23 +396,8 @@ def ext_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         F.explode(F.split(F.lower("text"), " ")).alias("w")
     ).where(F.col("w") != "")
-
-    def buckets(tok_col: str):
-        return F.array(
-            *[
-                F.struct(
-                    F.lit(r).alias("r"),
-                    F.expr(_cms_bucket_sql(tok_col, r)).cast("int").alias("bucket"),
-                )
-                for r in range(_CMS_D)
-            ]
-        )
-
-    cells = (
-        toks.select(F.explode(buckets("w")).alias("rb"))
-        .groupBy(F.col("rb.r").alias("r"), F.col("rb.bucket").alias("bucket"))
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
-    )
+    buckets = cms_buckets
+    cells = cms_cells(toks)
     truth = (
         toks.groupBy("w")
         .agg(F.count(F.lit(1)).cast("long").alias("true_c"))

@@ -12,6 +12,7 @@ from .sinks import (
     start_incremental_summary,
     start_upsert_totals,
 )
+from .sketches import merge_cms, start_cms_stream
 from .windows import (
     read_events_stream,
     stream_dedup,
@@ -42,4 +43,6 @@ __all__ = [
     "stream_content_dedup",
     "stream_curation_gate",
     "stream_near_dup_filter",
+    "merge_cms",
+    "start_cms_stream",
 ]

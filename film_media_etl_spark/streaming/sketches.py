@@ -1,0 +1,68 @@
+"""Streaming Count-Min Sketch maintenance — the mergeable-sketch sink.
+
+CMS cells are pure additive state: the grid over any concatenation of
+inputs equals the cell-wise SUM of per-part grids. That makes the
+streaming maintenance exactly-once trivial to reason about: each
+micro-batch computes its own partial grid (queries/scale_ops.cms_cells)
+and MERGE-adds it into a versioned parquet snapshot (the sinks.py
+pattern — write ``v{batch_id}``, read the highest version, so a
+re-delivered batch rewrites the same version from the same input:
+idempotent). The parity test proves the streamed grid equals the batch
+grid over the whole corpus bit-for-bit — integer adds have no order
+sensitivity, so "approximately mergeable" is actually EXACTLY mergeable.
+
+At 100 TB the snapshot is still a fixed d x w grid (a few KB): the
+whole point of maintaining a sketch instead of exact counts.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..queries.scale_ops import cms_cells
+from .ingest_dedup import read_documents_stream
+from .sinks import read_snapshot
+
+
+def merge_cms(snapshot: DataFrame | None, batch_cells: DataFrame) -> DataFrame:
+    """Cell-wise additive MERGE of a partial grid into the snapshot."""
+    if snapshot is None:
+        return batch_cells
+    return (
+        snapshot.unionByName(batch_cells)
+        .groupBy("r", "bucket")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+
+
+def start_cms_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    snapshot_path: str,
+    checkpoint: str,
+    *,
+    available_now: bool = True,
+):
+    """Maintain the token-frequency CMS over the documents file stream."""
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        toks = batch_df.select(
+            F.explode(F.split(F.lower("text"), " ")).alias("w")
+        ).where(F.col("w") != "")
+        merged = merge_cms(read_snapshot(spark, snapshot_path), cms_cells(toks))
+        merged.write.mode("overwrite").parquet(
+            os.path.join(snapshot_path, f"v{batch_id}")
+        )
+
+    writer = (
+        read_documents_stream(spark, sf_dir)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

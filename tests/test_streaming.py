@@ -978,3 +978,50 @@ def test_stream_near_dup_filter_state_survives_restart(spark, tmp_path):
 
     got = {r["doc_id"]: r["admitted"] for r in spark.read.parquet(out).collect()}
     assert got == {1: True, 11: False}
+
+
+def test_stream_cms_matches_batch_grid(spark, tmp_path):
+    """Mergeable-sketch maintenance: the CMS grid built by streaming the
+    corpus as THREE separate file drops (maxFilesPerTrigger=1, so three
+    micro-batches MERGE-add into the versioned snapshot) must equal the
+    batch grid over the whole corpus bit-for-bit — integer cell adds
+    are order-free, so mergeability here is exact, not approximate."""
+    import pyarrow.parquet as pq
+
+    from film_media_etl_spark.queries.scale_ops import cms_cells
+    from film_media_etl_spark.streaming.sketches import start_cms_stream
+    from film_media_etl_spark.streaming.sinks import read_snapshot
+
+    src = tmp_path / "src"
+    src.mkdir()
+    tbl = pq.read_table(f"{PARITY_SF_DIR}/documents.parquet")
+    n = tbl.num_rows
+    # first chunk keeps the canonical name: the stream reader pins its
+    # schema from a static read of <sf_dir>/documents.parquet
+    names = ["documents.parquet", "documents_1.parquet", "documents_2.parquet"]
+    for name, (lo, hi) in zip(
+        names, [(0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, n)]
+    ):
+        pq.write_table(tbl.slice(lo, hi - lo), src / name)
+
+    snap = str(tmp_path / "snap")
+    q = start_cms_stream(
+        spark, str(src), snap, str(tmp_path / "ckpt"), available_now=True
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["r"], r["bucket"]): r["c"]
+        for r in read_snapshot(spark, snap).collect()
+    }
+    import pyspark.sql.functions as F
+
+    toks = (
+        spark.read.parquet(f"{PARITY_SF_DIR}/documents.parquet")
+        .select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .where(F.col("w") != "")
+    )
+    want = {
+        (r["r"], r["bucket"]): r["c"] for r in cms_cells(toks).collect()
+    }
+    assert got == want and len(want) > 100

@@ -820,3 +820,85 @@ def ext_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per.join(nm, "cluster_id").select(
         "cluster_id", "n_members", "golden_name", "min_size", "max_retail"
     )
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust trend
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ext_theil_sen",
+    oracle="""
+    WITH daily AS MATERIALIZED (
+      SELECT event_type,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    slopes AS (
+      SELECT a.event_type,
+             (b.y - a.y) / CAST(b.x - a.x AS DOUBLE) AS slope
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND a.x < b.x
+    ),
+    fit AS (
+      SELECT event_type, quantile_cont(slope, 0.5) AS slope
+      FROM slopes GROUP BY 1
+    )
+    SELECT d.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           MIN(f.slope) AS slope,
+           quantile_cont(d.y - f.slope * d.x, 0.5) AS intercept
+    FROM daily d JOIN fit f USING (event_type)
+    GROUP BY d.event_type
+    """,
+)
+def ext_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per event type: slope = MEDIAN of all
+    pairwise day-over-day slopes of the daily value series, intercept =
+    median residual — the outlier-resistant complement to ext_corr_ols
+    (one corrupted day shifts OLS arbitrarily; Theil-Sen tolerates up
+    to ~29% contamination).
+
+    Exactness: daily totals are decimal sums cast once to double; each
+    pairwise slope is one deterministic double expression; both medians
+    are percentile()/quantile_cont — pinned bit-for-bit cross-engine
+    (the ext_anomaly_mad precedent).
+
+    Scale shape: the corpus collapses to a (type, day) frame FIRST (one
+    map-side-combined aggregate), so the O(n^2) pair join is quadratic
+    only in DAYS per type — bounded by the calendar, not the corpus; a
+    10-year series is ~6.7M pairs per type, trivially partitionable on
+    the type key."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias("x"),
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("y")
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.x") < F.col("b.x")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        (
+            (F.col("b.y") - F.col("a.y"))
+            / (F.col("b.x") - F.col("a.x")).cast("double")
+        ).alias("slope"),
+    )
+    fit = slopes.groupBy("event_type").agg(
+        F.expr("percentile(slope, 0.5D)").alias("slope")
+    )
+    return (
+        daily.join(F.broadcast(fit), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.min("slope").alias("slope"),
+            F.expr("percentile(y - slope * x, 0.5D)").alias("intercept"),
+        )
+    )

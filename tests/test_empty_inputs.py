@@ -63,6 +63,7 @@ QUERIES = [
     "ext_binaryfile_ingest",
     "ext_lm_greedy_decode",
     "ext_event_regex",
+    "ext_theil_sen",
     "ext_multimodal_spectrum",
     "ext_bpe_merges",
     "ext_bpe_tokenize",

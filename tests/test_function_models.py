@@ -1365,3 +1365,46 @@ def test_event_regex_matches_python_model(spark):
             r["converted"] for r in ext_event_regex(spark, sib).collect()
         }
         assert flags == {True, False}
+
+
+def test_theil_sen_matches_python_model(spark):
+    """Slope/intercept recomputed in Python (statistics.median over all
+    pairwise slopes of the exact daily decimal totals)."""
+    import statistics
+    from decimal import Decimal
+
+    import pyarrow.parquet as pq
+
+    from film_media_etl_spark.queries.advanced_analytics import ext_theil_sen
+
+    tbl = pq.read_table(
+        f"{PARITY_SF_DIR}/events.parquet", columns=["event_type", "ts", "value"]
+    ).to_pylist()
+    daily = {}
+    for r in tbl:
+        key = (r["event_type"], r["ts"].date().toordinal() - 719163)  # 1970-01-01
+        q = Decimal(str(r["value"])).quantize(Decimal("0.0001"))
+        daily[key] = daily.get(key, Decimal(0)) + q
+    series = {}
+    for (t, x), y in daily.items():
+        series.setdefault(t, []).append((x, float(y)))
+    want = {}
+    for t, pts in series.items():
+        pts.sort()
+        slopes = [
+            (y2 - y1) / float(x2 - x1)
+            for i, (x1, y1) in enumerate(pts)
+            for (x2, y2) in pts[i + 1 :]
+        ]
+        s = statistics.median(slopes)
+        want[t] = (len(pts), s, statistics.median(y - s * x for x, y in pts))
+
+    got = {
+        r["event_type"]: (r["n_days"], r["slope"], r["intercept"])
+        for r in ext_theil_sen(spark, PARITY_SF_DIR).collect()
+    }
+    assert set(got) == set(want)
+    for t, (n, s, b) in want.items():
+        gn, gs, gb = got[t]
+        assert gn == n
+        assert abs(gs - s) < 1e-9 and abs(gb - b) < 1e-9

@@ -64,13 +64,14 @@ def _seeds(emb: DataFrame) -> DataFrame:
     )
 
 
-def _assigned(emb: DataFrame) -> DataFrame:
+def _assigned(emb: DataFrame, cents: DataFrame | None = None) -> DataFrame:
     """Spark twin of `_ASSIGN_CTES.assigned`, with the vector (`ve`) and
     `label` carried along for consumers that need them (unused columns
-    are pruned by Catalyst)."""
+    are pruned by Catalyst). ``cents`` overrides the seed centroids —
+    the Lloyd LOOP passes each round's updated (centroid_id, ce)."""
     scored = emb.select(
         "vec_id", "label", to_double_vec(F.col("embedding")).alias("ve")
-    ).crossJoin(_seeds(emb)).select(
+    ).crossJoin(F.broadcast(cents) if cents is not None else _seeds(emb)).select(
         "vec_id",
         "label",
         "ve",
@@ -192,3 +193,137 @@ def ext_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         old_coord.alias("old_coord"),
         (new_coord - old_coord).alias("shift"),
     )
+
+
+_LOOP_ROUNDS = 3
+
+
+def _loop_oracle() -> str:
+    """Unrolled 3-round Lloyd oracle (the exact-iterative discipline:
+    fixed round count -> static CTE text). Each round materializes the
+    assignment, emits its cluster stats, and rebuilds the next round's
+    centroid ARRAYS from the Q20 fixed-point means (list(new_coord
+    ORDER BY dim)); empty clusters drop out of the next round in both
+    engines identically."""
+    parts = [
+        f"""
+    cent0 AS (
+      SELECT vec_id AS centroid_id,
+             list_transform(range(1, len(embedding) + 1),
+                            i -> embedding[i]::DOUBLE) AS ce
+      FROM embeddings WHERE vec_id < {_N_SEEDS}
+    )"""
+    ]
+    for t in range(_LOOP_ROUNDS):
+        parts.append(
+            f"""
+    scored{t} AS (
+      SELECT v.vec_id, c.centroid_id,
+             {oracle_l2sq("v.embedding", "c.ce")} AS dist2
+      FROM embeddings v CROSS JOIN cent{t} c
+    ),
+    assigned{t} AS MATERIALIZED (
+      SELECT vec_id, centroid_id, dist2
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY vec_id ORDER BY dist2 ASC, centroid_id ASC) AS rn
+        FROM scored{t}
+      ) WHERE rn = 1
+    ),
+    stats{t} AS (
+      SELECT CAST({t} AS INT) AS round, centroid_id,
+             CAST(COUNT(*) AS BIGINT) AS n_vectors,
+             MIN(dist2) AS min_dist2, MAX(dist2) AS max_dist2
+      FROM assigned{t} GROUP BY centroid_id
+    ),
+    sums{t} AS (
+      SELECT a.centroid_id, i - 1 AS dim,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(floor(e.embedding[i]::DOUBLE * {_FP_SCALE}.0)
+                           AS BIGINT)) AS BIGINT) AS s_fp
+      FROM assigned{t} a
+      JOIN embeddings e USING (vec_id),
+      UNNEST(range(1, len(e.embedding) + 1)) AS r(i)
+      GROUP BY 1, 2
+    ),
+    cent{t + 1} AS (
+      SELECT centroid_id,
+             list(CAST(s_fp AS DOUBLE) / (CAST(n AS DOUBLE) * {_FP_SCALE}.0)
+                  ORDER BY dim) AS ce
+      FROM sums{t} GROUP BY centroid_id
+    )"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT * FROM stats{t}" for t in range(_LOOP_ROUNDS)
+    )
+    return "WITH " + ",".join(parts) + f" {union}"
+
+
+@register("ext_kmeans_loop", oracle=_loop_oracle())
+def ext_kmeans_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL Lloyd iteration — {_LOOP_ROUNDS} assign+update rounds with
+    evolving centroids — as one oracle-exact query: every round's
+    cluster sizes and distance envelopes, with the next round's
+    centroids rebuilt from the Q20 fixed-point means (ext_kmeans_update
+    semantics), so the whole trajectory is bit-identical cross-engine
+    (the unrolled-CTE discipline shared with ext_pagerank_exact and
+    ext_lm_greedy_decode).
+
+    Scale shape per round: centroids broadcast (k arrays) -> map-only
+    scoring -> per-vector argmin window -> one k x d-bounded update
+    aggregate; localCheckpoint between rounds bounds lineage exactly
+    like the graph loops. Empty clusters drop out of later rounds in
+    both engines identically."""
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    cents = (
+        _seeds(emb)
+        .select("centroid_id", "ce")
+        .localCheckpoint(eager=False)
+    )
+    stats = []
+    for t in range(_LOOP_ROUNDS):
+        assigned = _assigned(emb, cents).localCheckpoint(eager=False)
+        stats.append(
+            assigned.groupBy("centroid_id").agg(
+                F.count(F.lit(1)).cast("long").alias("n_vectors"),
+                F.min("dist2").alias("min_dist2"),
+                F.max("dist2").alias("max_dist2"),
+            ).select(
+                F.lit(t).cast("int").alias("round"),
+                "centroid_id",
+                "n_vectors",
+                "min_dist2",
+                "max_dist2",
+            )
+        )
+        sums = (
+            assigned.select("centroid_id", F.posexplode("ve").alias("dim", "v"))
+            .groupBy("centroid_id", "dim")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum(
+                    F.floor(F.col("v") * F.lit(float(_FP_SCALE))).cast("long")
+                ).cast("long").alias("s_fp"),
+            )
+        )
+        cents = (
+            sums.withColumn(
+                "coord",
+                F.col("s_fp").cast("double")
+                / (F.col("n").cast("double") * F.lit(float(_FP_SCALE))),
+            )
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("dim", "coord"))
+                    ),
+                    lambda s: s["coord"],
+                ).alias("ce")
+            )
+            .localCheckpoint(eager=False)
+        )
+    out = stats[0]
+    for s in stats[1:]:
+        out = out.unionByName(s)
+    return out

@@ -64,6 +64,7 @@ QUERIES = [
     "ext_lm_greedy_decode",
     "ext_event_regex",
     "ext_theil_sen",
+    "ext_kmeans_loop",
     "ext_multimodal_spectrum",
     "ext_bpe_merges",
     "ext_bpe_tokenize",

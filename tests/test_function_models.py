@@ -1408,3 +1408,33 @@ def test_theil_sen_matches_python_model(spark):
         gn, gs, gb = got[t]
         assert gn == n
         assert abs(gs - s) < 1e-9 and abs(gb - b) < 1e-9
+
+
+def test_kmeans_loop_round0_matches_assign_and_conserves_mass(spark):
+    """The loop's round 0 must reproduce ext_kmeans_assign exactly (same
+    shared assignment stage), and every round must partition the full
+    corpus (cluster sizes sum to the vector count)."""
+    from film_media_etl_spark.queries.clustering import (
+        _LOOP_ROUNDS,
+        ext_kmeans_assign,
+        ext_kmeans_loop,
+    )
+
+    rows = ext_kmeans_loop(spark, PARITY_SF_DIR).collect()
+    total = None
+    by_round = {}
+    for r in rows:
+        by_round.setdefault(r["round"], {})[r["centroid_id"]] = (
+            r["n_vectors"],
+            r["min_dist2"],
+            r["max_dist2"],
+        )
+    assert set(by_round) == set(range(_LOOP_ROUNDS))
+    n_vecs = {sum(v[0] for v in rd.values()) for rd in by_round.values()}
+    assert len(n_vecs) == 1  # every round partitions the same corpus
+
+    assign = {
+        r["centroid_id"]: (r["n_vectors"], r["min_dist2"], r["max_dist2"])
+        for r in ext_kmeans_assign(spark, PARITY_SF_DIR).collect()
+    }
+    assert by_round[0] == assign

@@ -237,3 +237,100 @@ def ext_event_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_conv.alias("n_conversions"),
         (n_conv > 0).alias("converted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-constrained (windowed) funnel
+# ---------------------------------------------------------------------------
+
+_FUNNEL_STEP_HOURS = 72  # each step must follow the previous within 3 days
+
+
+@register(
+    "ext_funnel_windowed",
+    oracle=f"""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+        AND e.ts <= v.t_view + INTERVAL {_FUNNEL_STEP_HOURS} HOUR
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        AND e.ts <= c.t_click + INTERVAL {_FUNNEL_STEP_HOURS} HOUR
+      GROUP BY e.user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_viewed,
+           CAST(COUNT(c.user_id) AS BIGINT) AS n_clicked_in_window,
+           CAST(COUNT(p.user_id) AS BIGINT) AS n_purchased_in_window,
+           COALESCE(CAST(COUNT(c.user_id) AS DOUBLE)
+                    / nullif(COUNT(*), 0), 0.0) AS view_to_click,
+           COALESCE(CAST(COUNT(p.user_id) AS DOUBLE)
+                    / nullif(COUNT(c.user_id), 0), 0.0) AS click_to_purchase
+    FROM v
+    LEFT JOIN c ON v.user_id = c.user_id
+    LEFT JOIN p ON c.user_id = p.user_id
+    """,
+)
+def ext_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-constrained funnel (the product-analytics convention the
+    unconstrained ext_funnel cannot express): view -> first click within
+    {_FUNNEL_STEP_HOURS}h of the first view -> first purchase within
+    {_FUNNEL_STEP_HOURS}h of that click. Each stage anchors on the
+    PREVIOUS stage's qualifying timestamp, so a purchase months later
+    no longer counts — the difference between correlation and a journey.
+
+    Scale shape: three user-keyed MIN aggregates chained by broadcast-
+    able/AQE-planable equi-joins on user_id — no windows, no per-user
+    sequence materialization; each stage's frame only shrinks. Conversion
+    ratios are single double divisions (exact cross-engine); the
+    zero-click edge cases carry 0.0 sentinels, never NULL."""
+    ev = load_table(spark, sf_dir, "events")
+    step = F.expr(f"INTERVAL {_FUNNEL_STEP_HOURS} HOURS")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(
+            (F.col("ts") > F.col("t_view"))
+            & (F.col("ts") <= F.col("t_view") + step)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(
+            (F.col("ts") > F.col("t_click"))
+            & (F.col("ts") <= F.col("t_click") + step)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    joined = v.join(c, "user_id", "left").join(p, "user_id", "left")
+    n_v = F.count(F.lit(1))
+    n_c = F.count("t_click")
+    n_p = F.count("t_purchase")
+    return joined.agg(
+        n_v.cast("long").alias("n_viewed"),
+        n_c.cast("long").alias("n_clicked_in_window"),
+        n_p.cast("long").alias("n_purchased_in_window"),
+        F.coalesce(
+            n_c.cast("double") / F.nullif(n_v, F.lit(0)), F.lit(0.0)
+        ).alias("view_to_click"),
+        F.coalesce(
+            n_p.cast("double") / F.nullif(n_c, F.lit(0)), F.lit(0.0)
+        ).alias("click_to_purchase"),
+    )

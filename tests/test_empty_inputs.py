@@ -65,6 +65,7 @@ QUERIES = [
     "ext_event_regex",
     "ext_theil_sen",
     "ext_kmeans_loop",
+    "ext_funnel_windowed",
     "ext_multimodal_spectrum",
     "ext_bpe_merges",
     "ext_bpe_tokenize",
@@ -93,6 +94,7 @@ def test_query_survives_empty_input(spark, empty_sf_dir, name):
         # aggregates without GROUP BY legally return one (empty-stats) row
         "report_r14_year_range",
         "report_r15_summary_kpis",
+        "ext_funnel_windowed",
         # the dim's constant 'Unknown' fallback row exists by definition
         # even over an empty source (reference ` loadAnalyticsDB...R`:472)
         "star_dim_location",

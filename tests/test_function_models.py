@@ -1438,3 +1438,44 @@ def test_kmeans_loop_round0_matches_assign_and_conserves_mass(spark):
         for r in ext_kmeans_assign(spark, PARITY_SF_DIR).collect()
     }
     assert by_round[0] == assign
+
+
+def test_funnel_windowed_matches_python_model(spark):
+    """Stage counts recomputed in Python with the same anchored-window
+    rule; the window must BITE (strictly fewer conversions than the
+    unconstrained funnel would admit, or at least a non-trivial mix)."""
+    import datetime
+
+    import pyarrow.parquet as pq
+
+    from film_media_etl_spark.queries.event_analytics import (
+        _FUNNEL_STEP_HOURS,
+        ext_funnel_windowed,
+    )
+
+    tbl = pq.read_table(
+        f"{PARITY_SF_DIR}/events.parquet", columns=["user_id", "ts", "event_type"]
+    ).to_pylist()
+    per = {}
+    for r in tbl:
+        per.setdefault(r["user_id"], []).append((r["ts"], r["event_type"]))
+    step = datetime.timedelta(hours=_FUNNEL_STEP_HOURS)
+    n_v = n_c = n_p = 0
+    for evs in per.values():
+        views = [t for t, e in evs if e == "view"]
+        if not views:
+            continue
+        n_v += 1
+        tv = min(views)
+        clicks = [t for t, e in evs if e == "click" and tv < t <= tv + step]
+        if not clicks:
+            continue
+        n_c += 1
+        tc = min(clicks)
+        if any(e == "purchase" and tc < t <= tc + step for t, e in evs):
+            n_p += 1
+    row = ext_funnel_windowed(spark, PARITY_SF_DIR).collect()[0]
+    assert (row["n_viewed"], row["n_clicked_in_window"], row["n_purchased_in_window"]) == (n_v, n_c, n_p)
+    assert row["view_to_click"] == (n_c / n_v if n_v else 0.0)
+    assert row["click_to_purchase"] == (n_p / n_c if n_c else 0.0)
+    assert n_v > 0 and n_p < n_v  # the funnel narrows

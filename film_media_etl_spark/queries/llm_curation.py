@@ -699,7 +699,7 @@ def _laplace_noise_sql(key_sql: str) -> str:
            {_laplace_noise_sql("event_type")} AS noise,
            CAST(true_c + {_laplace_noise_sql("event_type")}
                 AS DECIMAL(24,6)) AS noisy_c,
-           {_DP_EPS} AS epsilon
+           CAST({_DP_EPS} AS DOUBLE) AS epsilon
     FROM g
     """,
 )

@@ -19,6 +19,15 @@ makes BPE training corpus-size-independent:
   tiny (word -> n_pieces) table — the fold runs once per distinct
   word, never per occurrence.
 
+OOV semantics: an unreachable prefix carries a NULL DP entry (array_max
+skips NULLs, so reachable paths still win — textbook -infinity), and a
+word whose chars are not covered by the piece table surfaces as
+n_pieces NULL from the segmenter; unigram_tokenize_docs reports those
+words in an explicit n_oov_words column instead of silently scoring
+them as zero-token perfection (they are impossible when the vocab is
+trained on the same corpus — the registered queries — but the public
+builders accept any piece table).
+
 Refinement: :func:`unigram_em_round` runs one hard-EM (Viterbi) round —
 E-step re-counts pieces along the actual best segmentations (a second
 fold walks the DP path BACKWARD with a smallest-start tie rule), M-step
@@ -76,11 +85,17 @@ def _all_substrings(words: DataFrame) -> DataFrame:
     )
 
 
-def build_unigram_vocab(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
+def build_unigram_vocab(
+    docs: DataFrame, *, text_col: str = "text", words: DataFrame | None = None
+) -> DataFrame:
     """Learn the unigram piece table: (piece, c, logp) — top VOCAB_SIZE
     multi-char substrings by weighted count (ties: lexicographic) plus
-    every single character, log-probs normalized over the KEPT mass."""
-    subs = _all_substrings(word_counts(docs, text_col=text_col))
+    every single character, log-probs normalized over the KEPT mass.
+    Pass a precomputed ``words`` (w, n) frame to reuse the corpus scan
+    (unigram_em_round does — one scan feeds both stages)."""
+    subs = _all_substrings(
+        words if words is not None else word_counts(docs, text_col=text_col)
+    )
     top = (
         subs.where(F.length("piece") > 1)
         .orderBy(F.desc("c"), F.asc("piece"))
@@ -98,17 +113,12 @@ def build_unigram_vocab(docs: DataFrame, *, text_col: str = "text") -> DataFrame
     )
 
 
-def viterbi_word_segments(words: DataFrame, pieces: DataFrame) -> DataFrame:
-    """Exact Viterbi per distinct word: (w, n_pieces, word_logp).
-
-    DP over prefix lengths 0..|w| with state (best logp, best piece
-    count) per prefix, folded in one `aggregate` — candidates for
-    position j are the piece matches ending at j, precomputed as a
-    per-word array via a broadcast equi-join on the substring text.
-    Maximization uses Spark's lexicographic struct ordering on
-    (logp, -n_pieces): highest probability first, fewer pieces on ties;
-    any deeper tie leaves both tracked outputs identical, so the result
-    is deterministic without further tie-breaking."""
+def _word_matches(words: DataFrame, pieces: DataFrame) -> DataFrame:
+    """(w, matches): per distinct word, the sorted array of piece-match
+    structs (j = exclusive end, i = 1-based start, logp) — the DP input
+    shared by the count-only fold and the path-extracting fold. Built
+    by a broadcast equi-join on the substring text; bounded per word by
+    |w| x MAX_PIECE_LEN."""
     spans = words.select(
         "w",
         F.explode(
@@ -133,56 +143,75 @@ def viterbi_word_segments(words: DataFrame, pieces: DataFrame) -> DataFrame:
         ).alias("m"),
     ).select("w", "m.i", "m.j", "m.piece")
     matched = spans.join(F.broadcast(pieces.select("piece", "logp")), "piece")
-    per_word = matched.groupBy("w").agg(
-        F.sort_array(
-            F.collect_list(F.struct("j", "i", "logp"))
-        ).alias("matches")
+    return matched.groupBy("w").agg(
+        F.sort_array(F.collect_list(F.struct("j", "i", "logp"))).alias("matches")
     )
 
+
+def _forward_step(acc, j):
+    """One forward-DP position: best (logp, piece count) for prefix j.
+    Candidates are matches ending at j (m.j is the EXCLUSIVE end, hence
+    j + 1); NULL DP entries (unreachable prefixes) propagate NULL
+    contributions that array_max skips — -infinity semantics."""
+    cands = F.filter(acc["ms"], lambda m: m["j"] == j + 1)
+    scored = F.transform(
+        cands,
+        lambda m: F.struct(
+            (F.element_at(acc["lps"], m["i"]) + m["logp"])
+            .cast(_LOGP_DEC)
+            .alias("lp"),
+            (-(F.element_at(acc["nps"], m["i"]) + 1)).alias("nnp"),
+        ),
+    )
+    best = F.array_max(scored)
+    return F.struct(
+        F.concat(acc["lps"], F.array(best["lp"])).alias("lps"),
+        F.concat(acc["nps"], F.array(-best["nnp"])).alias("nps"),
+        acc["ms"].alias("ms"),
+    )
+
+
+def _forward_fold(per_word: DataFrame) -> DataFrame:
+    """(w, matches, lps, nps): the full forward DP arrays per word."""
     zero = F.lit("0").cast(_LOGP_DEC)
-    init = F.struct(
-        F.array(zero).alias("lps"),
-        F.array(F.lit(0)).alias("nps"),
-    )
-
-    def step(acc, j):
-        # candidates: matches ending at prefix j (m.j is the EXCLUSIVE
-        # end = 1-based prefix length + 1, so compare against j + 1)
-        cands = F.filter(acc["ms"], lambda m: m["j"] == j + 1)
-        scored = F.transform(
-            cands,
-            lambda m: F.struct(
-                (F.element_at(acc["lps"], m["i"]) + m["logp"])
-                .cast(_LOGP_DEC)
-                .alias("lp"),
-                (-(F.element_at(acc["nps"], m["i"]) + 1)).alias("nnp"),
-            ),
-        )
-        best = F.array_max(scored)
-        return F.struct(
-            F.concat(acc["lps"], F.array(best["lp"])).alias("lps"),
-            F.concat(acc["nps"], F.array(-best["nnp"])).alias("nps"),
-            acc["ms"].alias("ms"),
-        )
-
-    folded = per_word.select(
+    return per_word.select(
         "w",
+        "matches",
         F.aggregate(
             F.sequence(F.lit(1), F.length("w")),
             F.struct(
-                init["lps"].alias("lps"),
-                init["nps"].alias("nps"),
+                F.array(zero).alias("lps"),
+                F.array(F.lit(0)).alias("nps"),
                 F.col("matches").alias("ms"),
             ),
-            step,
+            _forward_step,
         ).alias("dp"),
-    )
-    return folded.select(
+    ).select("w", "matches", "dp.lps", "dp.nps")
+
+
+def viterbi_word_segments(words: DataFrame, pieces: DataFrame) -> DataFrame:
+    """Exact Viterbi per distinct word: (w, n_pieces, word_logp).
+
+    Maximization uses Spark's lexicographic struct ordering on
+    (logp, -n_pieces): highest probability first, fewer pieces on ties;
+    any deeper tie leaves both tracked outputs identical, so the result
+    is deterministic without further tie-breaking. Words the piece
+    table cannot cover come back with NULL n_pieces/word_logp — the
+    caller decides the OOV policy (see unigram_tokenize_docs)."""
+    fwd = _forward_fold(_word_matches(words, pieces))
+    end_lp = F.element_at(F.col("lps"), F.length("w") + 1)
+    # OOV detection keys off the DECIMAL array: the int nps array has
+    # non-nullable elements, so its NULL coerces to 0 — the logp NULL
+    # survives and is the reliable unreachability signal for both.
+    return fwd.select(
         "w",
-        F.element_at(F.col("dp.nps"), F.length("w") + 1)
+        F.when(
+            end_lp.isNotNull(),
+            F.element_at(F.col("nps"), F.length("w") + 1),
+        )
         .cast("int")
         .alias("n_pieces"),
-        F.element_at(F.col("dp.lps"), F.length("w") + 1).alias("word_logp"),
+        end_lp.alias("word_logp"),
     )
 
 
@@ -191,8 +220,11 @@ def unigram_tokenize_docs(
 ) -> DataFrame:
     """Per-document unigram-LM token counts: Viterbi once per DISTINCT
     word (the vocabulary trick), then a (doc, word) aggregate joined
-    against the tiny (w -> n_pieces, word_logp) table. Docs with
-    null/empty text keep zeros via the left join, never NULL."""
+    against the tiny (w -> n_pieces, word_logp) table. Words the piece
+    table cannot segment are counted in n_oov_words (and excluded from
+    the token/logp totals) — never silently scored as zero-token
+    perfection. Docs with null/empty text keep zeros via the left
+    join, never NULL."""
     wpd = (
         docs.select(
             F.col(id_col),
@@ -203,13 +235,28 @@ def unigram_tokenize_docs(
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     segs = viterbi_word_segments(wpd.select("w").distinct(), pieces)
+    # LEFT join: a word with NO piece match at all (every char OOV) is
+    # absent from the segmenter's output and must still count as OOV
+    oov = F.col("n_pieces").isNull()
     per_doc = (
-        wpd.join(segs, "w")
+        wpd.join(segs, "w", "left")
         .groupBy(id_col)
         .agg(
-            F.sum(F.col("cnt") * F.col("n_pieces")).cast("long").alias("n_unigram_tokens"),
+            F.coalesce(
+                F.sum(F.when(~oov, F.col("cnt") * F.col("n_pieces"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_unigram_tokens"),
             F.sum("cnt").cast("long").alias("n_words"),
-            F.sum(F.col("cnt").cast(_LOGP_DEC) * F.col("word_logp"))
+            F.coalesce(F.sum(F.when(oov, F.col("cnt"))), F.lit(0))
+            .cast("long")
+            .alias("n_oov_words"),
+            F.coalesce(
+                F.sum(
+                    F.when(~oov, F.col("cnt").cast(_LOGP_DEC) * F.col("word_logp"))
+                ),
+                F.lit("0").cast(_LOGP_DEC),
+            )
             .cast("decimal(28,6)")
             .alias("doc_logp"),
         )
@@ -220,6 +267,7 @@ def unigram_tokenize_docs(
             "n_unigram_tokens"
         ),
         F.coalesce("n_words", F.lit(0).cast("long")).alias("n_words"),
+        F.coalesce("n_oov_words", F.lit(0).cast("long")).alias("n_oov_words"),
         F.coalesce(
             F.col("doc_logp"), F.lit("0").cast("decimal(28,6)")
         ).alias("doc_logp"),
@@ -228,73 +276,14 @@ def unigram_tokenize_docs(
 
 def viterbi_segment_pieces(words: DataFrame, pieces: DataFrame) -> DataFrame:
     """(w, seg): the actual best-path piece sequence per distinct word —
-    forward DP exactly as :func:`viterbi_word_segments`, then a second
-    fold walks the path BACKWARD: at prefix j, among candidates whose
-    (logp, count) equals the stored optimum, take the smallest start i
-    (the longest final piece) — a total tie rule, so the segmentation
-    is a pure function of (word, piece table). Feeds the EM/pruning
-    round; the count-only fold stays the cheaper inference path."""
-    spans = words.select(
-        "w",
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.sequence(F.lit(1), F.length("w")),
-                    lambda i: F.transform(
-                        F.sequence(
-                            F.lit(1),
-                            F.least(
-                                F.lit(MAX_PIECE_LEN), F.length("w") - i + 1
-                            ),
-                        ),
-                        lambda l: F.struct(
-                            i.cast("int").alias("i"),
-                            (i + l).cast("int").alias("j"),
-                            F.col("w").substr(i, l).alias("piece"),
-                        ),
-                    ),
-                )
-            )
-        ).alias("m"),
-    ).select("w", "m.i", "m.j", "m.piece")
-    matched = spans.join(F.broadcast(pieces.select("piece", "logp")), "piece")
-    per_word = matched.groupBy("w").agg(
-        F.sort_array(F.collect_list(F.struct("j", "i", "logp"))).alias("matches")
-    )
-
-    zero = F.lit("0").cast(_LOGP_DEC)
-
-    def fwd_step(acc, j):
-        cands = F.filter(acc["ms"], lambda m: m["j"] == j + 1)
-        scored = F.transform(
-            cands,
-            lambda m: F.struct(
-                (F.element_at(acc["lps"], m["i"]) + m["logp"])
-                .cast(_LOGP_DEC)
-                .alias("lp"),
-                (-(F.element_at(acc["nps"], m["i"]) + 1)).alias("nnp"),
-            ),
-        )
-        best = F.array_max(scored)
-        return F.struct(
-            F.concat(acc["lps"], F.array(best["lp"])).alias("lps"),
-            F.concat(acc["nps"], F.array(-best["nnp"])).alias("nps"),
-            acc["ms"].alias("ms"),
-        )
-
-    fwd = per_word.select(
-        "w",
-        "matches",
-        F.aggregate(
-            F.sequence(F.lit(1), F.length("w")),
-            F.struct(
-                F.array(zero).alias("lps"),
-                F.array(F.lit(0)).alias("nps"),
-                F.col("matches").alias("ms"),
-            ),
-            fwd_step,
-        ).alias("dp"),
-    ).select("w", "matches", "dp.lps", "dp.nps")
+    the shared forward DP, then a second fold walks the path BACKWARD:
+    at prefix j, among candidates whose (logp, count) equals the stored
+    optimum, take the smallest start i (the longest final piece) — a
+    total tie rule, so the segmentation is a pure function of
+    (word, piece table). Feeds the EM/pruning round; the count-only
+    fold stays the cheaper inference path. Uncoverable words yield an
+    empty seg (NULL-valued optimum matches nothing)."""
+    fwd = _forward_fold(_word_matches(words, pieces))
 
     def bwd_step(acc, _):
         j = acc["j"]
@@ -342,16 +331,16 @@ def unigram_em_round(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
     """One hard-EM (Viterbi) round over the seed vocabulary: E-step
     re-counts each piece's corpus-weighted usage in the best
     segmentations; M-step re-normalizes log-probs over the USED mass
-    and prunes never-used pieces — SentencePiece's prune step with the
-    Viterbi approximation to the expected counts, stated honestly.
-    Output per seed piece: (piece, c_seed, c_em, logp_em, pruned);
-    pruned rows carry the 0 sentinel (never NULL — driver contract).
+    and prunes never-used pieces (module doc). Output per seed piece:
+    (piece, c_seed, c_em, logp_em, pruned); pruned rows carry the 0
+    sentinel (never NULL — driver contract).
 
-    Scale: segmentation runs once per DISTINCT word (vocab trick);
-    the E-step count is one explode + map-side-combined aggregate over
+    Scale: ONE corpus scan builds (w, n), feeding both the vocab seeding
+    and the segmentation (the frame is checkpointed and passed through);
+    the E-step count is an explode + map-side-combined aggregate over
     vocabulary-sized data; the piece table stays broadcast-sized."""
     words = word_counts(docs, text_col=text_col).localCheckpoint(eager=False)
-    pieces = build_unigram_vocab(docs, text_col=text_col)
+    pieces = build_unigram_vocab(docs, text_col=text_col, words=words)
     segs = viterbi_segment_pieces(words.select("w"), pieces)
     used = (
         segs.join(words, "w")

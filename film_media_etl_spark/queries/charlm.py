@@ -159,7 +159,7 @@ def kn_oracle_ctes() -> str:
     w1s AS (SELECT w1, SUM(c) AS ctx, COUNT(*) AS n1fwd FROM cnt GROUP BY 1),
     w2s AS (SELECT w2, COUNT(*) AS cont FROM cnt GROUP BY 1),
     tys AS (SELECT COUNT(*) AS types FROM cnt),
-    model AS (
+    model AS MATERIALIZED (
       SELECT cnt.w1, cnt.w2,
              CAST(ROUND(log10(
                (greatest(CAST(c AS DOUBLE) - 0.75, 0.0)

@@ -396,7 +396,6 @@ def ext_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         F.explode(F.split(F.lower("text"), " ")).alias("w")
     ).where(F.col("w") != "")
-    buckets = cms_buckets
     cells = cms_cells(toks)
     truth = (
         toks.groupBy("w")
@@ -405,7 +404,7 @@ def ext_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_CMS_TOPK)
     )
     probes = truth.select(
-        "w", "true_c", F.explode(buckets("w")).alias("rb")
+        "w", "true_c", F.explode(cms_buckets("w")).alias("rb")
     ).select("w", "true_c", F.col("rb.r").alias("r"), F.col("rb.bucket").alias("bucket"))
     return (
         probes.join(F.broadcast(cells), ["r", "bucket"])

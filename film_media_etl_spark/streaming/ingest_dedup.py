@@ -39,15 +39,20 @@ from pyspark.sql import types as T
 from ..operators.dedup import simhash_bits
 
 
-def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def read_documents_stream(
+    spark: SparkSession, sf_dir: str, *, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """File-source stream over the documents parquet (schema pinned from
-    a static scan — never inference on a stream)."""
+    a static scan — never inference on a stream). Set
+    ``max_files_per_trigger`` to force one micro-batch per file drop —
+    tests use it to actually exercise multi-batch merge paths."""
     static = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return (
-        spark.readStream.schema(static.schema)
-        .option("pathGlobFilter", "documents*.parquet")
-        .parquet(sf_dir)
+    reader = spark.readStream.schema(static.schema).option(
+        "pathGlobFilter", "documents*.parquet"
     )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(sf_dir)
 
 
 def stream_content_dedup(docs: DataFrame) -> DataFrame:

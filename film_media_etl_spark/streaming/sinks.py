@@ -8,13 +8,16 @@ DataFrame, so the SCD1 merge of queries/warehouse_ops.py applies
 unchanged — aggregate the batch, full-outer join the current snapshot,
 write the next snapshot version.
 
-Snapshot versioning: each batch writes ``<path>/v{batch_id}`` and the
-reader takes the highest version. Writing a NEW directory per batch
-(never overwriting the one being read) is what makes the sink safe on
-plain parquet — the rename-free poor-man's ACID that table formats
-(Delta/Iceberg) industrialize. foreachBatch re-delivery (same batch_id
-after crash) simply rewrites the same version directory from the same
-input: idempotent.
+Snapshot versioning: each batch writes ``<path>/v{batch_id}``; readers
+take the highest version, but the MERGE inside a batch reads the
+highest version STRICTLY BELOW its own batch_id (read_snapshot's
+``before_batch``) — on re-delivery the replayed batch's own v{N} may
+already be the latest on disk, and merging into it would double-count.
+Anchored below batch_id, a replay rewrites v{N} from exactly the same
+(prior state, batch input): idempotent. Writing a NEW directory per
+batch (never overwriting the one being read) is what makes the sink
+safe on plain parquet — the rename-free poor-man's ACID that table
+formats (Delta/Iceberg) industrialize.
 
 At 100 TB the full-outer rewrite becomes partition-selective (merge only
 partitions containing batch keys); the per-batch shape stays identical.
@@ -30,19 +33,33 @@ from pyspark.sql import functions as F
 from .windows import read_events_stream
 
 
-def _latest_version(path: str) -> str | None:
+def _latest_version(path: str, before_batch: int | None = None) -> str | None:
     if not os.path.isdir(path):
         return None
     versions = sorted(
-        (d for d in os.listdir(path) if d.startswith("v")),
+        (
+            d
+            for d in os.listdir(path)
+            if d.startswith("v")
+            and (before_batch is None or int(d[1:]) < before_batch)
+        ),
         key=lambda d: int(d[1:]),
     )
     return os.path.join(path, versions[-1]) if versions else None
 
 
-def read_snapshot(spark: SparkSession, path: str) -> DataFrame | None:
-    """The current (highest-version) snapshot, or None before batch 0."""
-    latest = _latest_version(path)
+def read_snapshot(
+    spark: SparkSession, path: str, *, before_batch: int | None = None
+) -> DataFrame | None:
+    """The current (highest-version) snapshot, or None before batch 0.
+
+    foreachBatch MERGE sinks MUST pass ``before_batch=batch_id``: on
+    re-delivery (crash between the v{N} write and the checkpoint
+    commit), the highest version on disk is the replayed batch's OWN
+    v{N} — merging the batch into it would double-count. Reading the
+    highest version STRICTLY BELOW the batch id makes the rewrite a
+    pure function of (prior state, batch input): idempotent."""
+    latest = _latest_version(path, before_batch)
     return spark.read.parquet(latest) if latest else None
 
 
@@ -89,7 +106,9 @@ def start_upsert_totals(
             .cast("decimal(38,3)")
             .alias("total_value"),
         )
-        merged = merge_user_totals(read_snapshot(spark, snapshot_path), totals)
+        merged = merge_user_totals(
+            read_snapshot(spark, snapshot_path, before_batch=batch_id), totals
+        )
         merged.write.mode("overwrite").parquet(
             os.path.join(snapshot_path, f"v{batch_id}")
         )
@@ -124,9 +143,9 @@ def start_incremental_summary(
     merge_summary_support — matched accumulate, unmatched insert). The
     summary itself is summary_from_support over the latest snapshot —
     COUNT DISTINCT customers stays exact because the support is one
-    level finer than the view. Snapshot-per-batch versioning makes
-    foreachBatch re-delivery idempotent (same batch_id rewrites the same
-    version from the same input)."""
+    level finer than the view. Snapshot-per-batch versioning with the
+    before_batch anchor makes foreachBatch re-delivery idempotent (a
+    replay rewrites its version from the same prior state and input)."""
     from ..etl.star import (
         build_dim_location,
         build_dim_product,
@@ -143,7 +162,8 @@ def start_incremental_summary(
             .join(F.broadcast(dl), "location_key", "left")
         )
         merged = merge_summary_support(
-            read_snapshot(spark, snapshot_path), summary_support(enriched)
+            read_snapshot(spark, snapshot_path, before_batch=batch_id),
+            summary_support(enriched),
         )
         merged.write.mode("overwrite").parquet(
             os.path.join(snapshot_path, f"v{batch_id}")

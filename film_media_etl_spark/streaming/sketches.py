@@ -45,6 +45,7 @@ def start_cms_stream(
     checkpoint: str,
     *,
     available_now: bool = True,
+    max_files_per_trigger: int | None = None,
 ):
     """Maintain the token-frequency CMS over the documents file stream."""
 
@@ -52,13 +53,18 @@ def start_cms_stream(
         toks = batch_df.select(
             F.explode(F.split(F.lower("text"), " ")).alias("w")
         ).where(F.col("w") != "")
-        merged = merge_cms(read_snapshot(spark, snapshot_path), cms_cells(toks))
+        merged = merge_cms(
+            read_snapshot(spark, snapshot_path, before_batch=batch_id),
+            cms_cells(toks),
+        )
         merged.write.mode("overwrite").parquet(
             os.path.join(snapshot_path, f"v{batch_id}")
         )
 
     writer = (
-        read_documents_stream(spark, sf_dir)
+        read_documents_stream(
+            spark, sf_dir, max_files_per_trigger=max_files_per_trigger
+        )
         .writeStream.foreachBatch(apply_batch)
         .option("checkpointLocation", checkpoint)
         .outputMode("update")

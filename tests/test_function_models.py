@@ -1005,9 +1005,13 @@ def test_unigram_tokenize_matches_python_viterbi(spark):
     }
     assert got == want
     # segmentation does real work: strictly fewer tokens than characters
-    # for at least one multi-piece word corpus-wide
-    assert any(g[0] < sum(len(w) for w in (r["text"] or "").lower().split(" ") if w)
-               for g, r in zip(got.values(), tbl))
+    # for at least one document (compare each doc to ITS OWN text —
+    # collect order is arbitrary)
+    chars = {
+        r["doc_id"]: sum(len(w) for w in (r["text"] or "").lower().split(" ") if w)
+        for r in tbl
+    }
+    assert any(got[d][0] < chars[d] for d in got)
 
 
 def test_unigram_em_matches_python_model(spark):
@@ -1479,3 +1483,32 @@ def test_funnel_windowed_matches_python_model(spark):
     assert row["view_to_click"] == (n_c / n_v if n_v else 0.0)
     assert row["click_to_purchase"] == (n_p / n_c if n_c else 0.0)
     assert n_v > 0 and n_p < n_v  # the funnel narrows
+
+
+def test_unigram_tokenize_oov_words_reported(spark):
+    """A word the piece table cannot cover must surface in n_oov_words —
+    not as a silently-perfect zero-token score (pieces trained on a
+    DIFFERENT corpus than the docs being tokenized)."""
+    from film_media_etl_spark.operators.unigram import (
+        build_unigram_vocab,
+        unigram_tokenize_docs,
+    )
+
+    train = spark.createDataFrame(
+        [(0, "aa ab ba"), (1, "ab aa")], "doc_id long, text string"
+    )
+    pieces = build_unigram_vocab(train)
+    apply_docs = spark.createDataFrame(
+        [(10, "aa abz ab"), (11, "zz"), (12, "ba ba")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_unigram_tokens"], r["n_words"], r["n_oov_words"])
+        for r in unigram_tokenize_docs(apply_docs, pieces).collect()
+    }
+    # 'abz' and 'zz' contain 'z', absent from the training charset;
+    # 'aa' Viterbi-segments as a+a (logp(a)*2 > logp(aa)), 'ab' as one
+    # piece — 3 tokens over the two segmentable words, abz counted OOV
+    assert got[10] == (3, 3, 1)
+    assert got[11] == (0, 1, 1)
+    assert got[12][2] == 0 and got[12][1] == 2 and got[12][0] >= 1

@@ -1006,9 +1006,20 @@ def test_stream_cms_matches_batch_grid(spark, tmp_path):
 
     snap = str(tmp_path / "snap")
     q = start_cms_stream(
-        spark, str(src), snap, str(tmp_path / "ckpt"), available_now=True
+        spark,
+        str(src),
+        snap,
+        str(tmp_path / "ckpt"),
+        available_now=True,
+        max_files_per_trigger=1,
     )
     q.awaitTermination(120)
+
+    # the merge path actually ran: one snapshot version per file drop
+    import os
+
+    versions = sorted(d for d in os.listdir(snap) if d.startswith("v"))
+    assert len(versions) == 3, versions
 
     got = {
         (r["r"], r["bucket"]): r["c"]
@@ -1025,3 +1036,37 @@ def test_stream_cms_matches_batch_grid(spark, tmp_path):
         (r["r"], r["bucket"]): r["c"] for r in cms_cells(toks).collect()
     }
     assert got == want and len(want) > 100
+
+
+def test_snapshot_merge_redelivery_is_idempotent(spark, tmp_path):
+    """The re-delivery trap the before_batch anchor exists for: after a
+    crash between writing v{N} and committing the checkpoint, the
+    replayed batch N must NOT merge into its own v{N}. Simulate the
+    replay directly: merging batch 1 twice (anchored below batch 1)
+    yields identical cells; the unanchored read would double-count."""
+    import os
+
+    from film_media_etl_spark.streaming.sketches import merge_cms
+    from film_media_etl_spark.streaming.sinks import read_snapshot
+
+    snap = str(tmp_path / "snap")
+    b0 = spark.createDataFrame([(0, 1, 5), (1, 2, 7)], "r int, bucket int, c long")
+    b1 = spark.createDataFrame([(0, 1, 3), (2, 9, 4)], "r int, bucket int, c long")
+
+    merge_cms(read_snapshot(spark, snap, before_batch=0), b0).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(snap, "v0"))
+    merge_cms(read_snapshot(spark, snap, before_batch=1), b1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(snap, "v1"))
+    first = {
+        (r["r"], r["bucket"]): r["c"] for r in read_snapshot(spark, snap).collect()
+    }
+    # crash after the v1 write, before the checkpoint commit: replay batch 1
+    merge_cms(read_snapshot(spark, snap, before_batch=1), b1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(snap, "v1"))
+    replayed = {
+        (r["r"], r["bucket"]): r["c"] for r in read_snapshot(spark, snap).collect()
+    }
+    assert replayed == first == {(0, 1): 8, (1, 2): 7, (2, 9): 4}

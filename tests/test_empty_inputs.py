@@ -71,6 +71,7 @@ QUERIES = [
     "ext_bpe_tokenize",
     "ext_asof_join",
     "ext_tpch_q1_pricing_summary",
+    "ext_retrieval_metrics",
 ]
 
 

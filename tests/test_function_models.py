@@ -1512,3 +1512,76 @@ def test_unigram_tokenize_oov_words_reported(spark):
     assert got[10] == (3, 3, 1)
     assert got[11] == (0, 1, 1)
     assert got[12][2] == 0 and got[12][1] == 2 and got[12][0] >= 1
+
+
+def test_retrieval_metrics_matches_python_model(spark):
+    """precision@k / MRR / NDCG@k recomputed in Python over the exact
+    cosine ranking with label-match relevance and the same 6-decimal
+    discount rounding."""
+    from decimal import ROUND_HALF_UP, Decimal
+    import math
+
+    import pyarrow.parquet as pq
+
+    from film_media_etl_spark.queries.hybrid_retrieval import (
+        _EVAL_K,
+        _EVAL_QUERIES,
+        ext_retrieval_metrics,
+    )
+
+    tbl = pq.read_table(f"{PARITY_SF_DIR}/embeddings.parquet").to_pylist()
+    vecs = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in tbl}
+    labels = {r["vec_id"]: r["label"] for r in tbl}
+
+    def cos(a, b):
+        d = na = nb = 0.0
+        for x, y in zip(a, b):
+            d += x * y
+        for x in a:
+            na += x * x
+        for y in b:
+            nb += y * y
+        return d / (na**0.5 * nb**0.5)
+
+    def disc(rank):
+        return Decimal(1.0 / math.log2(rank + 1.0)).quantize(
+            Decimal("0.000001"), ROUND_HALF_UP
+        )
+
+    want = {}
+    for qid in range(_EVAL_QUERIES):
+        ranked = sorted(
+            ((-cos(vecs[n], vecs[qid]), n) for n in vecs if n != qid)
+        )
+        rels = [1 if labels[n] == labels[qid] else 0 for _, n in ranked]
+        top = rels[:_EVAL_K]
+        n_rel = sum(top)
+        first = next((i + 1 for i, r in enumerate(top) if r), 0)
+        dcg = sum((disc(i + 1) for i, r in enumerate(top) if r), Decimal(0))
+        n_rel_total = sum(rels)
+        ideal_n = min(n_rel_total, _EVAL_K)
+        idcg = sum((disc(i + 1) for i in range(ideal_n)), Decimal(0))
+        want[qid] = (
+            n_rel,
+            n_rel / _EVAL_K,
+            1.0 / first if first else 0.0,
+            float(dcg) / float(idcg) if idcg else 0.0,
+        )
+    got = {
+        r["query_id"]: (
+            r["n_rel_at_k"],
+            r["precision_at_k"],
+            r["mrr"],
+            r["ndcg_at_k"],
+        )
+        for r in ext_retrieval_metrics(spark, PARITY_SF_DIR).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0] and got[k][1] == want[k][1]
+        assert got[k][2] == want[k][2]
+        assert abs(got[k][3] - want[k][3]) < 1e-9
+    # the metric is informative on this corpus: not all queries perfect
+    assert any(v[3] < 1.0 for v in got.values()) or any(
+        v[0] < _EVAL_K for v in got.values()
+    )

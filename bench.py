@@ -144,19 +144,34 @@ def main() -> None:
         spread[name] = round(max(samples) - min(samples), 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "spread": spread,
-                "reps": reps,
-                "sf": _sf_from_dir(sf_dir),
-            }
-        )
+    full = {
+        "metric": "headline_suite_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "spread": spread,
+        "reps": reps,
+        "sf": _sf_from_dir(sf_dir),
+    }
+    # Full record (incl. per-query spread) goes to a FILE; stdout gets a
+    # compact medians-only line LAST. The driver's artifact keeps only
+    # the final ~2000 bytes of stdout, and the full record blew that
+    # budget in rounds 3/4 (BENCH_r0{3,4}.json landed "parsed": null,
+    # degrading round-over-round comparison to partial reconstruction).
+    # 59 queries x 2-decimal medians is ~1.8 KB; the assert keeps future
+    # suite growth honest instead of silently truncating again.
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"),
     )
+    with open(out_path, "w") as f:
+        json.dump(full, f)
+    compact = dict(full, queries={k: round(v, 2) for k, v in timings.items()},
+                   detail="BENCH_FULL.json")
+    del compact["spread"]
+    line = json.dumps(compact, separators=(",", ":"))
+    assert len(line) < 1990, f"bench stdout line {len(line)}B breaches the driver's 2000B tail window — trim HEADLINE or the encoding"
+    print(line)
 
 
 if __name__ == "__main__":

@@ -236,10 +236,18 @@ def unigram_tokenize_docs(
     )
     segs = viterbi_word_segments(wpd.select("w").distinct(), pieces)
     # LEFT join: a word with NO piece match at all (every char OOV) is
-    # absent from the segmenter's output and must still count as OOV
+    # absent from the segmenter's output and must still count as OOV.
+    # Broadcast: segs is one row per DISTINCT word (vocabulary-sized,
+    # never corpus-sized); broadcasting it means the corpus-sized wpd
+    # frame shuffles exactly once — on id_col for the groupBy below,
+    # which is unavoidable — instead of an extra word-keyed exchange
+    # for a sort-merge join. Drop the hint only if the vocabulary
+    # itself outgrows executor memory (web-scale junk tokens), at
+    # which point cap the vocab upstream rather than shuffle the
+    # corpus twice.
     oov = F.col("n_pieces").isNull()
     per_doc = (
-        wpd.join(segs, "w", "left")
+        wpd.join(F.broadcast(segs), "w", "left")
         .groupBy(id_col)
         .agg(
             F.coalesce(
@@ -282,7 +290,10 @@ def viterbi_segment_pieces(words: DataFrame, pieces: DataFrame) -> DataFrame:
     total tie rule, so the segmentation is a pure function of
     (word, piece table). Feeds the EM/pruning round; the count-only
     fold stays the cheaper inference path. Uncoverable words yield an
-    empty seg (NULL-valued optimum matches nothing)."""
+    EMPTY seg (the backward walk stops when no candidate reproduces the
+    NULL optimum) — and a word matching NO piece at all is absent from
+    the output entirely (the match join is inner); callers LEFT-join,
+    mirroring viterbi_word_segments' OOV contract."""
     fwd = _forward_fold(_word_matches(words, pieces))
 
     def bwd_step(acc, _):
@@ -308,7 +319,13 @@ def viterbi_segment_pieces(words: DataFrame, pieces: DataFrame) -> DataFrame:
             acc["lps"].alias("lps"),
             acc["nps"].alias("nps"),
         )
-        return F.when(j <= 0, acc).otherwise(advanced)
+        # imin NULL = no candidate reproduces the stored optimum, which
+        # only happens when the word is uncoverable (end prefix NULL):
+        # stop the walk with `out` untouched so the seg comes back
+        # EMPTY, as documented — without this guard each iteration
+        # would append a NULL piece that unigram_em_round would then
+        # explode into the used-mass normalizer.
+        return F.when((j <= 0) | imin.isNull(), acc).otherwise(advanced)
 
     bwd = fwd.select(
         "w",

@@ -357,7 +357,12 @@ def ext_fuzzy_match_passjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SCALE-PATH spelling of ext_fuzzy_match (identical output,
     identical oracle): when blocks are huge and true matches sparse, the
     in-block quadratic is the bottleneck — at 1M parts per brand it is
-    5*10^11 levenshtein calls. This variant never goes quadratic."""
+    5*10^11 levenshtein calls. Segment blocking bounds the pairs that
+    ever get SCORED to near-collisions, and verification runs map-side
+    inside the join's codegen stage, so nothing candidate-sized is ever
+    shuffled or materialized — the only pair-keyed exchange is the
+    final dedup over TRUE pairs (linear in corpus growth even when a
+    saturated name space makes raw candidates quadratic)."""
     p = ensure_parallelism(
         load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
     )
@@ -386,6 +391,7 @@ def ext_fuzzy_match_passjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     segs = p.where(la >= 3).select(
         F.col("p_partkey").alias("key_s"),
         F.col("p_brand").alias("brand"),
+        F.col("p_name").alias("name_s"),
         la.alias("len_s"),
         F.explode(
             F.array(
@@ -452,6 +458,7 @@ def ext_fuzzy_match_passjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "key_p",
             "brand",
+            "p_name",  # carried through for the map-side verify
             F.col("_alen").alias("alen"),
             F.col("_k").alias("seg_no"),
             F.col("p_name").substr((start + F.col("_dpos")).cast("int"), plen.cast("int")).alias("probe"),
@@ -462,7 +469,33 @@ def ext_fuzzy_match_passjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         # than a dedup shuffle here
     )
 
-    cand_seg = (
+    # VERIFY BEFORE ANY CANDIDATE SHUFFLE (the round-5 saturation fix):
+    # the bounded levenshtein runs directly on the segment-join output,
+    # inside the same codegen stage, so raw candidates die map-side and
+    # the only pair-keyed shuffle — the multi-segment-match dedup — sees
+    # TRUE pairs only. True pairs are exactly linear in corpus growth
+    # (verified at 16x: 16 x the 1x count), while raw candidates grow
+    # quadratically on a saturated name space (TPC-H's fixed two-word
+    # vocabulary): the earlier shape shuffled the raw candidates into a
+    # distinct() first, which is what blew 33x wall at 16x data and
+    # OOMed the memory-squeezed spill probe. Each early-abandoning
+    # levenshtein on a ~20-char name is sub-microsecond; shuffling the
+    # pair row it would have produced costs more. The name join-backs
+    # disappear too — both names are already on the joined row.
+
+    def _verified(pairs: DataFrame) -> DataFrame:
+        d = F.levenshtein(F.col("name_a"), F.col("name_b"), tau)
+        return (
+            pairs.where(
+                (F.abs(F.length("name_a") - F.length("name_b")) <= tau)
+                & (F.col("name_a") != F.col("name_b"))
+            )
+            .withColumn("edit_dist", d)
+            .where((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= tau))
+        )
+
+    a_first = F.col("key_s") < F.col("key_p")
+    pairs_seg = _verified(
         segs.join(
             probes,
             (segs.brand == probes.brand)
@@ -470,38 +503,35 @@ def ext_fuzzy_match_passjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("len_s") == probes.alen)
             & (F.col("sg.seg") == probes.probe)
             & (F.col("key_s") != F.col("key_p")),
-        )
-        .select(
+        ).select(
             F.least("key_s", "key_p").alias("ka"),
             F.greatest("key_s", "key_p").alias("kb"),
+            F.when(a_first, F.col("name_s")).otherwise(F.col("p_name")).alias("name_a"),
+            F.when(a_first, F.col("p_name")).otherwise(F.col("name_s")).alias("name_b"),
         )
-        .distinct()
     )
     # completeness fallback: strings with < 3 chars cannot be segmented —
     # brute-force them against their brand block (one side tiny)
-    shorts = p.where(la < 3)
-    cand_short = (
-        shorts.alias("s")
-        .join(p.alias("t"), (F.col("s.p_brand") == F.col("t.p_brand")) & (F.col("s.p_partkey") != F.col("t.p_partkey")))
+    s_first = F.col("s.p_partkey") < F.col("t.p_partkey")
+    pairs_short = _verified(
+        p.where(la < 3)
+        .alias("s")
+        .join(
+            p.alias("t"),
+            (F.col("s.p_brand") == F.col("t.p_brand"))
+            & (F.col("s.p_partkey") != F.col("t.p_partkey")),
+        )
         .select(
             F.least(F.col("s.p_partkey"), F.col("t.p_partkey")).alias("ka"),
             F.greatest(F.col("s.p_partkey"), F.col("t.p_partkey")).alias("kb"),
+            F.when(s_first, F.col("s.p_name")).otherwise(F.col("t.p_name")).alias("name_a"),
+            F.when(s_first, F.col("t.p_name")).otherwise(F.col("s.p_name")).alias("name_b"),
         )
-        .distinct()
     )
-    cand = cand_seg.unionByName(cand_short)
-
-    names = p.select("p_partkey", "p_name")
-    dist_capped = F.levenshtein(F.col("name_a"), F.col("name_b"), tau)
+    # a pair can match on several segments/shifts; every copy carries the
+    # same deterministic (names, dist), so distinct() is a pure dedup
     return (
-        cand.join(names.select(F.col("p_partkey").alias("ka"), F.col("p_name").alias("name_a")), "ka")
-        .join(names.select(F.col("p_partkey").alias("kb"), F.col("p_name").alias("name_b")), "kb")
-        .where(
-            (F.abs(F.length("name_a") - F.length("name_b")) <= tau)
-            & (F.col("name_a") != F.col("name_b"))
-        )
-        .withColumn("edit_dist", dist_capped)
-        .where((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= tau))
+        pairs_seg.unionByName(pairs_short)
         .select(
             F.col("ka").alias("key_a"),
             F.col("kb").alias("key_b"),
@@ -509,6 +539,7 @@ def ext_fuzzy_match_passjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
             "name_b",
             F.col("edit_dist").cast("int").alias("edit_dist"),
         )
+        .distinct()
     )
 
 

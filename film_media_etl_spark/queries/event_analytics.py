@@ -184,17 +184,24 @@ def ext_collect_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _SEQ_PATTERN = "v[cv]*p"  # a view leading through clicks/views to a purchase
+_JOURNEY_CAP = 1000  # most-recent events kept per user before the collect
 
 
 @register(
     "ext_event_regex",
     oracle=f"""
-    WITH j AS (
+    WITH recent AS (
+      SELECT user_id, ts, event_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ),
+    j AS (
       SELECT user_id,
              CAST(COUNT(*) AS BIGINT) AS n_events,
              string_agg(substr(event_type, 1, 1), ''
                         ORDER BY ts ASC, event_id ASC) AS journey
-      FROM events GROUP BY user_id
+      FROM recent WHERE rn <= {_JOURNEY_CAP} GROUP BY user_id
     )
     SELECT user_id, n_events,
            CAST(len(regexp_extract_all(journey, '{_SEQ_PATTERN}')) AS INT)
@@ -212,13 +219,24 @@ def ext_event_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     leftmost regex semantics (identical in Java regex and DuckDB's RE2
     for this alternation-free pattern class).
 
-    Scale shape: one user-keyed shuffle; the per-user ordered collect is
-    bounded by that user's event count (the ext_top_paths caveat — a
-    whale user's history should be capped or windowed upstream); the
-    regex runs JVM-side per user, never per event. Event initials are
-    distinct across the 5 reference types, so the string is lossless."""
+    Scale shape: one user-keyed shuffle. The per-user ordered collect is
+    CAPPED at the most-recent {_JOURNEY_CAP} events per user (row_number
+    over (ts, event_id) DESC — deterministic, mirrored in the oracle),
+    so a whale user bounds the collected array instead of the array
+    growing with their history; the row_number itself is a streaming,
+    spillable window sort. n_events counts the CAPPED journey — at the
+    test scales no user approaches the cap, so results are unchanged.
+    The regex runs JVM-side per user, never per event. Event initials
+    are distinct across the 5 reference types, so the string is
+    lossless."""
     ev = load_table(spark, sf_dir, "events")
-    j = ev.groupBy("user_id").agg(
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    recent = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _JOURNEY_CAP)
+        .drop("rn")
+    )
+    j = recent.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_events"),
         F.array_join(
             F.transform(

@@ -768,12 +768,21 @@ def ext_knn_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     probed partitions, so a probe reads ~nprobe/nlist of the index
     bytes. This is the serving shape a 100 TB vector store runs: the
     build cost amortizes over every later probe. Index cached per
-    sf_dir within a session (the star-ETL warehouse precedent)."""
+    (sf_dir, source fingerprint) within a session (the star-ETL
+    warehouse precedent): the key folds in the embeddings parquet's
+    size+mtime, so regenerating the corpus under the same path
+    invalidates the cache instead of silently serving a stale index."""
     import tempfile
 
     from ..operators.ann_index import build_ivf_index, probe_ivf_index
 
-    key = sf_dir.rstrip("/")
+    src = f"{sf_dir.rstrip('/')}/embeddings.parquet"
+    try:
+        st = os.stat(src)
+        fp = (st.st_size, st.st_mtime_ns)
+    except OSError:  # directory-style table or remote FS: path-only key
+        fp = None
+    key = (sf_dir.rstrip("/"), fp)
     idx = _IVF_INDEX_CACHE.get(key)
     if idx is None or not os.path.isdir(f"{idx}/cells"):
         idx = tempfile.mkdtemp(prefix="ivf_index_")

@@ -397,23 +397,43 @@ def bm25_oracle_ctes() -> str:
 
 def bm25_scores(docs: DataFrame) -> DataFrame:
     """Spark twin of :func:`bm25_oracle_ctes`'s `scored`: per-doc
-    (doc_id, matched_terms, bm25) for the fixed query terms. df and the
-    corpus length stats broadcast; the query-term filter lands before
-    the (doc, term) aggregate so the scored frame is |query| x matching
-    docs, never vocabulary-sized."""
+    (doc_id, matched_terms, bm25) for the fixed query terms.
+
+    ONE corpus aggregate computes dl AND each query term's tf per doc,
+    so the doc length travels with the tf row — there is no
+    corpus-sized doc-length join at all (the r4 shared-builder refactor
+    had reintroduced one as a sort-merge join; the suite regression it
+    caused is what this shape removes). The length stats come from the
+    same aggregate (the exchange is reused, not recomputed), df and
+    stats broadcast, and everything past the unpivot is |query| x
+    matching docs, never vocabulary- or corpus-sized."""
     tok = docs.select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
     )
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    stats = dl.agg(
+    per_doc = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[
+            F.count(F.when(F.col("term") == t, 1)).alias(f"tf_{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ],
+    )
+    stats = per_doc.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
     )
-    tf = (
-        tok.where(F.col("term").isin(*_BM25_TERMS))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    term_structs = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("term"), F.col(f"tf_{i}").alias("tf")
+            )
+            for i, t in enumerate(_BM25_TERMS)
+        ]
     )
+    tf = per_doc.select(
+        "doc_id",
+        "dl",
+        F.explode(F.filter(term_structs, lambda s: s["tf"] > 0)).alias("m"),
+    ).select("doc_id", "dl", "m.term", "m.tf")
     df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     idf = F.log(
         (F.col("n_docs").cast("double") - F.col("df") + F.lit(0.5))
@@ -427,7 +447,6 @@ def bm25_scores(docs: DataFrame) -> DataFrame:
     )
     return (
         tf.join(F.broadcast(df), "term")
-        .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
         .agg(

@@ -5,10 +5,12 @@ that with Structured Streaming's own state machinery.
 
 Two tiers, mirroring the batch exact/near split:
 
-- ``stream_content_dedup`` — exact content dedup: fingerprint the
-  normalized text (xxhash64 — same normalization as the batch
-  ``_token_set`` tier) and ``dropDuplicatesWithinWatermark`` on it.
-  State is bounded by the watermark horizon; the JVM manages it.
+- ``stream_content_dedup`` — exact content dedup: fingerprint the RAW
+  text (xxhash64 — the same convention as the batch exact tier
+  ``ext_dedup_exact`` and ``stream_curation_gate``'s dup gate, which
+  both treat byte-different texts as distinct) and drop duplicates on
+  it. State is bounded by distinct-content cardinality; the JVM
+  manages it.
 - ``stream_near_dup_filter`` — ONLINE near-dup suppression: SimHash the
   text (the exact simhash_bits expression the batch op uses), block on
   the signature's low band, and keep a per-bucket list of admitted
@@ -56,14 +58,18 @@ def read_documents_stream(
 
 
 def stream_content_dedup(docs: DataFrame) -> DataFrame:
-    """Exact streaming dedup on a content fingerprint. The documents
+    """Exact streaming dedup on a content fingerprint of the RAW text —
+    matching the batch exact tier and the curation gate exactly, so a
+    document admitted by one tier is admitted by all (an earlier
+    revision lower()-folded here and nowhere else, making
+    case-variant documents dedupe in this op only). The documents
     table carries no event time, so state is global dropDuplicates
     (bounded by distinct-content cardinality — the fingerprint is 8
     bytes, so even a billion distinct docs is ~tens of GB of state
     across a cluster; with an ingest-time column, switch to
     dropDuplicatesWithinWatermark as stream_dedup does)."""
     return docs.withColumn(
-        "content_fp", F.xxhash64(F.lower(F.col("text")))
+        "content_fp", F.xxhash64(F.col("text"))
     ).dropDuplicates(["content_fp"])
 
 

@@ -1,5 +1,8 @@
 """Driver-contract test for bench.py: runs it as a subprocess at smoke
-scale and validates the single-JSON-line output shape the driver parses."""
+scale and validates the output the driver parses — ONE compact JSON
+line on stdout (the driver keeps only the final ~2000 bytes, which is
+why the full record lives in a separate file) plus the full per-query
+record (medians AND spreads) written to $SPARK_GRAFT_BENCH_OUT."""
 
 from __future__ import annotations
 
@@ -11,11 +14,13 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def test_bench_prints_one_json_line():
+def test_bench_prints_one_compact_json_line(tmp_path):
+    detail = str(tmp_path / "bench_full.json")
     env = dict(
         os.environ,
         SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
         SPARK_GRAFT_CPUS="8",
+        SPARK_GRAFT_BENCH_OUT=detail,
     )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
@@ -28,8 +33,21 @@ def test_bench_prints_one_json_line():
     assert out.returncode == 0, out.stderr[-2000:]
     json_lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
     assert len(json_lines) == 1, f"expected exactly one JSON line, got {len(json_lines)}"
+    # the driver's artifact window: the whole line must fit in its tail
+    assert len(json_lines[0]) < 2000, len(json_lines[0])
     rec = json.loads(json_lines[0])
     assert rec["unit"] == "sec" and rec["sf"] == 0.001
     assert isinstance(rec["value"], (int, float)) and rec["value"] > 0
     assert rec["queries"] and all(v >= 0 for v in rec["queries"].values())
-    assert abs(sum(rec["queries"].values()) - rec["value"]) < 0.1
+    # compact medians are 2-decimal roundings of the full record
+    with open(detail) as f:
+        full = json.load(f)
+    assert full["value"] == rec["value"]
+    assert set(full["queries"]) == set(rec["queries"])
+    assert all(
+        abs(full["queries"][q] - rec["queries"][q]) <= 0.005 + 1e-9
+        for q in full["queries"]
+    )
+    assert set(full["spread"]) == set(full["queries"])
+    # the headline value is the exact sum of the full-precision medians
+    assert abs(sum(full["queries"].values()) - full["value"]) < 0.01

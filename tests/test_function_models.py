@@ -1585,3 +1585,39 @@ def test_retrieval_metrics_matches_python_model(spark):
     assert any(v[3] < 1.0 for v in got.values()) or any(
         v[0] < _EVAL_K for v in got.values()
     )
+
+
+def test_viterbi_segment_pieces_uncoverable_word_empty_seg(spark):
+    """Round-4 ADVICE: the public builders accept ANY piece table, so a
+    word whose characters the table cannot cover must come back with an
+    EMPTY seg from the backward walk — not an array of NULL pieces that
+    unigram_em_round would explode into the used-mass normalizer."""
+    from film_media_etl_spark.operators.unigram import (
+        viterbi_segment_pieces,
+        viterbi_word_segments,
+    )
+
+    words = spark.createDataFrame([("ab",), ("zq",), ("az",)], "w string")
+    # piece table covers only 'a' and 'b': "ab" segments, "zq" is fully
+    # uncoverable, "az" is PARTIALLY coverable (prefix reachable, end not)
+    pieces = spark.createDataFrame(
+        [("a", "-0.3"), ("b", "-0.5"), ("ab", "-0.6")],
+        "piece string, logp string",
+    ).selectExpr("piece", "CAST(logp AS DECIMAL(20,6)) AS logp")
+
+    segs = {r["w"]: list(r["seg"]) for r in viterbi_segment_pieces(words, pieces).collect()}
+    assert segs["ab"] == ["ab"]  # a+b=-0.8 < ab=-0.6 -> single-piece path
+    # "az" is partially coverable: it reaches the fold but its end prefix
+    # is unreachable, so the guarded backward walk emits the EMPTY seg
+    assert segs["az"] == []
+    # "zq" matches NO piece at all -> absent from the matches frame
+    # entirely (callers LEFT-join and count it as OOV)
+    assert "zq" not in segs
+    assert all(p is not None for s in segs.values() for p in s)
+
+    # the count-only fold agrees: NULL n_pieces / absence flag the same
+    counts = {
+        r["w"]: r["n_pieces"]
+        for r in viterbi_word_segments(words, pieces).collect()
+    }
+    assert counts == {"ab": 1, "az": None}

@@ -1070,3 +1070,67 @@ def test_snapshot_merge_redelivery_is_idempotent(spark, tmp_path):
         (r["r"], r["bucket"]): r["c"] for r in read_snapshot(spark, snap).collect()
     }
     assert replayed == first == {(0, 1): 8, (1, 2): 7, (2, 9): 4}
+
+
+def test_stream_cms_kill_and_resume(spark, tmp_path):
+    """Mid-stream KILL for the mergeable CMS sink (round-5 verdict #8):
+    stage the corpus as four file drops, stop the stream after the
+    first committed micro-batch, restart from the same checkpoint, and
+    require the final grid to equal the batch grid bit-for-bit — the
+    versioned-MERGE snapshot plus the before_batch read anchor make the
+    replayed batch rewrite its own version instead of double-counting."""
+    import os
+    import time
+
+    import pyarrow.parquet as pq
+
+    from film_media_etl_spark.queries.scale_ops import cms_cells
+    from film_media_etl_spark.streaming.sinks import read_snapshot
+    from film_media_etl_spark.streaming.sketches import start_cms_stream
+
+    src = tmp_path / "src"
+    src.mkdir()
+    tbl = pq.read_table(f"{PARITY_SF_DIR}/documents.parquet")
+    n = tbl.num_rows
+    quarter = (n + 3) // 4
+    for i in range(4):
+        name = "documents.parquet" if i == 0 else f"documents_{i}.parquet"
+        pq.write_table(tbl.slice(i * quarter, quarter), src / name)
+
+    snap = str(tmp_path / "snap")
+    ckpt = str(tmp_path / "ckpt")
+
+    def start():
+        return start_cms_stream(
+            spark, str(src), snap, ckpt,
+            available_now=True, max_files_per_trigger=1,
+        )
+
+    q = start()
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if any(p["numInputRows"] > 0 for p in (q.recentProgress or []) if p):
+            break
+        time.sleep(0.2)
+    q.stop()  # kill between batches, before the drain finishes
+    q.awaitTermination(60)
+    partial = len(os.listdir(snap)) if os.path.isdir(snap) else 0
+    assert partial >= 1
+
+    q2 = start()
+    q2.awaitTermination(240)
+    assert not q2.isActive
+    versions = sorted(d for d in os.listdir(snap) if d.startswith("v"))
+    assert len(versions) == 4, versions
+
+    got = {
+        (r["r"], r["bucket"]): r["c"]
+        for r in read_snapshot(spark, snap).collect()
+    }
+    toks = (
+        spark.read.parquet(f"{PARITY_SF_DIR}/documents.parquet")
+        .select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .where(F.col("w") != "")
+    )
+    want = {(r["r"], r["bucket"]): r["c"] for r in cms_cells(toks).collect()}
+    assert got == want and len(want) > 100

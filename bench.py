@@ -89,6 +89,7 @@ HEADLINE = [
     "ext_dedup_winnowing",      # minimizer fingerprints -> inverted-index pair join
     "ext_rrf_fusion",           # lexical+semantic top-k legs fused, bounded ranking
     "ext_unigram_tokenize",     # Viterbi DP fold per distinct word (vocab trick)
+    "ext_dedup_index_probe",    # persisted LSH index probe (build amortized rep 1)
 ]
 
 

@@ -217,6 +217,103 @@ def _perfect_hash_plan(docs: DataFrame, tok_hashes: Column) -> tuple[int, int] |
     return result
 
 
+def minhash_signature(text: Column, *, num_hashes: int) -> Column:
+    """array<long> MinHash signature of the text's token set, built
+    WITHOUT an explode+groupBy shuffle and with the token set evaluated
+    ONCE: a single aggregate() walks the token-hash array carrying all
+    num_hashes slot minima (acc[i] = min(acc[i], xxhash64(h, i))). One
+    expression matters: higher-order functions are excluded from codegen
+    subexpression elimination, so spelling this as num_hashes separate
+    array_min(transform(...)) columns re-tokenizes the text num_hashes
+    times after projection collapse (measured 30x: 3.9s -> 0.2s at
+    sf0.1). Per-slot mixing is xxhash64(token_hash, slot) over
+    PRE-HASHED tokens (the token array is hashed once to array<long>,
+    then each slot mixes the long) — slots stay pairwise independent.
+    NOTE: this differs from mixing the raw string per-slot
+    (min(xxhash64(token, i))): per-slot minima and band collisions are
+    different random draws, so any b/r tuning must be re-measured
+    against exact ground truth when the mixing scheme changes — the
+    recall figures in minhash_lsh_pairs' docstring were measured under
+    the current scheme. An EMPTY token set leaves every slot at the
+    max-long sentinel (callers drop those rows before banding).
+
+    Shared by the in-query LSH join (minhash_lsh_pairs / survivors) and
+    the persisted dedup index (operators/dedup_index.py), so the two
+    paths cannot drift — the index-probe parity test depends on it."""
+    _max_long = (1 << 63) - 1
+    th = F.transform(_token_set(text), lambda t: F.xxhash64(t))
+    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    return F.aggregate(
+        th,
+        F.array_repeat(F.lit(_max_long).cast("long"), num_hashes),
+        lambda acc, h: F.zip_with(acc, seeds, lambda a, i: F.least(a, F.xxhash64(h, i))),
+    )
+
+
+def minhash_banded(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 30,
+    bands: int = 5,
+) -> DataFrame:
+    """(doc_id, nt, band, bhash, prev0..prev{bands-2}): one row per doc
+    per band — the LSH join/index representation. The explode(array(...))
+    around the signature forms a Generate barrier CollapseProject cannot
+    cross, so the signature array materializes once before band hashing;
+    at 100 TB the whole frame is a pure map over the corpus. Every
+    EARLIER band's hash rides along (a few longs) so a pair can be
+    emitted at its FIRST colliding band only — exactly-once candidates
+    with no distinct() shuffle. nt (token-set size) rides along so the
+    size-ratio prune (J >= t forces |A|/|B| >= t) can run INSIDE the
+    candidate join."""
+    rows = num_hashes // bands
+    _max_long = (1 << 63) - 1
+    sig = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(_token_set(F.col(text_col))).alias("nt"),
+            F.explode(F.array(minhash_signature(F.col(text_col), num_hashes=num_hashes))).alias("mhs"),
+        )
+        # empty token set -> untouched init slots; drop (they would all
+        # band-collide with each other on the sentinel minima)
+        .where(F.element_at("mhs", 1) != F.lit(_max_long))
+    )
+    bhash = [
+        F.xxhash64(
+            F.lit(b), *[F.element_at("mhs", b * rows + r + 1) for r in range(rows)]
+        ).alias(f"bh{b}")
+        for b in range(bands)
+    ]
+    with_bands = sig.select("doc_id", "nt", *bhash)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.col(f"bh{b}").alias("bhash"),
+                # pad with NULLs so every struct has the same shape
+                *[
+                    (F.col(f"bh{p}") if p < b else F.lit(None).cast("long")).alias(
+                        f"prev{p}"
+                    )
+                    for p in range(bands - 1)
+                ],
+            )
+            for b in range(bands)
+        ]
+    )
+    return with_bands.select(
+        "doc_id", "nt", F.explode(band_structs).alias("bb")
+    ).select(
+        "doc_id",
+        "nt",
+        F.col("bb.band").alias("band"),
+        F.col("bb.bhash").alias("bhash"),
+        *[F.col(f"bb.prev{p}").alias(f"prev{p}") for p in range(bands - 1)],
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     *,
@@ -255,83 +352,8 @@ def minhash_lsh_pairs(
     correctness check (hash seeds are engine-specific).
     """
     docs = ensure_parallelism(docs)
-    rows = num_hashes // bands
-    # Signatures WITHOUT an explode+groupBy shuffle, and with the token
-    # set evaluated ONCE: a single aggregate() walks the token-hash array
-    # carrying all num_hashes slot minima (acc[i] = min(acc[i],
-    # xxhash64(h, i))). One expression matters: higher-order functions
-    # are excluded from codegen subexpression elimination, so spelling
-    # this as num_hashes separate array_min(transform(...)) columns
-    # re-tokenizes the text num_hashes times after projection collapse
-    # (measured 30x: 3.9s -> 0.2s at sf0.1). The explode(array(...))
-    # forms a Generate barrier CollapseProject cannot cross, so the
-    # signature array materializes once before band hashing. Per-slot
-    # mixing is xxhash64(token_hash, slot) over PRE-HASHED tokens (the
-    # token array is hashed once to array<long>, then each slot mixes the
-    # long) — slots stay pairwise independent. NOTE: this differs from
-    # mixing the raw string per-slot (min(xxhash64(token, i))): per-slot
-    # minima and band collisions are different random draws, so any b/r
-    # tuning must be re-measured against exact ground truth when the
-    # mixing scheme changes — the recall figures in this docstring were
-    # measured under the current scheme. At 100 TB the signature stage is
-    # a pure map over the
-    # corpus; the only shuffles in the pipeline are the banded candidate
-    # join and the verify.
-    _max_long = (1 << 63) - 1
-    th = F.transform(_token_set(F.col(text_col)), lambda t: F.xxhash64(t))
-    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
-    sig_arr = F.aggregate(
-        th,
-        F.array_repeat(F.lit(_max_long).cast("long"), num_hashes),
-        lambda acc, h: F.zip_with(acc, seeds, lambda a, i: F.least(a, F.xxhash64(h, i))),
-    )
-    sig = (
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            # token-set size rides along so the size-ratio prune can run
-            # INSIDE the candidate join (J >= t forces |A|/|B| >= t), cutting
-            # pairs before they are even emitted
-            F.size(_token_set(F.col(text_col))).alias("nt"),
-            F.explode(F.array(sig_arr)).alias("mhs"),
-        )
-        # empty token set -> untouched init slots; drop (they would all
-        # band-collide with each other on the sentinel minima)
-        .where(F.element_at("mhs", 1) != F.lit(_max_long))
-    )
-    bhash = [
-        F.xxhash64(
-            F.lit(b), *[F.element_at("mhs", b * rows + r + 1) for r in range(rows)]
-        ).alias(f"bh{b}")
-        for b in range(bands)
-    ]
-    with_bands = sig.select("doc_id", "nt", *bhash)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.col(f"bh{b}").alias("bhash"),
-                # pad with NULLs so every struct has the same shape
-                *[
-                    (F.col(f"bh{p}") if p < b else F.lit(None).cast("long")).alias(
-                        f"prev{p}"
-                    )
-                    for p in range(bands - 1)
-                ],
-            )
-            for b in range(bands)
-        ]
-    )
-    # carry every EARLIER band hash so a pair is emitted only at its
-    # first colliding band — exactly-once candidates with no distinct()
-    # shuffle (bands is small, so the prev columns are a few longs).
-    banded = with_bands.select(
-        "doc_id", "nt", F.explode(band_structs).alias("bb")
-    ).select(
-        "doc_id",
-        "nt",
-        F.col("bb.band").alias("band"),
-        F.col("bb.bhash").alias("bhash"),
-        *[F.col(f"bb.prev{p}").alias(f"prev{p}") for p in range(bands - 1)],
+    banded = minhash_banded(
+        docs, id_col=id_col, text_col=text_col, num_hashes=num_hashes, bands=bands
     )
     first_band_only = F.lit(True)
     for p in range(bands - 1):
@@ -631,12 +653,7 @@ def minhash_lsh_survivors(
     rows = num_hashes // bands
     _max_long = (1 << 63) - 1
     th = F.transform(_token_set(F.col(text_col)), lambda t: F.xxhash64(t))
-    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
-    sig_arr = F.aggregate(
-        th,
-        F.array_repeat(F.lit(_max_long).cast("long"), num_hashes),
-        lambda acc, h: F.zip_with(acc, seeds, lambda a, i: F.least(a, F.xxhash64(h, i))),
-    )
+    sig_arr = minhash_signature(F.col(text_col), num_hashes=num_hashes)
     tok_hashes = F.array_distinct(th)
     sig = docs.select(
         F.col(id_col).alias("doc_id"),

@@ -1,0 +1,187 @@
+"""Persisted MinHash dedup index: build the LSH layout for a corpus
+ONCE on disk, then dedup every NEW batch against it by probing — the
+ingest-time shape a 100 TB training-data pipeline actually runs (the
+same build/probe split ann_index.py gives the vector store).
+
+Why it exists: the in-query LSH join (operators/dedup.py) re-signatures
+the whole corpus every run. At ingest, the corpus is already indexed —
+only the new batch should pay signature cost, and the corpus side
+should be READ, never shuffled. The index is two parquet tables:
+
+- ``bands/``: (doc_id, nt, band, bhash) — one row per corpus doc per
+  band, the LSH candidate-generation surface. bands x corpus rows of a
+  few longs each; at 100 TB this is the only corpus-sized artifact a
+  probe scans, and it is orders of magnitude narrower than the corpus.
+- ``sigs/``: (doc_id, nt, tok_hashes array<long>) — the token-HASH sets
+  the exact-Jaccard verify needs (same cardinalities as the string
+  sets; xxhash64 collisions negligible and deterministic). Only
+  CANDIDATE corpus docs are ever joined against it.
+
+Probe plan shape: the new batch's banded signatures BROADCAST into the
+bands scan (a new batch is small relative to an indexed corpus by
+construction), so the corpus side never exchanges; candidates then
+join ``sigs`` on doc_id for the verify. Every expression (tokenize,
+signature, band hash, size-ratio prune, Jaccard) is shared with
+minhash_lsh_pairs via minhash_signature/minhash_banded, so the probe's
+decisions are bit-identical to the batch op's — pinned by a parity
+test that checks probe output == the batch pairs crossing the
+corpus/batch split (tests/test_dedup_recall.py).
+
+Exactly-once candidates use the same first-colliding-band trick as the
+batch op (prev-band hashes ride both sides), so no candidate-sized
+distinct() exists anywhere. Rows-only correctness (hash-seeded), recall
+inherited from the shared banding (0.985 at theta=0.9, measured).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import ensure_parallelism
+from .dedup import _token_set, minhash_banded
+
+_NUM_HASHES = 30
+_BANDS = 5
+
+
+def build_dedup_index(
+    docs: DataFrame,
+    index_dir: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = _NUM_HASHES,
+    bands: int = _BANDS,
+) -> None:
+    """Signature the corpus once and persist the LSH layout. Write-once;
+    probes never re-signature the corpus. Docs with empty token sets are
+    absent from both tables (they cannot near-dup anything)."""
+    docs = ensure_parallelism(docs)
+    banded = minhash_banded(
+        docs, id_col=id_col, text_col=text_col, num_hashes=num_hashes, bands=bands
+    )
+    banded.write.mode("overwrite").parquet(f"{index_dir}/bands")
+    th = F.array_distinct(
+        F.transform(_token_set(F.col(text_col)), lambda t: F.xxhash64(t))
+    )
+    sigs = docs.select(
+        F.col(id_col).alias("doc_id"), th.alias("tok_hashes"), F.size(th).alias("nt")
+    ).where(F.col("nt") > 0)
+    sigs.write.mode("overwrite").parquet(f"{index_dir}/sigs")
+
+
+def probe_dedup_index(
+    spark: SparkSession,
+    index_dir: str,
+    new_docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = _NUM_HASHES,
+    bands: int = _BANDS,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Near-duplicates of each new document against the INDEXED corpus:
+    (probe_id, corpus_id, jaccard), exact Jaccard >= threshold on the
+    shared banding's candidates. The probe side broadcasts; the index
+    is scanned, never shuffled. Verify uses the open-vocabulary
+    array_intersect path (the expected 100 TB regime — probe batches
+    are small and candidates collision-bound, so the bitset fast path's
+    corpus vocabulary probe would cost more than it saves)."""
+    return probe_dedup_frames(
+        spark.read.parquet(f"{index_dir}/bands"),
+        spark.read.parquet(f"{index_dir}/sigs"),
+        new_docs,
+        id_col=id_col,
+        text_col=text_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        threshold=threshold,
+    )
+
+
+def probe_dedup_frames(
+    idx_bands: DataFrame,
+    idx_sigs: DataFrame,
+    new_docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = _NUM_HASHES,
+    bands: int = _BANDS,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """The probe against index tables already loaded as DataFrames —
+    the streaming incremental-index twin reads versioned increments
+    (union of v* dirs) and shares this exact plan, so batch and stream
+    probes cannot drift."""
+    probe_banded = (
+        minhash_banded(
+            new_docs, id_col=id_col, text_col=text_col, num_hashes=num_hashes, bands=bands
+        )
+        .withColumnRenamed("doc_id", "probe_id")
+        .withColumnRenamed("nt", "pnt")
+        .withColumnRenamed("band", "pband")
+        .withColumnRenamed("bhash", "pbhash")
+    )
+    for p in range(bands - 1):
+        probe_banded = probe_banded.withColumnRenamed(f"prev{p}", f"pprev{p}")
+    th = F.array_distinct(
+        F.transform(_token_set(F.col(text_col)), lambda t: F.xxhash64(t))
+    )
+    probe_sigs = new_docs.select(
+        F.col(id_col).alias("probe_id"), th.alias("ptoks")
+    )
+
+    # first-colliding-band gate, bipartite spelling of the batch op's:
+    # a (probe, corpus) pair is emitted only at the lowest band where
+    # BOTH sides collide — earlier bands must differ on at least one side
+    first_band_only = F.lit(True)
+    for p in range(bands - 1):
+        first_band_only = first_band_only & (
+            (F.col("band") <= F.lit(p))
+            | (F.col(f"prev{p}") != F.col(f"pprev{p}"))
+        )
+    cand = idx_bands.join(
+        F.broadcast(probe_banded),
+        (F.col("band") == F.col("pband"))
+        & (F.col("bhash") == F.col("pbhash"))
+        & (F.col("doc_id") != F.col("probe_id"))
+        # size-ratio prune inside the join (J >= t forces min/max >= t)
+        & (
+            F.least(F.col("nt"), F.col("pnt")).cast("double")
+            >= F.lit(threshold)
+            * F.greatest(F.col("nt"), F.col("pnt")).cast("double")
+        )
+        & first_band_only,
+    ).select(F.col("probe_id"), F.col("doc_id").alias("corpus_id"))
+
+    # candidates are collision-bound (probe-batch-sized), so THEY
+    # broadcast into the sigs scan — the corpus-sized side of the verify
+    # join streams too; nothing corpus-sized ever exchanges in the probe
+    verified = (
+        idx_sigs.select(
+            F.col("doc_id").alias("corpus_id"),
+            F.col("tok_hashes").alias("ctoks"),
+            F.col("nt").alias("cnt"),
+        )
+        .join(F.broadcast(cand), "corpus_id")
+        .join(F.broadcast(probe_sigs), "probe_id")
+        # Generate barrier: `inter` feeds jaccard twice plus the filter,
+        # and HOF/array exprs are excluded from codegen subexpression
+        # elimination (the minhash_lsh_pairs lesson — 4x re-evaluation)
+        .withColumn(
+            "inter", F.explode(F.array(F.size(F.array_intersect("ptoks", "ctoks"))))
+        )
+        .select(
+            "probe_id",
+            "corpus_id",
+            (
+                F.col("inter").cast("double")
+                / (F.size("ptoks") + F.col("cnt") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return verified

@@ -483,18 +483,31 @@ def ext_fuzzy_match_passjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pair row it would have produced costs more. The name join-backs
     # disappear too — both names are already on the joined row.
 
-    def _verified(pairs: DataFrame) -> DataFrame:
-        d = F.levenshtein(F.col("name_a"), F.col("name_b"), tau)
+    def _verified(pairs: DataFrame, key_l, key_r, name_l, name_r) -> DataFrame:
+        # The filter runs on the RAW column refs (levenshtein, the length
+        # gate, and inequality are all symmetric), so each of the
+        # candidate-volume rows evaluates exactly one cheap gate chain;
+        # the ordered (ka, kb, name_a, name_b) projection — two CASEs —
+        # is built only for SURVIVORS (true pairs, 100-200x fewer on the
+        # saturated 16x corpus).
+        d = F.levenshtein(name_l, name_r, tau)
+        l_first = key_l < key_r
         return (
             pairs.where(
-                (F.abs(F.length("name_a") - F.length("name_b")) <= tau)
-                & (F.col("name_a") != F.col("name_b"))
+                (F.abs(F.length(name_l) - F.length(name_r)) <= tau)
+                & (name_l != name_r)
             )
             .withColumn("edit_dist", d)
             .where((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= tau))
+            .select(
+                F.least(key_l, key_r).alias("ka"),
+                F.greatest(key_l, key_r).alias("kb"),
+                F.when(l_first, name_l).otherwise(name_r).alias("name_a"),
+                F.when(l_first, name_r).otherwise(name_l).alias("name_b"),
+                "edit_dist",
+            )
         )
 
-    a_first = F.col("key_s") < F.col("key_p")
     pairs_seg = _verified(
         segs.join(
             probes,
@@ -503,16 +516,14 @@ def ext_fuzzy_match_passjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("len_s") == probes.alen)
             & (F.col("sg.seg") == probes.probe)
             & (F.col("key_s") != F.col("key_p")),
-        ).select(
-            F.least("key_s", "key_p").alias("ka"),
-            F.greatest("key_s", "key_p").alias("kb"),
-            F.when(a_first, F.col("name_s")).otherwise(F.col("p_name")).alias("name_a"),
-            F.when(a_first, F.col("p_name")).otherwise(F.col("name_s")).alias("name_b"),
-        )
+        ),
+        F.col("key_s"),
+        F.col("key_p"),
+        F.col("name_s"),
+        F.col("p_name"),
     )
     # completeness fallback: strings with < 3 chars cannot be segmented —
     # brute-force them against their brand block (one side tiny)
-    s_first = F.col("s.p_partkey") < F.col("t.p_partkey")
     pairs_short = _verified(
         p.where(la < 3)
         .alias("s")
@@ -520,13 +531,11 @@ def ext_fuzzy_match_passjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
             p.alias("t"),
             (F.col("s.p_brand") == F.col("t.p_brand"))
             & (F.col("s.p_partkey") != F.col("t.p_partkey")),
-        )
-        .select(
-            F.least(F.col("s.p_partkey"), F.col("t.p_partkey")).alias("ka"),
-            F.greatest(F.col("s.p_partkey"), F.col("t.p_partkey")).alias("kb"),
-            F.when(s_first, F.col("s.p_name")).otherwise(F.col("t.p_name")).alias("name_a"),
-            F.when(s_first, F.col("t.p_name")).otherwise(F.col("s.p_name")).alias("name_b"),
-        )
+        ),
+        F.col("s.p_partkey"),
+        F.col("t.p_partkey"),
+        F.col("s.p_name"),
+        F.col("t.p_name"),
     )
     # a pair can match on several segments/shifts; every copy carries the
     # same deterministic (names, dist), so distinct() is a pure dedup

@@ -260,23 +260,36 @@ def ext_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 neighbors via product quantization with exact
     re-rank (operators/similarity.py:cosine_knn_pq) — the compressed-
     storage ANN path: 8-byte codes instead of 256-byte vectors at scan
-    time, asymmetric-distance lookups, top-20 re-ranked exactly."""
+    time, asymmetric-distance lookups, top rerank*k re-ranked exactly.
+    Config sits at the measured knee of tools/ann_recall_sweep.py at
+    sf0.1 (README table): codebook_k=32 halves quantization error where
+    it matters (uniform-random fixtures are the PQ worst case) and
+    rerank=32 bounds the exact pass at 160 vectors/query — recall@5
+    0.875 vs the old (16, 16)'s 0.55, same wall within noise."""
     from ..operators.similarity import cosine_knn_pq
 
     return cosine_knn_pq(
-        load_table(spark, sf_dir, "embeddings"), query_ids_below=8, k=5, rerank=16
+        load_table(spark, sf_dir, "embeddings"),
+        query_ids_below=8,
+        k=5,
+        codebook_k=32,
+        rerank=32,
     )
 
 
 @register("ext_knn_ivf")  # approximate recall -> rows-only check
 def ext_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 neighbors via IVF: KMeans cells + nprobe search
-    (operators/similarity.py:cosine_knn_ivf). nprobe=6/16 cells measures
-    recall 0.775 at sf0.01 vs brute force (the fixture's embeddings are
-    uniform random — no cluster structure for the coarse quantizer to
-    exploit, so recall at fixed nprobe is a floor, not typical)."""
+    (operators/similarity.py:cosine_knn_ivf). nprobe=10/16 sits at the
+    measured recall knee (tools/ann_recall_sweep.py at sf0.1: 0.925
+    recall@5; 0.800 at 8/16, 0.725 at the old 6/16 — the fixture's
+    embeddings are uniform random, the ANN worst case, so these floors
+    understate clustered-corpus behavior). Probe wall is flat across
+    nprobe at fixture scale; at 100 TB nprobe/nlist is the scan
+    fraction, and a real deployment raises nlist with corpus size
+    (nlist ~ sqrt(N)) instead of probing most of 16 cells."""
     return cosine_knn_ivf(
-        load_table(spark, sf_dir, "embeddings"), query_ids_below=8, k=5, nlist=16, nprobe=6
+        load_table(spark, sf_dir, "embeddings"), query_ids_below=8, k=5, nlist=16, nprobe=10
     )
 
 
@@ -792,7 +805,9 @@ def ext_knn_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         _IVF_INDEX_CACHE[key] = idx
     queries = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 8)
-    return probe_ivf_index(spark, idx, queries, k=5, nprobe=6)
+    # nprobe=10: the measured recall knee (0.925 recall@5 at sf0.1,
+    # tools/ann_recall_sweep.py; README table) — probe wall unchanged
+    return probe_ivf_index(spark, idx, queries, k=5, nprobe=10)
 
 
 _IVF_INDEX_CACHE: dict = {}

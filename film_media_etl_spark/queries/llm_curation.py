@@ -732,3 +732,68 @@ def ext_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("true_c") + noise).cast("decimal(24,6)").alias("noisy_c"),
         F.lit(_DP_EPS).alias("epsilon"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted dedup index: ingest-time near-dup probe against an indexed corpus
+# ---------------------------------------------------------------------------
+
+_DEDUP_INDEX_CACHE: dict = {}
+_DEDUP_INDEX_DIRS: list = []
+_PROBE_BELOW = 100  # the "new batch": doc_id < 100; the corpus: the rest
+
+
+@register("ext_dedup_index_probe")  # hash-seeded banding -> rows-only check
+def ext_dedup_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time dedup against a PERSISTED MinHash index
+    (operators/dedup_index.py): the corpus (doc_id >= {lo}) is
+    signatured and written as an LSH band table + token-hash side table
+    ONCE; the probe then dedups the "new batch" (doc_id < {lo}) against
+    it — (probe_id, corpus_id, jaccard), exact Jaccard >= 0.9 on the
+    shared banding's candidates. This is the build/probe split every
+    production ingest pipeline runs (new data never triggers a corpus
+    re-signature), completing the dedup story the way
+    ext_knn_ivf_persisted completes ANN.
+
+    Plan shape: the probe batch BROADCASTS into the index scans — the
+    corpus side is read, never shuffled or re-signatured. All hashing
+    and verify expressions are shared with ext_dedup_minhash
+    (operators/dedup.py builders), so the probe's pair decisions are
+    bit-identical to the batch op restricted to cross-split pairs —
+    pinned by tests/test_dedup_recall.py. Index cached per (sf_dir,
+    corpus fingerprint), the ext_knn_ivf_persisted convention.""".format(
+        lo=_PROBE_BELOW
+    )
+    import os as _os
+    import tempfile
+
+    from ..operators.dedup_index import build_dedup_index, probe_dedup_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = f"{sf_dir.rstrip('/')}/documents.parquet"
+    try:
+        st = _os.stat(src)
+        fp = (st.st_size, st.st_mtime_ns)
+    except OSError:
+        fp = None
+    key = (sf_dir.rstrip("/"), fp)
+    idx = _DEDUP_INDEX_CACHE.get(key)
+    if idx is None or not _os.path.isdir(f"{idx}/bands"):
+        idx = tempfile.mkdtemp(prefix="dedup_index_")
+        _DEDUP_INDEX_DIRS.append(idx)
+        build_dedup_index(docs.where(F.col("doc_id") >= _PROBE_BELOW), idx)
+        _DEDUP_INDEX_CACHE[key] = idx
+    batch = docs.where(F.col("doc_id") < _PROBE_BELOW)
+    return probe_dedup_index(spark, idx, batch)
+
+
+def _reap_dedup_index_dirs() -> None:
+    import shutil
+
+    for d in _DEDUP_INDEX_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+import atexit  # noqa: E402  (registration belongs next to the dir list)
+
+atexit.register(_reap_dedup_index_dirs)

@@ -264,3 +264,103 @@ def stream_curation_gate(docs: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def _index_versions(path: str, before_batch: int) -> list[str]:
+    """Every index increment committed STRICTLY BEFORE this batch — the
+    sinks.py re-delivery anchor, applied to an APPEND-shaped store: a
+    replayed batch must not probe against its own (already-written)
+    increment, so reads are pinned below the batch id and the rewrite
+    is a pure function of (prior increments, batch input)."""
+    import os
+
+    if not os.path.isdir(path):
+        return []
+    return [
+        os.path.join(path, d)
+        for d in sorted(os.listdir(path), key=lambda d: int(d[1:]))
+        if d.startswith("v") and int(d[1:]) < before_batch
+    ]
+
+
+def start_index_dedup_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str,
+    out_path: str,
+    checkpoint: str,
+    *,
+    threshold: float = 0.9,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Incremental INDEX-BACKED near-dup dedup — the streaming twin of
+    the persisted MinHash index (operators/dedup_index.py): each
+    micro-batch (a) flags every document with an already-seen
+    near-duplicate — within-batch lower-id partners via the batch
+    survivors op, cross-batch partners by probing the index increments
+    committed by earlier batches — and (b) appends its OWN signatures
+    to the index, so the corpus is signatured exactly once, ever.
+
+    Semantics pin: when batches arrive in doc_id order, "EXISTS an
+    earlier-seen partner" is exactly minhash_lsh_survivors' "EXISTS a
+    lower-id partner", so the drained stream's (doc_id, pruned) flags
+    must be BIT-IDENTICAL to the batch survivors op over the whole
+    corpus — the parity test stages doc_id-sliced file drops and checks
+    set equality (tests/test_streaming.py).
+
+    Exactly-once: output and index increments are versioned directories
+    (v{batch_id}, overwrite mode) and all reads anchor strictly below
+    the current batch id, so a re-delivered batch rewrites its own
+    increment from the same input — the sinks.py idempotency pattern.
+    At 100 TB each batch pays one map over ITS OWN documents plus a
+    broadcast probe against index scans; nothing corpus-sized shuffles."""
+    import os
+
+    from ..operators.dedup import minhash_lsh_survivors, _token_set as _toks
+    from ..operators.dedup_index import minhash_banded, probe_dedup_frames
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.localCheckpoint(eager=True)  # read the source once
+        within = minhash_lsh_survivors(batch_df, threshold=threshold)
+        prior = _index_versions(f"{index_dir}/bands", batch_id)
+        if prior:
+            pairs = probe_dedup_frames(
+                spark.read.parquet(*prior),
+                spark.read.parquet(
+                    *_index_versions(f"{index_dir}/sigs", batch_id)
+                ),
+                batch_df,
+                threshold=threshold,
+            )
+            cross = pairs.select(F.col("probe_id").alias("doc_id")).distinct()
+            flags = within.join(
+                cross.withColumn("x", F.lit(True)), "doc_id", "left"
+            ).select(
+                "doc_id",
+                (F.col("pruned") | F.coalesce("x", F.lit(False))).alias("pruned"),
+            )
+        else:
+            flags = within
+        flags.write.mode("overwrite").parquet(os.path.join(out_path, f"v{batch_id}"))
+        minhash_banded(batch_df).write.mode("overwrite").parquet(
+            os.path.join(index_dir, "bands", f"v{batch_id}")
+        )
+        th = F.array_distinct(F.transform(_toks(F.col("text")), lambda t: F.xxhash64(t)))
+        batch_df.select(
+            F.col("doc_id"), th.alias("tok_hashes"), F.size(th).alias("nt")
+        ).where(F.col("nt") > 0).write.mode("overwrite").parquet(
+            os.path.join(index_dir, "sigs", f"v{batch_id}")
+        )
+
+    writer = (
+        read_documents_stream(
+            spark, sf_dir, max_files_per_trigger=max_files_per_trigger
+        )
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -276,3 +276,56 @@ def test_simhash_survivors_matches_pairs_decision(spark):
         for r in qs["ext_dedup_simhash_survivors"](spark, sf).collect()
     }
     assert {d for d, p in got.items() if p} == pairs_pruned
+
+
+def test_dedup_index_probe_matches_batch_pairs(spark, tmp_path):
+    """The persisted-index probe (operators/dedup_index.py) must make
+    BIT-IDENTICAL pair decisions to the batch LSH join restricted to
+    cross-split pairs: same tokenize/signature/band-hash expressions
+    (shared builders), same first-colliding-band exactly-once gate, same
+    size-ratio prune, same exact-Jaccard verify. A drift in any of them
+    shows up as a set difference here."""
+    from film_media_etl_spark.operators.dedup_index import (
+        build_dedup_index,
+        probe_dedup_index,
+    )
+
+    split = 100
+    docs = load_table(spark, SF_DIR, "documents")
+    idx = str(tmp_path / "idx")
+    build_dedup_index(docs.where(F.col("doc_id") >= split), idx)
+    got = {
+        (r["probe_id"], r["corpus_id"]): r["jaccard"]
+        for r in probe_dedup_index(
+            spark, idx, docs.where(F.col("doc_id") < split)
+        ).collect()
+    }
+    want = {
+        (r["doc_id_a"], r["doc_id_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(docs, threshold=THETA).collect()
+        if r["doc_id_a"] < split <= r["doc_id_b"]
+    }
+    assert got == want and len(want) > 0
+
+
+def test_dedup_index_probe_plan_never_shuffles_corpus_side(spark, tmp_path):
+    """The 100 TB property the index exists for: the probe plan must
+    BROADCAST the new batch into the index scans — no exchange on the
+    corpus-sized bands table's join (reading the plan of the candidate
+    join: its streamed side is the parquet scan, its build side a
+    BroadcastExchange)."""
+    from film_media_etl_spark.operators.dedup_index import (
+        build_dedup_index,
+        probe_dedup_index,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    idx = str(tmp_path / "idx")
+    build_dedup_index(docs.where(F.col("doc_id") >= 100), idx)
+    probe = probe_dedup_index(spark, idx, docs.where(F.col("doc_id") < 100))
+    probe.collect()  # AQE: final plan exists only after execution
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    # no hash exchange of either index table anywhere in the plan —
+    # bands and sigs both stream into broadcast joins
+    assert "Exchange hashpartitioning" not in plan, plan[:3000]

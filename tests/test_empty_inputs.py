@@ -72,6 +72,7 @@ QUERIES = [
     "ext_asof_join",
     "ext_tpch_q1_pricing_summary",
     "ext_retrieval_metrics",
+    "ext_dedup_index_probe",
 ]
 
 

@@ -125,11 +125,14 @@ def test_approx_knn_recall_vs_bruteforce(spark):
 def test_registered_knn_recall_floors(spark):
     """Same recall check, but through the REGISTERED queries — pins what
     the driver actually runs (ext_knn_ivf's nlist/nprobe, ext_knn_lsh's
-    nplanes), not the operator defaults. Measured at sf0.001:
-    ivf 0.750 (nprobe=6), lsh 0.800 (Hamming<=2 multi-probe), pq 0.825;
-    floors leave jitter room. The
-    fixture embeddings are uniform random (no cluster structure), which
-    bounds achievable ANN recall at fixed probe budgets."""
+    nplanes), not the operator defaults. Round-5 configs sit at the
+    measured knee of tools/ann_recall_sweep.py (README table): IVF
+    nprobe=10 and PQ (codebook_k=32, rerank=32) measure 0.95/0.975 at
+    sf0.001, 0.975/0.95 at sf0.01, 0.925/0.875 at sf0.1; LSH 0.800 at
+    every sf. Floors are production-grade (>= 0.8 for the probe tiers)
+    with jitter room below the worst measured scale. The fixture
+    embeddings are uniform random (no cluster structure), which bounds
+    achievable ANN recall at fixed probe budgets."""
     from film_media_etl_spark.queries import all_queries
 
     qs = all_queries()
@@ -143,14 +146,12 @@ def test_registered_knn_recall_floors(spark):
 
     exact = topk(qs["ext_knn_bruteforce"](spark, sf))
     for name, floor in (
-        ("ext_knn_ivf", 0.6),
+        ("ext_knn_ivf", 0.8),
         # persisted-index spelling probes the on-disk layout with the
         # same nlist/nprobe, so its recall floor matches the inline op
-        ("ext_knn_ivf_persisted", 0.6),
-        ("ext_knn_lsh", 0.6),
-        # PQ with exact top-80 re-rank: measured 0.825 (sf0.001) /
-        # 0.875 (sf0.01) on the uniform-random worst-case fixture
-        ("ext_knn_pq", 0.6),
+        ("ext_knn_ivf_persisted", 0.8),
+        ("ext_knn_lsh", 0.7),
+        ("ext_knn_pq", 0.8),
     ):
         approx = topk(qs[name](spark, sf))
         recalls = [len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact]

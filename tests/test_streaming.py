@@ -1134,3 +1134,72 @@ def test_stream_cms_kill_and_resume(spark, tmp_path):
     )
     want = {(r["r"], r["bucket"]): r["c"] for r in cms_cells(toks).collect()}
     assert got == want and len(want) > 100
+
+
+def test_stream_index_dedup_matches_batch_survivors_with_kill(spark, tmp_path):
+    """Incremental index-backed dedup: the corpus staged as four
+    doc_id-ordered file drops, KILLED after the first committed batch
+    and resumed from the same checkpoint. Because batches arrive in
+    doc_id order, 'EXISTS an earlier-seen partner' is exactly the batch
+    survivors op's 'EXISTS a lower-id partner' — the drained (doc_id,
+    pruned) flags must equal minhash_lsh_survivors over the whole
+    corpus BIT-FOR-BIT, and the kill must not double-index or
+    double-flag anything (versioned increments + before-batch reads)."""
+    import glob
+    import os
+    import time
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from film_media_etl_spark.operators.dedup import minhash_lsh_survivors
+    from film_media_etl_spark.streaming.ingest_dedup import start_index_dedup_stream
+
+    src = tmp_path / "src"
+    src.mkdir()
+    tbl = pq.read_table(f"{PARITY_SF_DIR}/documents.parquet")
+    tbl = tbl.sort_by("doc_id")  # file drops must follow doc_id order
+    n = tbl.num_rows
+    quarter = (n + 3) // 4
+    for i in range(4):
+        name = "documents.parquet" if i == 0 else f"documents_{i}.parquet"
+        path = src / name
+        pq.write_table(tbl.slice(i * quarter, quarter), path)
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def start():
+        return start_index_dedup_stream(
+            spark, str(src), idx, out, ckpt,
+            available_now=True, max_files_per_trigger=1,
+        )
+
+    q = start()
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if any(p["numInputRows"] > 0 for p in (q.recentProgress or []) if p):
+            break
+        time.sleep(0.2)
+    q.stop()  # kill between batches
+    q.awaitTermination(60)
+
+    q2 = start()
+    q2.awaitTermination(240)
+    assert not q2.isActive
+    out_versions = sorted(glob.glob(out + "/v*"))
+    assert len(out_versions) == 4, out_versions
+    assert len(glob.glob(idx + "/bands/v*")) == 4
+    got = {
+        r["doc_id"]: r["pruned"]
+        for r in spark.read.parquet(*out_versions).collect()
+    }
+    want = {
+        r["doc_id"]: r["pruned"]
+        for r in minhash_lsh_survivors(
+            spark.read.parquet(f"{PARITY_SF_DIR}/documents.parquet")
+        ).collect()
+    }
+    assert got == want and sum(got.values()) > 0

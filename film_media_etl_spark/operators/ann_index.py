@@ -69,6 +69,66 @@ def build_ivf_index(
     ).write.mode("overwrite").parquet(f"{index_dir}/centroids")
 
 
+def assign_cells(
+    embeddings: DataFrame,
+    centers: list,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(nbr_id, nvec, cell): nearest-centroid assignment against a FIXED
+    center list (inline literals, argmin via sorted (distance, cell)
+    structs — the same expression family as the probe's cell ranking).
+    This is the incremental-index append path: new vectors join the
+    EXISTING quantizer's cells; the quantizer itself is refit offline
+    (build_ivf_index), the standard production split."""
+    nearest = F.element_at(
+        F.transform(
+            F.array_sort(
+                F.array(
+                    *[
+                        F.struct(
+                            _sqdist_expr(F.col("nvec"), c).alias("d"),
+                            F.lit(int(i)).alias("cell"),
+                        )
+                        for i, c in centers
+                    ]
+                )
+            ),
+            lambda s: s["cell"],
+        ),
+        1,
+    )
+    return embeddings.select(
+        F.col(id_col).alias("nbr_id"), to_double_vec(F.col(vec_col)).alias("nvec")
+    ).withColumn("cell", nearest)
+
+
+def _sqdist_expr(vec, center: list):
+    lits = F.array(*[F.lit(float(x)) for x in center])
+    return F.aggregate(
+        F.zip_with(vec, lits, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def read_index_cells(spark: SparkSession, index_dir: str) -> DataFrame:
+    """The cells table plus any streaming increments (cells_inc/v*,
+    written by streaming/vector_index.py). Increments are read as
+    separate scans and unioned — each keeps its own partition pruning;
+    fold them into the base with a periodic offline rebuild when they
+    accumulate (the compaction discipline of sources/maintenance.py)."""
+    import glob
+    import os
+
+    cells = spark.read.parquet(f"{index_dir}/cells")
+    incs = sorted(glob.glob(os.path.join(index_dir, "cells_inc", "v*")))
+    for inc in incs:
+        cells = cells.unionByName(spark.read.parquet(inc))
+    return cells
+
+
 def probe_ivf_index(
     spark: SparkSession,
     index_dir: str,
@@ -80,8 +140,9 @@ def probe_ivf_index(
     nprobe: int = 4,
 ) -> DataFrame:
     """Top-k cosine neighbors for each query row against a persisted IVF
-    index. The cells scan is pruned to the probed partitions; queries
-    ride broadcast, the corpus never shuffles."""
+    index (base cells plus any streaming increments). The cells scan is
+    pruned to the probed partitions; queries ride broadcast, the corpus
+    never shuffles."""
     # <= nlist rows of driver metadata — the same bounded-collect tier as
     # the PQ codebook (operators/similarity.py). Read BEFORE the cells
     # table: an empty index's partitioned write leaves no data files, so
@@ -94,7 +155,7 @@ def probe_ivf_index(
         return spark.createDataFrame(
             [], "query_id long, nbr_id long, score double, rank int"
         )
-    cells = spark.read.parquet(f"{index_dir}/cells")
+    cells = read_index_cells(spark, index_dir)
     q = queries.select(
         F.col(id_col).alias("query_id"), to_double_vec(F.col(vec_col)).alias("qvec")
     )

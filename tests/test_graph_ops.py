@@ -196,3 +196,30 @@ def test_ivf_persisted_index_prunes_partitions(spark, tmp_path):
     a = sorted(map(tuple, probe.collect()))
     b = sorted(map(tuple, probe_ivf_index(spark, idx, queries, k=5, nprobe=6).collect()))
     assert a == b and len(a) == 40
+
+
+def test_ivf_persisted_cache_invalidates_on_corpus_change(spark, tmp_path):
+    """Round-4 ADVICE: the per-sf_dir IVF index cache must key on the
+    source fingerprint, not the path — regenerating the corpus under
+    the same path must trigger a rebuild, not serve stale neighbors."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from film_media_etl_spark.queries.extensions import ext_knn_ivf_persisted
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    shutil.copy("/root/testdata/sf0.001/embeddings.parquet", sf / "embeddings.parquet")
+    first = {
+        (r["query_id"], r["rank"]): r["nbr_id"]
+        for r in ext_knn_ivf_persisted(spark, str(sf)).collect()
+    }
+    assert first
+    # "regenerate" the corpus in place: keep only the first 50 vectors
+    tbl = pq.read_table(str(sf / "embeddings.parquet"))
+    pq.write_table(tbl.slice(0, 50), str(sf / "embeddings.parquet"))
+    second = ext_knn_ivf_persisted(spark, str(sf)).collect()
+    # every neighbor must come from the shrunken corpus — a stale index
+    # would return ids >= 50
+    assert second and all(r["nbr_id"] < 50 for r in second)

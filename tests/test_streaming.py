@@ -1203,3 +1203,95 @@ def test_stream_index_dedup_matches_batch_survivors_with_kill(spark, tmp_path):
         ).collect()
     }
     assert got == want and sum(got.values()) > 0
+
+
+def test_stream_vector_index_append_matches_batch_with_kill(spark, tmp_path):
+    """Streaming IVF maintenance: vectors arriving after the offline
+    build are assigned to the EXISTING quantizer's cells and appended as
+    versioned increments. Killed after the first committed batch and
+    resumed; the final index must answer probes identically to an index
+    whose cells were written in ONE batch from the same vectors and the
+    same centroids — and the increments' assignments must equal the
+    batch assign_cells bit-for-bit."""
+    import glob
+    import os
+    import time
+
+    import pyarrow.parquet as pq
+
+    from film_media_etl_spark.operators.ann_index import (
+        assign_cells,
+        build_ivf_index,
+        probe_ivf_index,
+    )
+    from film_media_etl_spark.streaming.vector_index import (
+        start_vector_index_append_stream,
+    )
+
+    emb = spark.read.parquet(f"{PARITY_SF_DIR}/embeddings.parquet")
+    base = emb.where("vec_id < 300")
+    idx = str(tmp_path / "idx")
+    build_ivf_index(base, idx, nlist=16, seed=42)
+
+    # stage the late vectors as two file drops, oldest first
+    tbl = pq.read_table(f"{PARITY_SF_DIR}/embeddings.parquet")
+    import pyarrow.compute as pc
+
+    late = tbl.filter(pc.field("vec_id") >= 300).sort_by("vec_id")
+    src = tmp_path / "src"
+    src.mkdir()
+    half = (late.num_rows + 1) // 2
+    for i, name in enumerate(["embeddings.parquet", "embeddings_1.parquet"]):
+        path = src / name
+        pq.write_table(late.slice(i * half, half), path)
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    ckpt = str(tmp_path / "ckpt")
+
+    def start():
+        return start_vector_index_append_stream(
+            spark, str(src), idx, ckpt,
+            available_now=True, max_files_per_trigger=1,
+        )
+
+    q = start()
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if any(p["numInputRows"] > 0 for p in (q.recentProgress or []) if p):
+            break
+        time.sleep(0.2)
+    q.stop()
+    q.awaitTermination(60)
+    q2 = start()
+    q2.awaitTermination(240)
+    assert not q2.isActive
+    incs = sorted(glob.glob(idx + "/cells_inc/v*"))
+    assert len(incs) == 2, incs
+
+    centers = [
+        (r["cell"], r["center"])
+        for r in spark.read.parquet(f"{idx}/centroids").collect()
+    ]
+    got_assign = {
+        r["nbr_id"]: r["cell"]
+        for inc in incs
+        for r in spark.read.parquet(inc).collect()
+    }
+    want_assign = {
+        r["nbr_id"]: r["cell"]
+        for r in assign_cells(emb.where("vec_id >= 300"), centers).collect()
+    }
+    assert got_assign == want_assign and len(got_assign) > 0
+
+    # probe parity against a one-shot index with the same centroids
+    ref = str(tmp_path / "ref")
+    assign_cells(emb, centers).write.partitionBy("cell").parquet(f"{ref}/cells")
+    spark.read.parquet(f"{idx}/centroids").write.parquet(f"{ref}/centroids")
+    queries = emb.where("vec_id < 8")
+    got = sorted(
+        tuple(r) for r in probe_ivf_index(spark, idx, queries, k=5, nprobe=10).collect()
+    )
+    want = sorted(
+        tuple(r) for r in probe_ivf_index(spark, ref, queries, k=5, nprobe=10).collect()
+    )
+    assert got == want and len(got) == 40

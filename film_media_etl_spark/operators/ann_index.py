@@ -160,3 +160,35 @@ def probe_ivf_index(
         F.col(id_col).alias("query_id"), to_double_vec(F.col(vec_col)).alias("qvec")
     )
     return ivf_probe_topk(cells, q, centers, k=k, nprobe=nprobe)
+
+
+def compact_ivf_index(spark: SparkSession, index_dir: str) -> int:
+    """Fold streaming increments (cells_inc/v*) back into the base cells
+    table — the maintenance op that keeps probe plans one-scan after a
+    long append stream (each increment is its own scan in
+    read_index_cells; dozens of tiny scans erode the partition-pruning
+    win). OFFLINE op: run with the append stream stopped. Crash-safe
+    order: write the merged table to a temp dir, swap it in, then drop
+    the increments — a crash before the swap leaves the old layout
+    intact, a crash after it leaves increments that re-compact as a
+    no-op (their rows are already in the base; cell assignment is
+    deterministic, so re-reading them cannot change a probe's result...
+    but they WOULD duplicate nbr_ids in candidate lists, so the swap
+    drops them in the same call). Returns the number of increments
+    folded."""
+    import glob
+    import os
+    import shutil
+
+    incs = sorted(glob.glob(os.path.join(index_dir, "cells_inc", "v*")))
+    if not incs:
+        return 0
+    merged = read_index_cells(spark, index_dir)
+    tmp = os.path.join(index_dir, "cells_compacting")
+    merged.write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    old = os.path.join(index_dir, "cells_old")
+    os.rename(os.path.join(index_dir, "cells"), old)
+    os.rename(tmp, os.path.join(index_dir, "cells"))
+    shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(os.path.join(index_dir, "cells_inc"), ignore_errors=True)
+    return len(incs)

@@ -414,3 +414,31 @@ def ext_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.min("c") - F.col("true_c")).cast("long").alias("overestimate"),
         )
     )
+
+
+@register("ext_hll_distinct")  # sketch estimate -> rows-only check
+def ext_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HyperLogLog distinct-user sketches per event type
+    (Apache DataSketches via Spark's hll_sketch_agg), reported as
+    (event_type, hll_users, exact_users, n_events) so the sketch's
+    relative error is visible in the output — the estimate is a
+    deterministic function of the sketch registers, which depend only
+    on the SET of hashed inputs, so re-runs and repartitions agree
+    bit-for-bit (pinned in tests alongside the streamed-vs-batch
+    parity of streaming/sketches.py's HLL sink).
+
+    Why next to approx_count_distinct (ext_approx_sketches): HLL++
+    there is estimate-only — this surfaces the SKETCH as a first-class
+    mergeable object (union across partitions, batches, or days), the
+    property a 100 TB rollup actually exploits: daily sketches merge
+    into monthly distinct counts without re-scanning raw events.
+    exact_users is corpus-sized work kept here as the in-row audit; a
+    production rollup drops it and keeps the sketch column."""
+    ev = ensure_parallelism(load_table(spark, sf_dir, "events"))
+    return ev.groupBy("event_type").agg(
+        F.round(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")))
+        .cast("long")
+        .alias("hll_users"),
+        F.countDistinct("user_id").cast("long").alias("exact_users"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )

@@ -72,3 +72,64 @@ def start_cms_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Mergeable HyperLogLog sink: streaming distinct-user maintenance
+# ---------------------------------------------------------------------------
+
+
+def merge_hll(snapshot: DataFrame | None, batch_sketches: DataFrame) -> DataFrame:
+    """Per-key union of HLL sketches into the snapshot. HLL registers
+    are per-slot maxima over the hashed input SET, so union is
+    idempotent, commutative, and associative — exactly the algebra the
+    versioned-MERGE sink needs (re-delivered batches and any partition
+    order produce identical registers; estimates are a deterministic
+    function of the registers)."""
+    if snapshot is None:
+        return batch_sketches
+    return (
+        snapshot.unionByName(batch_sketches)
+        .groupBy("event_type")
+        .agg(F.hll_union_agg("sketch").alias("sketch"))
+    )
+
+
+def start_hll_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    snapshot_path: str,
+    checkpoint: str,
+    *,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Maintain per-event-type distinct-user HLL sketches over the
+    events file stream — the distinct-count twin of the Count-Min sink
+    above: each micro-batch aggregates its own partial sketches and
+    MERGE-unions them into the versioned parquet snapshot (same
+    before_batch re-delivery anchor). At 100 TB the snapshot is a few
+    KB per key regardless of corpus size; monthly/daily rollups merge
+    sketches instead of re-scanning raw events."""
+    from .windows import read_events_stream
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        partial = batch_df.groupBy("event_type").agg(
+            F.hll_sketch_agg("user_id").alias("sketch")
+        )
+        merged = merge_hll(
+            read_snapshot(spark, snapshot_path, before_batch=batch_id), partial
+        )
+        merged.write.mode("overwrite").parquet(
+            os.path.join(snapshot_path, f"v{batch_id}")
+        )
+
+    writer = (
+        read_events_stream(spark, sf_dir, max_files_per_trigger=max_files_per_trigger)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -223,3 +223,41 @@ def test_ivf_persisted_cache_invalidates_on_corpus_change(spark, tmp_path):
     # every neighbor must come from the shrunken corpus — a stale index
     # would return ids >= 50
     assert second and all(r["nbr_id"] < 50 for r in second)
+
+
+def test_ivf_compaction_preserves_probe_results(spark, tmp_path):
+    """compact_ivf_index folds streaming increments into the base cells
+    table: probe results must be identical before and after, and the
+    increments directory must be gone (probes are one scan again)."""
+    import os
+
+    from film_media_etl_spark.operators.ann_index import (
+        assign_cells,
+        build_ivf_index,
+        compact_ivf_index,
+        probe_ivf_index,
+    )
+    from film_media_etl_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb.where("vec_id < 300"), idx, nlist=16, seed=42)
+    centers = [
+        (r["cell"], r["center"])
+        for r in spark.read.parquet(f"{idx}/centroids").collect()
+    ]
+    assign_cells(emb.where("vec_id >= 300"), centers).write.partitionBy(
+        "cell"
+    ).parquet(f"{idx}/cells_inc/v0")
+
+    queries = emb.where("vec_id < 8")
+    before = sorted(
+        tuple(r) for r in probe_ivf_index(spark, idx, queries, k=5, nprobe=10).collect()
+    )
+    assert compact_ivf_index(spark, idx) == 1
+    assert not os.path.isdir(f"{idx}/cells_inc")
+    after = sorted(
+        tuple(r) for r in probe_ivf_index(spark, idx, queries, k=5, nprobe=10).collect()
+    )
+    assert before == after and len(after) == 40
+    assert compact_ivf_index(spark, idx) == 0  # idempotent no-op

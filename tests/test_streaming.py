@@ -1295,3 +1295,73 @@ def test_stream_vector_index_append_matches_batch_with_kill(spark, tmp_path):
         tuple(r) for r in probe_ivf_index(spark, ref, queries, k=5, nprobe=10).collect()
     )
     assert got == want and len(got) == 40
+
+
+def test_stream_hll_matches_batch_estimates_with_kill(spark, tmp_path, batch_events):
+    """Mergeable HLL maintenance: per-event-type distinct-user sketches
+    built by streaming four file drops (killed after the first committed
+    batch, resumed from the same checkpoint) must estimate IDENTICALLY
+    to one batch sketch over the whole corpus — HLL registers are
+    per-slot maxima over the hashed input set, so partial-union order
+    and re-delivery cannot change them. Accuracy is audited against the
+    exact distinct count (lgConfigK default => ~2-3% rel. error)."""
+    import os
+    import time
+
+    import pyarrow.parquet as pq
+
+    from film_media_etl_spark.streaming.sinks import read_snapshot
+    from film_media_etl_spark.streaming.sketches import start_hll_stream
+
+    src = tmp_path / "src"
+    src.mkdir()
+    t = pq.read_table(f"{PARITY_SF_DIR}/events.parquet")
+    quarter = (t.num_rows + 3) // 4
+    for i in range(4):
+        name = "events.parquet" if i == 0 else f"events-{i}.parquet"
+        path = src / name
+        pq.write_table(t.slice(i * quarter, quarter), path)
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    snap = str(tmp_path / "snap")
+    ckpt = str(tmp_path / "ckpt")
+
+    def start():
+        return start_hll_stream(
+            spark, str(src), snap, ckpt,
+            available_now=True, max_files_per_trigger=1,
+        )
+
+    q = start()
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if any(p["numInputRows"] > 0 for p in (q.recentProgress or []) if p):
+            break
+        time.sleep(0.2)
+    q.stop()
+    q.awaitTermination(60)
+    q2 = start()
+    q2.awaitTermination(240)
+    assert not q2.isActive
+    assert len([d for d in os.listdir(snap) if d.startswith("v")]) == 4
+
+    got = {
+        r["event_type"]: r["est"]
+        for r in read_snapshot(spark, snap)
+        .select("event_type", F.hll_sketch_estimate("sketch").alias("est"))
+        .collect()
+    }
+    want = {
+        r["event_type"]: (r["est"], r["exact"])
+        for r in batch_events.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"),
+            F.countDistinct("user_id").alias("exact"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want) and len(got) >= 4
+    for et, est in got.items():
+        best, exact = want[et]
+        assert est == best, (et, est, best)  # register-identical union
+        assert abs(est - exact) / exact < 0.05, (et, est, exact)

@@ -90,6 +90,7 @@ HEADLINE = [
     "ext_rrf_fusion",           # lexical+semantic top-k legs fused, bounded ranking
     "ext_unigram_tokenize",     # Viterbi DP fold per distinct word (vocab trick)
     "ext_dedup_index_probe",    # persisted LSH index probe (build amortized rep 1)
+    "ext_span_corruption",      # T5-style masked-span pairs: one fold per doc
 ]
 
 

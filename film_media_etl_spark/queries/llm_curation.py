@@ -797,3 +797,131 @@ def _reap_dedup_index_dirs() -> None:
 import atexit  # noqa: E402  (registration belongs next to the dir list)
 
 atexit.register(_reap_dedup_index_dirs)
+
+
+# ---------------------------------------------------------------------------
+# Span corruption: masked-span (input, target) training-pair generation
+# ---------------------------------------------------------------------------
+
+_SPAN_LEN = 3  # tokens per maskable block
+_SPAN_RATE = 0.25  # fraction of blocks masked
+
+
+def _span_uniform(key) -> "F.Column":
+    """Column-side twin of :func:`_uniform_expr` (which is a SQL string —
+    unusable inside higher-order-function lambdas): md5's first 6 hex
+    nibbles as an integer over 16^6. Spark's conv(hex, 16, 10) equals
+    the oracle's instr-based nibble sum digit for digit, so the uniform
+    is bit-identical across engines."""
+    return F.conv(F.substring(F.md5(key.cast("string")), 1, 6), 16, 10).cast(
+        "double"
+    ) / F.lit(16777216.0)
+
+
+@register(
+    "ext_span_corruption",
+    oracle=f"""
+    WITH t AS MATERIALIZED (
+      SELECT doc_id, string_split(text, ' ') AS toks
+      FROM documents WHERE text IS NOT NULL AND text <> ''
+    ),
+    bseq AS MATERIALIZED (
+      SELECT doc_id, toks,
+             CAST(unnest(range(0, CAST(ceil(len(toks) / {_SPAN_LEN}.0) AS BIGINT)))
+               AS INT) AS b
+      FROM t
+    ),
+    blocks AS MATERIALIZED (
+      SELECT doc_id, toks, b,
+             array_to_string(toks[b * {_SPAN_LEN} + 1 : b * {_SPAN_LEN} + {_SPAN_LEN}],
+                             ' ') AS block_text,
+             len(toks[b * {_SPAN_LEN} + 1 : b * {_SPAN_LEN} + {_SPAN_LEN}]) AS block_n,
+             {_uniform_expr("doc_id || '_' || b")} < {_SPAN_RATE} AS masked
+      FROM bseq
+    ),
+    numbered AS (
+      SELECT *,
+             COALESCE(SUM(CASE WHEN masked THEN 1 END)
+               OVER (PARTITION BY doc_id ORDER BY b
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS k
+      FROM blocks
+    )
+    SELECT doc_id,
+           CAST(MAX(len(toks)) AS INT) AS n_tokens,
+           CAST(COALESCE(SUM(CASE WHEN masked THEN block_n END), 0) AS INT)
+             AS n_masked_tokens,
+           CAST(COALESCE(SUM(CASE WHEN masked THEN 1 END), 0) AS INT)
+             AS n_spans_masked,
+           string_agg(CASE WHEN masked THEN '<extra_id_' || k || '>'
+                           ELSE block_text END, ' ' ORDER BY b) AS input_text,
+           COALESCE(string_agg(CASE WHEN masked
+                      THEN '<extra_id_' || k || '> ' || block_text END,
+                      ' ' ORDER BY b), '') AS target_text
+    FROM numbered
+    GROUP BY doc_id
+    """,
+)
+def ext_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5/UL2-style span corruption: each document's token stream is cut
+    into {sl}-token blocks; a deterministic md5-uniform per (doc, block)
+    masks ~{r:.0%} of blocks; masked blocks collapse to numbered
+    sentinels in input_text and reappear after their sentinel in
+    target_text — the (input, target) pair a denoising LM trains on.
+    Seeded masking is the engine-wide reproducibility convention
+    (ext_hash_sample): re-runs, repartitions, and the DuckDB oracle all
+    mask the same spans, so the pair text is exactly oracle-checkable —
+    rare for a data-augmentation op.
+
+    Scale shape: ONE aggregate() fold per document walks its block
+    sequence carrying (sentinel counter, input, target) — no explode,
+    no shuffle at all (the whole query is a map over the corpus; only
+    the driver's final collect orders it). Block masking is a pure
+    expression, so 100 TB of documents mask at scan throughput.""".format(
+        sl=_SPAN_LEN, r=_SPAN_RATE
+    )
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents")).where(
+        F.col("text").isNotNull() & (F.col("text") != "")
+    )
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    nb = F.ceil(n / F.lit(float(_SPAN_LEN))).cast("int")
+
+    def step(acc, b):
+        block = F.slice(toks, b * _SPAN_LEN + 1, _SPAN_LEN)
+        bt = F.array_join(block, " ")
+        masked = _span_uniform(
+            F.concat_ws("_", F.col("doc_id"), b.cast("string"))
+        ) < F.lit(_SPAN_RATE)
+        sent = F.concat(F.lit("<extra_id_"), acc["k"].cast("string"), F.lit(">"))
+        sep = F.when(b > 0, F.lit(" ")).otherwise(F.lit(""))
+        tsep = F.when(acc["k"] > 0, F.lit(" ")).otherwise(F.lit(""))
+        return F.struct(
+            (acc["k"] + masked.cast("int")).alias("k"),
+            (acc["m"] + F.when(masked, F.size(block)).otherwise(F.lit(0))).alias("m"),
+            F.concat(acc["inp"], sep, F.when(masked, sent).otherwise(bt)).alias("inp"),
+            F.when(
+                masked, F.concat(acc["tgt"], tsep, sent, F.lit(" "), bt)
+            ).otherwise(acc["tgt"]).alias("tgt"),
+        )
+
+    zero = F.struct(
+        F.lit(0).alias("k"),
+        F.lit(0).alias("m"),
+        F.lit("").alias("inp"),
+        F.lit("").alias("tgt"),
+    )
+    folded = docs.select(
+        "doc_id",
+        n.alias("n_tokens_raw"),
+        F.explode(F.array(F.aggregate(F.sequence(F.lit(0), nb - 1), zero, step))).alias(
+            "sc"
+        ),
+    )
+    return folded.select(
+        "doc_id",
+        F.col("n_tokens_raw").cast("int").alias("n_tokens"),
+        F.col("sc.m").cast("int").alias("n_masked_tokens"),
+        F.col("sc.k").cast("int").alias("n_spans_masked"),
+        F.col("sc.inp").alias("input_text"),
+        F.col("sc.tgt").alias("target_text"),
+    )

@@ -73,6 +73,8 @@ QUERIES = [
     "ext_tpch_q1_pricing_summary",
     "ext_retrieval_metrics",
     "ext_dedup_index_probe",
+    "ext_span_corruption",
+    "ext_hll_distinct",
 ]
 
 

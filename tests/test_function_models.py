@@ -1621,3 +1621,41 @@ def test_viterbi_segment_pieces_uncoverable_word_empty_seg(spark):
         for r in viterbi_word_segments(words, pieces).collect()
     }
     assert counts == {"ab": 1, "az": None}
+
+
+def test_span_corruption_roundtrip_reconstructs_text(spark):
+    """Denoising-pair invariant: splicing each <extra_id_k> sentinel's
+    span from target_text back into input_text must reproduce the
+    original document byte-for-byte, for EVERY document — masking that
+    loses or reorders tokens would train a corrupted objective and is
+    invisible to row counts."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    from film_media_etl_spark.queries.llm_curation import ext_span_corruption
+
+    originals = {
+        r["doc_id"]: r["text"]
+        for r in pq.read_table(
+            f"{PARITY_SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+        ).to_pylist()
+        if r["text"]
+    }
+    rows = ext_span_corruption(spark, PARITY_SF_DIR).collect()
+    assert len(rows) == len(originals)
+    saw_masked = False
+    for r in rows:
+        spans = {}
+        if r["target_text"]:
+            # target = '<extra_id_0> tok tok <extra_id_1> tok ...'
+            parts = re.split(r"<extra_id_(\d+)> ?", r["target_text"])
+            # parts = ['', k0, span0, k1, span1, ...]
+            for k, span in zip(parts[1::2], parts[2::2]):
+                spans[int(k)] = span.rstrip(" ")
+        rebuilt = re.sub(
+            r"<extra_id_(\d+)>", lambda m: spans[int(m.group(1))], r["input_text"]
+        )
+        assert rebuilt == originals[r["doc_id"]], r["doc_id"]
+        saw_masked = saw_masked or r["n_spans_masked"] > 0
+    assert saw_masked  # the rate actually masks at fixture scale

@@ -113,18 +113,37 @@ def _sqdist_expr(vec, center: list):
     )
 
 
-def read_index_cells(spark: SparkSession, index_dir: str) -> DataFrame:
-    """The cells table plus any streaming increments (cells_inc/v*,
-    written by streaming/vector_index.py). Increments are read as
-    separate scans and unioned — each keeps its own partition pruning;
-    fold them into the base with a periodic offline rebuild when they
-    accumulate (the compaction discipline of sources/maintenance.py)."""
-    import glob
+def resolve_cells_base(index_dir: str) -> tuple[str, int]:
+    """(live base directory, folded-through watermark). A fresh build
+    has no manifest — its base is the legacy ``cells`` dir with
+    watermark -1 (every increment pending); after a compaction the
+    manifest points at the committed ``cells_g{n}`` generation."""
     import os
 
-    cells = spark.read.parquet(f"{index_dir}/cells")
-    incs = sorted(glob.glob(os.path.join(index_dir, "cells_inc", "v*")))
-    for inc in incs:
+    from .index_manifest import read_manifest
+
+    m = read_manifest(index_dir)
+    if m is None:
+        return os.path.join(index_dir, "cells"), -1
+    return os.path.join(index_dir, m["cells_base"]), int(m["folded_through"])
+
+
+def read_index_cells(spark: SparkSession, index_dir: str) -> DataFrame:
+    """The live cells base (resolved through the compaction manifest,
+    operators/index_manifest.py) plus any streaming increments newer
+    than its watermark (cells_inc/v*, written by
+    streaming/vector_index.py). Increments are read as separate scans
+    and unioned — each keeps its own partition pruning; fold them into
+    the base with compact_ivf_index when they accumulate."""
+    import os
+
+    from .index_manifest import increment_versions
+
+    base, water = resolve_cells_base(index_dir)
+    cells = spark.read.parquet(base)
+    for _, inc in increment_versions(
+        os.path.join(index_dir, "cells_inc"), above=water
+    ):
         cells = cells.unionByName(spark.read.parquet(inc))
     return cells
 
@@ -162,33 +181,62 @@ def probe_ivf_index(
     return ivf_probe_topk(cells, q, centers, k=k, nprobe=nprobe)
 
 
-def compact_ivf_index(spark: SparkSession, index_dir: str) -> int:
+def compact_ivf_index(
+    spark: SparkSession, index_dir: str, *, _crash_after: str | None = None
+) -> int:
     """Fold streaming increments (cells_inc/v*) back into the base cells
     table — the maintenance op that keeps probe plans one-scan after a
     long append stream (each increment is its own scan in
     read_index_cells; dozens of tiny scans erode the partition-pruning
-    win). OFFLINE op: run with the append stream stopped. Crash-safe
-    order: write the merged table to a temp dir, swap it in, then drop
-    the increments — a crash before the swap leaves the old layout
-    intact, a crash after it leaves increments that re-compact as a
-    no-op (their rows are already in the base; cell assignment is
-    deterministic, so re-reading them cannot change a probe's result...
-    but they WOULD duplicate nbr_ids in candidate lists, so the swap
-    drops them in the same call). Returns the number of increments
-    folded."""
-    import glob
-    import os
-    import shutil
+    win). OFFLINE op: run with the append stream stopped after a clean
+    drain, and resume the stream from the SAME checkpoint so batch ids
+    stay above the committed watermark.
 
-    incs = sorted(glob.glob(os.path.join(index_dir, "cells_inc", "v*")))
+    Crash-safe via the generation-manifest shape (index_manifest.py):
+    the merged table is written to a brand-new ``cells_g{n}`` directory
+    (the live base is never touched), then committed by an atomic
+    one-file manifest rename recording the folded-through watermark.
+    Probes always see a complete base — before the commit the old one,
+    after it the new one. A crash before the commit leaves the old
+    layout live (the half-written generation is swept later); a crash
+    after it leaves folded increments that the watermark masks, so a
+    re-run is a TRUE no-op — it folds nothing and only finishes the
+    sweep (the round-5 rename-swap double-folded them). Both windows
+    are pinned by fault-injection tests (tests/test_graph_ops.py).
+    Returns the number of increments folded."""
+    import os
+
+    from .index_manifest import (
+        commit_manifest,
+        crash_point,
+        increment_versions,
+        next_generation,
+        sweep,
+    )
+
+    def _sweep(live_base: str) -> None:
+        sweep(
+            index_dir,
+            live_dirs={os.path.basename(live_base)},
+            inc_roots=[os.path.join(index_dir, "cells_inc")],
+            gen_prefix="cells",
+            legacy={"cells", "cells_old", "cells_compacting"},
+        )
+
+    base, water = resolve_cells_base(index_dir)
+    incs = increment_versions(os.path.join(index_dir, "cells_inc"), above=water)
     if not incs:
+        _sweep(base)  # finish any interrupted post-commit cleanup
         return 0
     merged = read_index_cells(spark, index_dir)
-    tmp = os.path.join(index_dir, "cells_compacting")
-    merged.write.mode("overwrite").partitionBy("cell").parquet(tmp)
-    old = os.path.join(index_dir, "cells_old")
-    os.rename(os.path.join(index_dir, "cells"), old)
-    os.rename(tmp, os.path.join(index_dir, "cells"))
-    shutil.rmtree(old, ignore_errors=True)
-    shutil.rmtree(os.path.join(index_dir, "cells_inc"), ignore_errors=True)
+    new_base = next_generation(index_dir, "cells")
+    merged.write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(index_dir, new_base)
+    )
+    crash_point("write", _crash_after)
+    commit_manifest(
+        index_dir, {"cells_base": new_base, "folded_through": incs[-1][0]}
+    )
+    crash_point("commit", _crash_after)
+    _sweep(os.path.join(index_dir, new_base))
     return len(incs)

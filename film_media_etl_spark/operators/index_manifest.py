@@ -1,0 +1,161 @@
+"""Crash-safe generation manifests for persisted incremental indexes.
+
+Both on-disk indexes that accept streaming increments — the IVF vector
+index (operators/ann_index.py) and the streaming MinHash dedup index
+(streaming/ingest_dedup.py) — need the same maintenance move: fold the
+accumulated ``v{batch_id}`` increments back into a one-scan base. The
+round-5 implementation swapped directories with two ``os.rename`` calls,
+which has two crash holes (round-5 verdict finding #1):
+
+- between the renames there is NO base directory at all — every probe
+  fails until manual repair;
+- a crash after the swap but before the increments are removed leaves
+  increments whose rows are already folded in; a re-run would fold them
+  AGAIN, writing permanent duplicate rows into the base (and duplicate
+  ids consume top-k ranks in ANN probes, evicting true neighbors).
+
+This module replaces the swap with the standard write-ahead shape every
+LSM / table-format compaction uses (same discipline as Iceberg/Delta's
+pointer-last commits, re-derived here from first principles):
+
+- each compaction writes a brand-new GENERATION directory (never touches
+  the live one), then commits by atomically renaming a one-line manifest
+  JSON into place. ``os.rename`` of a file within one directory is
+  atomic on POSIX — readers see either the old manifest or the new one,
+  never a torn state, and the live base directory exists at every
+  instant.
+- the manifest records ``folded_through``: the highest increment version
+  folded into the committed base. Readers and later compactions resolve
+  through it, so increments left behind by a crash-after-commit are
+  simply ignored (re-compaction is a true no-op, not a double fold).
+- superseded generations and folded increments are removed by a
+  BEST-EFFORT sweep after the commit; a crash anywhere in the sweep
+  costs only disk space, never correctness, and the next maintenance
+  call finishes the sweep.
+
+Contract shared by both indexes: compaction is an OFFLINE op — run it
+with the append stream stopped after a clean drain (availableNow
+termination). Streams resume from the SAME checkpoint, so batch ids stay
+monotonically above ``folded_through``; a fresh checkpoint against a
+compacted index would replay batch ids the manifest already masks and is
+rejected by the streaming read guard.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+MANIFEST = "MANIFEST.json"
+
+
+class SimulatedCrash(RuntimeError):
+    """Raised by maintenance ops at test-injected fault points. Never
+    raised in production (the ``_crash_after`` hooks default to None);
+    exists so the crash-safety tests exercise the REAL code path up to
+    the exact instruction where a process death is claimed to be safe."""
+
+
+def crash_point(name: str, requested: str | None) -> None:
+    """Die here iff the test asked for this fault point."""
+    if requested == name:
+        raise SimulatedCrash(name)
+
+
+def read_manifest(index_dir: str) -> dict | None:
+    """The committed manifest, or None for a legacy/fresh index. A torn
+    manifest cannot exist (atomic rename), so a parse error is a real
+    corruption and should surface, not be swallowed."""
+    path = os.path.join(index_dir, MANIFEST)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def commit_manifest(index_dir: str, manifest: dict) -> None:
+    """THE commit point: write to a temp name, fsync, rename into place.
+    Everything before this call is invisible to readers; everything
+    after it is cleanup."""
+    path = os.path.join(index_dir, MANIFEST)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, path)
+
+
+def folded_through(index_dir: str) -> int:
+    m = read_manifest(index_dir)
+    return int(m["folded_through"]) if m else -1
+
+
+def increment_versions(inc_root: str, *, above: int = -1, below: int | None = None) -> list[tuple[int, str]]:
+    """Committed increment dirs as sorted (version, path), filtered to
+    ``above < v`` (the manifest watermark) and optionally ``v < below``
+    (the streaming re-delivery anchor). Non-``v{int}`` entries (editor
+    temps, .crc files, stray dirs) are skipped — the round-5 ADVICE bug
+    keyed ``int(d[1:])`` before filtering and died on them."""
+    if not os.path.isdir(inc_root):
+        return []
+    out = []
+    for d in os.listdir(inc_root):
+        if not d.startswith("v"):
+            continue
+        try:
+            v = int(d[1:])
+        except ValueError:
+            continue
+        if v > above and (below is None or v < below):
+            out.append((v, os.path.join(inc_root, d)))
+    return sorted(out)
+
+
+def next_generation(index_dir: str, prefix: str) -> str:
+    """Name for a new generation dir: ``{prefix}_g{n}`` one past the
+    highest existing generation (counting leftovers from crashed
+    attempts, so a retry never reuses a half-written dir name —
+    Spark's overwrite mode would handle it, but distinct names keep
+    the sweep logic trivially safe)."""
+    best = 0
+    for d in os.listdir(index_dir) if os.path.isdir(index_dir) else []:
+        if d.startswith(prefix + "_g"):
+            try:
+                best = max(best, int(d[len(prefix) + 2 :]))
+            except ValueError:
+                continue
+    return f"{prefix}_g{best + 1}"
+
+
+def sweep(
+    index_dir: str,
+    *,
+    live_dirs: set[str],
+    inc_roots: list[str],
+    gen_prefix: str,
+    legacy: set[str] = frozenset(),
+) -> None:
+    """Best-effort cleanup after a commit: remove superseded generation
+    dirs (``{gen_prefix}_g*`` or a named legacy base not in
+    ``live_dirs``) and folded increments (v <= the committed watermark).
+    Touches ONLY names this module owns — never unrelated content (the
+    IVF index keeps its ``centroids`` table next to the bases).
+    Idempotent; every path here is safe to die in — the manifest already
+    excludes everything being removed."""
+    water = folded_through(index_dir)
+    for d in os.listdir(index_dir):
+        full = os.path.join(index_dir, d)
+        ours = d.startswith(gen_prefix + "_g") or d in legacy
+        if not ours or d in live_dirs or not os.path.isdir(full):
+            continue
+        shutil.rmtree(full, ignore_errors=True)
+    for root in inc_roots:
+        for v, path in increment_versions(root):
+            if v <= water:
+                shutil.rmtree(path, ignore_errors=True)
+        try:  # a fully-folded increment root disappears entirely
+            os.rmdir(root)
+        except OSError:
+            pass

@@ -261,3 +261,107 @@ def test_ivf_compaction_preserves_probe_results(spark, tmp_path):
     )
     assert before == after and len(after) == 40
     assert compact_ivf_index(spark, idx) == 0  # idempotent no-op
+
+
+def _stage_ivf_with_increments(spark, tmp_path):
+    """Base index over vec_id < 300 plus two versioned streaming-shaped
+    increments covering the rest — the layout compact_ivf_index folds."""
+    from film_media_etl_spark.operators.ann_index import (
+        assign_cells,
+        build_ivf_index,
+    )
+    from film_media_etl_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb.where("vec_id < 300"), idx, nlist=16, seed=42)
+    centers = [
+        (r["cell"], r["center"])
+        for r in spark.read.parquet(f"{idx}/centroids").collect()
+    ]
+    for v, pred in (("v0", "vec_id >= 300 AND vec_id < 400"), ("v1", "vec_id >= 400")):
+        assign_cells(emb.where(pred), centers).write.partitionBy("cell").parquet(
+            f"{idx}/cells_inc/{v}"
+        )
+    return idx, emb.where("vec_id < 8")
+
+
+def test_ivf_compaction_crash_before_commit_leaves_old_base_live(spark, tmp_path):
+    """Round-5 verdict #1(a): the old swap had a window with NO cells
+    directory at all. With the generation manifest, a crash after the
+    new base is written but BEFORE the manifest commit must leave
+    probes answering from the old layout (base + increments), and a
+    re-run must complete the fold to the same answer."""
+    import pytest
+
+    from film_media_etl_spark.operators.ann_index import (
+        compact_ivf_index,
+        probe_ivf_index,
+        read_index_cells,
+    )
+    from film_media_etl_spark.operators.index_manifest import SimulatedCrash
+
+    idx, queries = _stage_ivf_with_increments(spark, tmp_path)
+    before = sorted(
+        tuple(r) for r in probe_ivf_index(spark, idx, queries, k=5, nprobe=10).collect()
+    )
+    rows_before = read_index_cells(spark, idx).count()
+    with pytest.raises(SimulatedCrash):
+        compact_ivf_index(spark, idx, _crash_after="write")
+    # crashed mid-maintenance: probes still work, answers unchanged
+    mid = sorted(
+        tuple(r) for r in probe_ivf_index(spark, idx, queries, k=5, nprobe=10).collect()
+    )
+    assert mid == before
+    assert read_index_cells(spark, idx).count() == rows_before
+    # the retry folds both increments (the crashed attempt's half-written
+    # generation is superseded and swept)
+    assert compact_ivf_index(spark, idx) == 2
+    import os
+
+    assert not os.path.isdir(f"{idx}/cells_inc")
+    after = sorted(
+        tuple(r) for r in probe_ivf_index(spark, idx, queries, k=5, nprobe=10).collect()
+    )
+    assert after == before
+    assert read_index_cells(spark, idx).count() == rows_before
+
+
+def test_ivf_compaction_crash_after_commit_recompact_is_true_noop(spark, tmp_path):
+    """Round-5 verdict #1(b): the old swap left folded increments behind
+    on a crash-after-swap, and a re-run folded them AGAIN — permanent
+    duplicate rows that evict true top-k neighbors. With the watermark
+    manifest, a re-run after a crash-after-commit must fold NOTHING:
+    identical row counts (no duplicates), identical probe results, and
+    it only finishes the interrupted sweep."""
+    import os
+
+    import pytest
+
+    from film_media_etl_spark.operators.ann_index import (
+        compact_ivf_index,
+        probe_ivf_index,
+        read_index_cells,
+    )
+    from film_media_etl_spark.operators.index_manifest import SimulatedCrash
+
+    idx, queries = _stage_ivf_with_increments(spark, tmp_path)
+    before = sorted(
+        tuple(r) for r in probe_ivf_index(spark, idx, queries, k=5, nprobe=10).collect()
+    )
+    rows_before = read_index_cells(spark, idx).count()
+    with pytest.raises(SimulatedCrash):
+        compact_ivf_index(spark, idx, _crash_after="commit")
+    # committed but not swept: increments still on disk, yet masked by
+    # the watermark — reads must NOT double-count them
+    assert os.path.isdir(f"{idx}/cells_inc")
+    assert read_index_cells(spark, idx).count() == rows_before
+    # re-compaction is a true no-op (folds 0) and finishes the sweep
+    assert compact_ivf_index(spark, idx) == 0
+    assert not os.path.isdir(f"{idx}/cells_inc")
+    assert not os.path.isdir(f"{idx}/cells")  # legacy base superseded
+    assert read_index_cells(spark, idx).count() == rows_before
+    after = sorted(
+        tuple(r) for r in probe_ivf_index(spark, idx, queries, k=5, nprobe=10).collect()
+    )
+    assert after == before

@@ -101,6 +101,129 @@ def probe_dedup_index(
     )
 
 
+def read_stream_dedup_index(
+    spark: SparkSession, index_dir: str, *, before_batch: int | None = None
+) -> tuple[DataFrame | None, DataFrame | None]:
+    """(bands, sigs) of a STREAM-built index
+    (streaming/ingest_dedup.start_index_dedup_stream): versioned
+    increments ``bands/v{batch_id}`` + ``sigs/v{batch_id}``, plus the
+    compacted base generation if compact_dedup_index has run — resolved
+    through the shared crash-safe manifest (operators/index_manifest.py).
+    ``before_batch`` is the streaming re-delivery anchor: only
+    increments committed STRICTLY before that batch id are read, so a
+    replayed batch never probes its own half-written increment. Returns
+    (None, None) when nothing is indexed yet.
+
+    Guard: a compaction watermark at/above ``before_batch`` means the
+    offline-compaction contract was broken (compacting a live stream,
+    or restarting against a FRESH checkpoint whose batch ids replay
+    below the watermark) — the folded base would contain the probing
+    batch's own rows and survivor flags would silently drift, so this
+    raises instead."""
+    import os
+
+    from .index_manifest import folded_through, increment_versions, read_manifest
+
+    m = read_manifest(index_dir)
+    water = folded_through(index_dir)
+    if before_batch is not None and water >= before_batch:
+        raise ValueError(
+            f"dedup index {index_dir} compacted through v{water} but the "
+            f"stream is at batch {before_batch}: compaction must run "
+            "offline and streams must resume from the SAME checkpoint"
+        )
+
+    def table(name: str) -> DataFrame | None:
+        parts = []
+        if m is not None:
+            parts.append(os.path.join(index_dir, m["base"], name))
+        parts += [
+            p
+            for _, p in increment_versions(
+                os.path.join(index_dir, name), above=water, below=before_batch
+            )
+        ]
+        if not parts:
+            return None
+        # one scan per part, unioned (partitioned-dir multi-path reads
+        # conflict; unionByName keeps each scan independent)
+        df = spark.read.parquet(parts[0])
+        for p in parts[1:]:
+            df = df.unionByName(spark.read.parquet(p))
+        return df
+
+    return table("bands"), table("sigs")
+
+
+def compact_dedup_index(
+    spark: SparkSession, index_dir: str, *, _crash_after: str | None = None
+) -> int:
+    """Fold a stream-built index's versioned increments into one base
+    generation — the maintenance op that keeps probe plans flat after a
+    long append stream (every increment is its own scan; dozens of tiny
+    scans erode the zero-exchange probe the index exists for). Same
+    crash-safe shape as compact_ivf_index, via the SHARED generation
+    manifest: write a new ``base_g{n}`` holding both tables, commit with
+    one atomic manifest rename, sweep superseded dirs best-effort.
+    OFFLINE op — run after the stream drains cleanly (availableNow
+    termination) and resume from the same checkpoint.
+
+    Both tables commit under ONE manifest, so bands and sigs can never
+    disagree about what is folded. An increment version present in only
+    one table (the last batch died between its two writes and was never
+    re-delivered) caps the fold: only versions complete in BOTH tables
+    and below the first incomplete one are folded. Returns the number
+    of increment versions folded."""
+    import os
+
+    from .index_manifest import (
+        commit_manifest,
+        crash_point,
+        folded_through,
+        increment_versions,
+        next_generation,
+        read_manifest,
+        sweep,
+    )
+
+    m = read_manifest(index_dir)
+    water = folded_through(index_dir)
+    roots = [os.path.join(index_dir, t) for t in ("bands", "sigs")]
+
+    def _sweep(live: str | None) -> None:
+        sweep(
+            index_dir,
+            live_dirs={live} if live else set(),
+            inc_roots=roots,
+            gen_prefix="base",
+        )
+
+    bands_vs = dict(increment_versions(roots[0], above=water))
+    sigs_vs = dict(increment_versions(roots[1], above=water))
+    incomplete = set(bands_vs) ^ set(sigs_vs)
+    cap = min(incomplete) if incomplete else None
+    folded = sorted(
+        v for v in set(bands_vs) & set(sigs_vs) if cap is None or v < cap
+    )
+    if not folded:
+        _sweep(m["base"] if m else None)
+        return 0
+    new_base = next_generation(index_dir, "base")
+    for name, vs in (("bands", bands_vs), ("sigs", sigs_vs)):
+        parts = ([os.path.join(index_dir, m["base"], name)] if m else []) + [
+            vs[v] for v in folded
+        ]
+        df = spark.read.parquet(parts[0])
+        for p in parts[1:]:
+            df = df.unionByName(spark.read.parquet(p))
+        df.write.mode("overwrite").parquet(os.path.join(index_dir, new_base, name))
+    crash_point("write", _crash_after)
+    commit_manifest(index_dir, {"base": new_base, "folded_through": folded[-1]})
+    crash_point("commit", _crash_after)
+    _sweep(new_base)
+    return len(folded)
+
+
 def probe_dedup_frames(
     idx_bands: DataFrame,
     idx_sigs: DataFrame,

@@ -266,21 +266,14 @@ def stream_curation_gate(docs: DataFrame) -> DataFrame:
     )
 
 
-def _index_versions(path: str, before_batch: int) -> list[str]:
-    """Every index increment committed STRICTLY BEFORE this batch — the
-    sinks.py re-delivery anchor, applied to an APPEND-shaped store: a
-    replayed batch must not probe against its own (already-written)
-    increment, so reads are pinned below the batch id and the rewrite
-    is a pure function of (prior increments, batch input)."""
-    import os
-
-    if not os.path.isdir(path):
-        return []
-    return [
-        os.path.join(path, d)
-        for d in sorted(os.listdir(path), key=lambda d: int(d[1:]))
-        if d.startswith("v") and int(d[1:]) < before_batch
-    ]
+# Index reads resolve through operators.dedup_index.read_stream_dedup_index:
+# the sinks.py re-delivery anchor (only increments committed STRICTLY
+# before the current batch are probed, so a replayed batch never sees its
+# own half-written increment) plus the compaction manifest (folded
+# increments are masked by the watermark; a watermark at/above the live
+# batch id is a contract violation and raises). The shared
+# increment_versions helper also filters non-``v{int}`` directory entries
+# BEFORE keying them — the old local lister ValueError'd on stray files.
 
 
 def start_index_dedup_stream(
@@ -318,18 +311,22 @@ def start_index_dedup_stream(
     import os
 
     from ..operators.dedup import minhash_lsh_survivors, _token_set as _toks
-    from ..operators.dedup_index import minhash_banded, probe_dedup_frames
+    from ..operators.dedup_index import (
+        minhash_banded,
+        probe_dedup_frames,
+        read_stream_dedup_index,
+    )
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.localCheckpoint(eager=True)  # read the source once
         within = minhash_lsh_survivors(batch_df, threshold=threshold)
-        prior = _index_versions(f"{index_dir}/bands", batch_id)
-        if prior:
+        idx_bands, idx_sigs = read_stream_dedup_index(
+            spark, index_dir, before_batch=batch_id
+        )
+        if idx_bands is not None:
             pairs = probe_dedup_frames(
-                spark.read.parquet(*prior),
-                spark.read.parquet(
-                    *_index_versions(f"{index_dir}/sigs", batch_id)
-                ),
+                idx_bands,
+                idx_sigs,
                 batch_df,
                 threshold=threshold,
             )

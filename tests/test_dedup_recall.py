@@ -329,3 +329,128 @@ def test_dedup_index_probe_plan_never_shuffles_corpus_side(spark, tmp_path):
     # no hash exchange of either index table anywhere in the plan —
     # bands and sigs both stream into broadcast joins
     assert "Exchange hashpartitioning" not in plan, plan[:3000]
+
+
+def _stage_stream_shaped_index(spark, tmp_path, *, extra_bands_only: bool = False):
+    """Hand-write the exact versioned layout start_index_dedup_stream
+    produces: bands/v{n} + sigs/v{n} increments over the corpus split
+    (doc_id >= 100) in two slices. Optionally add a bands/v2 with NO
+    sigs twin — the layout a batch leaves when it dies between its two
+    index writes (that batch is re-delivered on resume, so compaction
+    must cap below it rather than fold half a batch)."""
+    from film_media_etl_spark.operators.dedup_index import minhash_banded
+
+    docs = load_table(spark, SF_DIR, "documents")
+    idx = str(tmp_path / "idx")
+    slices = [
+        ("v0", "doc_id >= 100 AND doc_id < 300"),
+        ("v1", "doc_id >= 300"),
+    ]
+    for v, pred in slices:
+        part = docs.where(pred)
+        minhash_banded(part).write.parquet(f"{idx}/bands/{v}")
+        th = F.array_distinct(
+            F.transform(_token_set(F.col("text")), lambda t: F.xxhash64(t))
+        )
+        part.select(
+            F.col("doc_id"), th.alias("tok_hashes"), F.size(th).alias("nt")
+        ).where(F.col("nt") > 0).write.parquet(f"{idx}/sigs/{v}")
+    if extra_bands_only:
+        minhash_banded(docs.where("doc_id >= 300")).write.parquet(f"{idx}/bands/v2")
+    return idx, docs.where("doc_id < 100")
+
+
+def _probe_stream_index(spark, idx, batch):
+    from film_media_etl_spark.operators.dedup_index import (
+        probe_dedup_frames,
+        read_stream_dedup_index,
+    )
+
+    bands, sigs = read_stream_dedup_index(spark, idx)
+    return sorted(
+        (r["probe_id"], r["corpus_id"], round(r["jaccard"], 12))
+        for r in probe_dedup_frames(bands, sigs, batch, threshold=THETA).collect()
+    )
+
+
+def test_dedup_index_compaction_probe_parity_and_crash_windows(spark, tmp_path):
+    """compact_dedup_index (round-5 verdict task #3): probe decisions
+    bit-identical before/after the fold, and both crash windows of the
+    shared generation-manifest machinery hold for the two-table index —
+    a crash BEFORE the manifest commit leaves the increment layout
+    live (retry completes), a crash AFTER it leaves masked increments
+    that a re-run must NOT double-fold (true no-op)."""
+    import os
+
+    from film_media_etl_spark.operators.dedup_index import compact_dedup_index
+    from film_media_etl_spark.operators.index_manifest import SimulatedCrash
+
+    idx, batch = _stage_stream_shaped_index(spark, tmp_path)
+    before = _probe_stream_index(spark, idx, batch)
+    assert len(before) > 0
+
+    # crash after the new generation is written, before the commit:
+    # the live layout is still the raw increments, answers unchanged
+    with pytest.raises(SimulatedCrash):
+        compact_dedup_index(spark, idx, _crash_after="write")
+    assert _probe_stream_index(spark, idx, batch) == before
+    # crash after the commit, before the sweep: increments remain on
+    # disk but the watermark masks them — no double-counting
+    with pytest.raises(SimulatedCrash):
+        compact_dedup_index(spark, idx, _crash_after="commit")
+    assert os.path.isdir(f"{idx}/bands")
+    assert _probe_stream_index(spark, idx, batch) == before
+    # re-compaction is a TRUE no-op: folds nothing, finishes the sweep
+    assert compact_dedup_index(spark, idx) == 0
+    assert not os.path.isdir(f"{idx}/bands") and not os.path.isdir(f"{idx}/sigs")
+    assert _probe_stream_index(spark, idx, batch) == before
+    # and the folded probe equals the one-shot flat index over the same
+    # corpus — closing the loop with the batch build/probe parity pin
+    from film_media_etl_spark.operators.dedup_index import (
+        build_dedup_index,
+        probe_dedup_index,
+    )
+
+    flat = str(tmp_path / "flat")
+    docs = load_table(spark, SF_DIR, "documents")
+    build_dedup_index(docs.where("doc_id >= 100"), flat)
+    want = sorted(
+        (r["probe_id"], r["corpus_id"], round(r["jaccard"], 12))
+        for r in probe_dedup_index(spark, flat, batch, threshold=THETA).collect()
+    )
+    assert before == want
+
+
+def test_dedup_index_compaction_caps_below_incomplete_version(spark, tmp_path):
+    """A bands/v2 with no sigs/v2 twin (a batch that died between its
+    two index writes and awaits re-delivery) must CAP the fold: only
+    the complete v0/v1 fold, the manifest watermark stays below v2, and
+    the orphan increment survives for the re-delivered batch to
+    overwrite."""
+    import os
+
+    from film_media_etl_spark.operators.dedup_index import compact_dedup_index
+    from film_media_etl_spark.operators.index_manifest import read_manifest
+
+    idx, _ = _stage_stream_shaped_index(spark, tmp_path, extra_bands_only=True)
+    assert compact_dedup_index(spark, idx) == 2
+    m = read_manifest(idx)
+    assert m["folded_through"] == 1
+    assert os.path.isdir(f"{idx}/bands/v2")  # orphan kept for re-delivery
+
+
+def test_stream_index_read_guard_rejects_stale_checkpoint(spark, tmp_path):
+    """A compaction watermark at/above the live batch id means the
+    offline contract was broken (fresh checkpoint replaying old batch
+    ids against a compacted index): the folded base would contain the
+    probing batch's own rows and flags would silently drift — the read
+    must raise instead."""
+    from film_media_etl_spark.operators.dedup_index import (
+        compact_dedup_index,
+        read_stream_dedup_index,
+    )
+
+    idx, _ = _stage_stream_shaped_index(spark, tmp_path)
+    assert compact_dedup_index(spark, idx) == 2
+    with pytest.raises(ValueError, match="SAME checkpoint"):
+        read_stream_dedup_index(spark, idx, before_batch=1)

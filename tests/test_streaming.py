@@ -1387,3 +1387,95 @@ def test_stream_hll_matches_batch_estimates_with_kill(spark, tmp_path, batch_eve
         best, exact = want[et]
         assert est == best, (et, est, best)  # register-identical union
         assert abs(est - exact) / exact < 0.05, (et, est, exact)
+
+
+def test_stream_dedup_index_day_in_the_life(spark, tmp_path):
+    """The production ingest story end-to-end, composing the proven
+    pieces (round-5 verdict task #8): stream the corpus in as ordered
+    file drops, KILL mid-stream, resume from the same checkpoint,
+    COMPACT the accumulated increments offline, then probe a brand-new
+    batch against the folded index. The final probe must equal the
+    one-shot flat-index probe over the same corpus (whose own parity
+    with the batch LSH pairs is pinned in tests/test_dedup_recall.py),
+    and after compaction the index is one base generation — the
+    versioned increment roots are gone."""
+    import glob
+    import os
+    import time
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from film_media_etl_spark.operators.dedup_index import (
+        build_dedup_index,
+        compact_dedup_index,
+        probe_dedup_frames,
+        probe_dedup_index,
+        read_stream_dedup_index,
+    )
+    from film_media_etl_spark.streaming.ingest_dedup import start_index_dedup_stream
+
+    split = 100  # doc_id < split: tomorrow's probe batch, never streamed
+    src = tmp_path / "src"
+    src.mkdir()
+    tbl = pq.read_table(f"{PARITY_SF_DIR}/documents.parquet")
+    corpus = tbl.filter(pc.field("doc_id") >= split).sort_by("doc_id")
+    n = corpus.num_rows
+    third = (n + 2) // 3
+    for i in range(3):
+        name = "documents.parquet" if i == 0 else f"documents_{i}.parquet"
+        path = src / name
+        pq.write_table(corpus.slice(i * third, third), path)
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def start():
+        return start_index_dedup_stream(
+            spark, str(src), idx, out, ckpt,
+            available_now=True, max_files_per_trigger=1,
+        )
+
+    q = start()
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if any(p["numInputRows"] > 0 for p in (q.recentProgress or []) if p):
+            break
+        time.sleep(0.2)
+    _stop_and_drain(q)  # the mid-day crash
+    q2 = start()  # same checkpoint: resume, drain the rest
+    q2.awaitTermination(240)
+    assert not q2.isActive
+
+    folded = compact_dedup_index(spark, idx)
+    assert folded >= 1
+    assert compact_dedup_index(spark, idx) == 0  # re-run no-op
+    assert not os.path.isdir(f"{idx}/bands")  # one base generation left
+    assert not os.path.isdir(f"{idx}/sigs")
+
+    batch = spark.read.parquet(f"{PARITY_SF_DIR}/documents.parquet").where(
+        f"doc_id < {split}"
+    )
+    bands, sigs = read_stream_dedup_index(spark, idx)
+    got = sorted(
+        (r["probe_id"], r["corpus_id"], round(r["jaccard"], 12))
+        for r in probe_dedup_frames(bands, sigs, batch).collect()
+    )
+    flat = str(tmp_path / "flat")
+    build_dedup_index(
+        spark.read.parquet(f"{PARITY_SF_DIR}/documents.parquet").where(
+            f"doc_id >= {split}"
+        ),
+        flat,
+    )
+    want = sorted(
+        (r["probe_id"], r["corpus_id"], round(r["jaccard"], 12))
+        for r in probe_dedup_index(spark, flat, batch).collect()
+    )
+    assert got == want and len(got) > 0
+    # the streamed flags themselves survived the kill: every corpus doc
+    # got exactly one verdict
+    flag_rows = spark.read.parquet(*sorted(glob.glob(out + "/v*"))).collect()
+    assert len(flag_rows) == n

@@ -172,7 +172,11 @@ def main() -> None:
                    detail="BENCH_FULL.json")
     del compact["spread"]
     line = json.dumps(compact, separators=(",", ":"))
-    assert len(line) < 1990, f"bench stdout line {len(line)}B breaches the driver's 2000B tail window — trim HEADLINE or the encoding"
+    if len(line) >= 1990:  # explicit raise: a bare assert vanishes under -O
+        raise SystemExit(
+            f"bench stdout line {len(line)}B breaches the driver's 2000B "
+            "tail window — trim HEADLINE or the encoding"
+        )
     print(line)
 
 

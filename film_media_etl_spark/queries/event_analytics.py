@@ -144,14 +144,22 @@ def ext_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_JOURNEY_CAP = 1000  # most-recent events kept per user before any collect
+
+
 @register(
     "ext_collect_ordered",
-    oracle="""
+    oracle=f"""
+    WITH recent AS (
+      SELECT user_id, ts, event_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events WHERE user_id < 40
+    )
     SELECT user_id,
            string_agg(event_type, '>' ORDER BY ts, event_id) AS event_path,
            COUNT(*) AS n_events
-    FROM events
-    WHERE user_id < 40
+    FROM recent WHERE rn <= {_JOURNEY_CAP}
     GROUP BY user_id
     """,
 )
@@ -167,13 +175,29 @@ def ext_collect_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary as the joined STRING only (an array column would be
     re-rendered differently by the engines' dataframe bridges — the
     decimal trap again, queries/registry.py). One shuffle on user_id;
-    the user_id < 40 gate keeps oracle rows compact, pushed to the scan."""
+    the user_id < 40 gate keeps oracle rows compact, pushed to the scan.
+
+    Whale cap (round-5 verdict #3/#6): the collect is bounded at the
+    most-recent {cap} events per user via the same deterministic
+    row_number window as ext_event_regex (oracle-mirrored), so one
+    whale user bounds the collected array instead of growing it with
+    their history; n_events counts the capped sequence. The row_number
+    itself is a streaming, spillable window sort. At fixture scales no
+    user approaches the cap, so results are unchanged.""".format(
+        cap=_JOURNEY_CAP
+    )
     ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 40)
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    recent = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _JOURNEY_CAP)
+        .drop("rn")
+    )
     ordered = F.sort_array(
         F.collect_list(F.struct("ts", "event_id", "event_type"))
     )
     seq = F.transform(ordered, lambda x: x["event_type"])
-    return ev.groupBy("user_id").agg(
+    return recent.groupBy("user_id").agg(
         F.array_join(seq, ">").alias("event_path"),
         F.count(F.lit(1)).alias("n_events"),
     )
@@ -184,7 +208,7 @@ def ext_collect_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _SEQ_PATTERN = "v[cv]*p"  # a view leading through clicks/views to a purchase
-_JOURNEY_CAP = 1000  # most-recent events kept per user before the collect
+# _JOURNEY_CAP (defined above ext_collect_ordered) caps this op too
 
 
 @register(

@@ -790,10 +790,15 @@ def ext_knn_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.ann_index import build_ivf_index, probe_ivf_index
 
     src = f"{sf_dir.rstrip('/')}/embeddings.parquet"
-    try:
+    # isfile decides the key shape: os.stat SUCCEEDS on a directory (its
+    # inode's size/mtime don't change when files are rewritten in place,
+    # so a dir stat is a stale-serving trap, round-5 ADVICE) — only a
+    # single-file table gets the content fingerprint; directory-style or
+    # remote tables take the path-only key.
+    if os.path.isfile(src):
         st = os.stat(src)
         fp = (st.st_size, st.st_mtime_ns)
-    except OSError:  # directory-style table or remote FS: path-only key
+    else:
         fp = None
     key = (sf_dir.rstrip("/"), fp)
     idx = _IVF_INDEX_CACHE.get(key)

@@ -771,10 +771,13 @@ def ext_dedup_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     src = f"{sf_dir.rstrip('/')}/documents.parquet"
-    try:
+    # isfile decides the key shape (not try/stat: os.stat succeeds on a
+    # directory and its inode stats miss in-place rewrites — see the
+    # twin comment in extensions.ext_knn_ivf_persisted)
+    if _os.path.isfile(src):
         st = _os.stat(src)
         fp = (st.st_size, st.st_mtime_ns)
-    except OSError:
+    else:
         fp = None
     key = (sf_dir.rstrip("/"), fp)
     idx = _DEDUP_INDEX_CACHE.get(key)

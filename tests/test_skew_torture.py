@@ -175,25 +175,16 @@ def test_star_fact_build_immune_to_hot_customer(spark, tmp_path):
     assert t_h <= 2.0 * t_u + 1.0, (t_h, t_u)
 
 
-def test_event_regex_whale_user_journey_capped_and_flat(spark, tmp_path):
-    """Whale-user torture for the CEP journey op (round-4 verdict #3 /
-    round-5 #7): one user contributing 10^6 events must neither blow up
-    the per-user ordered collect (the journey is capped at the
-    most-recent _JOURNEY_CAP events, deterministically) nor make the
-    query materially slower than the SAME extra volume spread uniformly
-    over many users."""
+def _stage_whale_and_uniform_events(tmp_path, *, whale_user: int, n_extra=1_000_000):
+    """Two event corpora with the SAME extra volume: one dumped on a
+    single whale user, one spread over 50k users — the pair every
+    whale-cap torture compares."""
     import shutil
 
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    from film_media_etl_spark.queries.event_analytics import (
-        _JOURNEY_CAP,
-        ext_event_regex,
-    )
-
-    n_extra = 1_000_000
     base = pq.read_table(f"{PARITY_SF_DIR}/events.parquet")
     rng = np.random.default_rng(11)
     types = np.array(["view", "click", "purchase", "signup", "error"])
@@ -219,7 +210,7 @@ def test_event_regex_whale_user_journey_capped_and_flat(spark, tmp_path):
 
     whale_dir, uniform_dir = str(tmp_path / "whale"), str(tmp_path / "uniform")
     for d, users in (
-        (whale_dir, np.full(n_extra, 10**9, dtype=np.int64)),
+        (whale_dir, np.full(n_extra, whale_user, dtype=np.int64)),
         (uniform_dir, (np.arange(n_extra, dtype=np.int64) % 50_000) + 10**9),
     ):
         (tmp_path / d.rsplit("/", 1)[1]).mkdir()
@@ -228,6 +219,24 @@ def test_event_regex_whale_user_journey_capped_and_flat(spark, tmp_path):
             pa.concat_tables([base, extra_events(users)]),
             f"{d}/events.parquet",
         )
+    return whale_dir, uniform_dir
+
+
+def test_event_regex_whale_user_journey_capped_and_flat(spark, tmp_path):
+    """Whale-user torture for the CEP journey op (round-4 verdict #3 /
+    round-5 #7): one user contributing 10^6 events must neither blow up
+    the per-user ordered collect (the journey is capped at the
+    most-recent _JOURNEY_CAP events, deterministically) nor make the
+    query materially slower than the SAME extra volume spread uniformly
+    over many users."""
+    from film_media_etl_spark.queries.event_analytics import (
+        _JOURNEY_CAP,
+        ext_event_regex,
+    )
+
+    whale_dir, uniform_dir = _stage_whale_and_uniform_events(
+        tmp_path, whale_user=10**9
+    )
 
     def run(sf_dir):
         t0 = time.perf_counter()
@@ -240,4 +249,32 @@ def test_event_regex_whale_user_journey_capped_and_flat(spark, tmp_path):
     # the whale's journey is capped, deterministic, and still scanned
     assert rows_w[10**9]["n_events"] == _JOURNEY_CAP
     # flat: the hot user costs no more than ~2x the uniform layout
+    assert t_w <= 2.0 * t_u + 1.0, (t_w, t_u)
+
+
+def test_collect_ordered_whale_user_capped_and_flat(spark, tmp_path):
+    """Round-5 verdict #6: ext_collect_ordered carried the same
+    whale-user exposure ext_event_regex fixed — its full-history
+    ordered collect now takes the identical most-recent-_JOURNEY_CAP
+    row_number cap (oracle-mirrored). The whale sits INSIDE the op's
+    user_id < 40 gate (user 5), so the cap is what protects it."""
+    from film_media_etl_spark.queries.event_analytics import (
+        _JOURNEY_CAP,
+        ext_collect_ordered,
+    )
+
+    whale_dir, uniform_dir = _stage_whale_and_uniform_events(tmp_path, whale_user=5)
+
+    def run(sf_dir):
+        t0 = time.perf_counter()
+        rows = {r["user_id"]: r for r in ext_collect_ordered(spark, sf_dir).collect()}
+        return time.perf_counter() - t0, rows
+
+    run(uniform_dir)  # warmup
+    t_u, _ = run(uniform_dir)
+    t_w, rows_w = run(whale_dir)
+    whale = rows_w[5]
+    assert whale["n_events"] == _JOURNEY_CAP
+    # the path string is bounded by the cap, not the 10^6-event history
+    assert whale["event_path"].count(">") == _JOURNEY_CAP - 1
     assert t_w <= 2.0 * t_u + 1.0, (t_w, t_u)

@@ -1479,3 +1479,62 @@ def test_stream_dedup_index_day_in_the_life(spark, tmp_path):
     # got exactly one verdict
     flag_rows = spark.read.parquet(*sorted(glob.glob(out + "/v*"))).collect()
     assert len(flag_rows) == n
+
+
+def test_hll_estimates_at_high_cardinality_with_split_merge_associativity(spark):
+    """Round-5 verdict task #2: at fixture scale every event type has
+    ~150 distinct users, where HLL is EXACT — the sketch path was never
+    seen estimating, so a register-handling bug would be invisible.
+    Generate 200k distinct keys (no storage; deterministic input set)
+    and pin:
+
+    - relative error of the estimate <= 2% (lgConfigK=12 default ->
+      ~1.04/sqrt(4096) ~= 1.6% standard error; the input is fixed, so
+      this is a deterministic measurement, not a flaky probabilistic
+      bound);
+    - MERGE ASSOCIATIVITY: unioning per-part sketches from TWO
+      different arbitrary 3-way splits gives estimates bit-identical
+      to each other and to the one-shot sketch — registers are
+      per-slot maxima over the hashed input SET, so any
+      partition/merge tree must land on the same registers."""
+    from film_media_etl_spark.streaming.sketches import merge_hll
+
+    n = 200_000
+    base = spark.range(n).select(
+        F.col("id").alias("user_id"),
+        F.lit("e").alias("event_type"),
+        (F.col("id") % 3).alias("s3"),
+        (F.col("id") % 7 % 3).alias("s7"),
+    )
+
+    def estimate(sketches):
+        merged = sketches.groupBy("event_type").agg(
+            F.hll_union_agg("sketch").alias("sketch")
+        )
+        return merged.select(
+            F.hll_sketch_estimate("sketch").alias("est")
+        ).collect()[0]["est"]
+
+    one_shot = base.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sketch")
+    )
+    est = estimate(one_shot)
+    assert abs(est - n) / n <= 0.02, est
+    assert est != n  # genuinely estimating, not in the exact regime
+
+    for split_col in ("s3", "s7"):
+        parts = base.groupBy("event_type", split_col).agg(
+            F.hll_sketch_agg("user_id").alias("sketch")
+        )
+        assert estimate(parts) == est, split_col
+
+    # and the streaming sink's MERGE helper lands on the same registers:
+    # fold the s3 parts in one-at-a-time like three micro-batches
+    snap = None
+    for s in range(3):
+        snap = merge_hll(
+            snap, base.where(F.col("s3") == s).groupBy("event_type").agg(
+                F.hll_sketch_agg("user_id").alias("sketch")
+            )
+        )
+    assert estimate(snap) == est

@@ -91,6 +91,7 @@ HEADLINE = [
     "ext_unigram_tokenize",     # Viterbi DP fold per distinct word (vocab trick)
     "ext_dedup_index_probe",    # persisted LSH index probe (build amortized rep 1)
     "ext_span_corruption",      # T5-style masked-span pairs: one fold per doc
+    "ext_span_corruption_varlen",  # geometric-span variant: same single-fold map
 ]
 
 

@@ -928,3 +928,159 @@ def ext_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sc.inp").alias("input_text"),
         F.col("sc.tgt").alias("target_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Variable-length span corruption: the real-T5 geometric-span variant
+# ---------------------------------------------------------------------------
+
+# Truncated-geometric span lengths, p = 1/3 (T5's mean-3 target; Raffel
+# et al. 2020 sample span lengths around mean 3), truncated at 5 so the
+# inverse CDF is a fixed CASE ladder. Thresholds are the exact CDF
+# rationals (1-(2/3)^k) materialized ONCE as Python doubles and inlined
+# into both engines: float repr round-trips bit-exactly, so the same
+# IEEE double sits on each side of the comparison and the draw is
+# engine-identical (the transcendental-free discipline — a log-based
+# geometric sampler would diverge between engines' libm). E[len] =
+# 211/81 ~= 2.6 after truncation.
+_VARLEN_CDF = (1 / 3, 5 / 9, 19 / 27, 65 / 81)  # P(len <= 1..4); else 5
+_VARLEN_MAX = 5
+
+
+def _varlen_sql(u_sql: str) -> str:
+    """Inverse-CDF CASE ladder over a uniform expression (SQL)."""
+    arms = " ".join(
+        f"WHEN {u_sql} < {t!r} THEN {k + 1}" for k, t in enumerate(_VARLEN_CDF)
+    )
+    return f"(CASE {arms} ELSE {_VARLEN_MAX} END)"
+
+
+@register(
+    "ext_span_corruption_varlen",
+    oracle=f"""
+    WITH t AS MATERIALIZED (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+      FROM documents WHERE text IS NOT NULL AND text <> ''
+    ),
+    bseq AS MATERIALIZED (
+      SELECT doc_id, toks, n,
+             CAST(unnest(range(0, CAST(n AS BIGINT))) AS INT) AS b
+      FROM t
+    ),
+    lens AS MATERIALIZED (
+      SELECT doc_id, toks, n, b,
+             {_varlen_sql(_uniform_expr("doc_id || '_L_' || b"))} AS len_b,
+             {_uniform_expr("doc_id || '_M_' || b")} < {_SPAN_RATE} AS masked
+      FROM bseq
+    ),
+    placed AS MATERIALIZED (
+      SELECT *, COALESCE(SUM(len_b) OVER (PARTITION BY doc_id ORDER BY b
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+      FROM lens
+    ),
+    blocks AS MATERIALIZED (
+      SELECT doc_id, toks, n, b, masked,
+             array_to_string(toks[s + 1 : s + len_b], ' ') AS block_text,
+             len(toks[s + 1 : s + len_b]) AS block_n
+      FROM placed WHERE s < n
+    ),
+    numbered AS (
+      SELECT *,
+             COALESCE(SUM(CASE WHEN masked THEN 1 END)
+               OVER (PARTITION BY doc_id ORDER BY b
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS k
+      FROM blocks
+    )
+    SELECT doc_id,
+           CAST(MAX(n) AS INT) AS n_tokens,
+           CAST(COALESCE(SUM(CASE WHEN masked THEN block_n END), 0) AS INT)
+             AS n_masked_tokens,
+           CAST(COALESCE(SUM(CASE WHEN masked THEN 1 END), 0) AS INT)
+             AS n_spans_masked,
+           string_agg(CASE WHEN masked THEN '<extra_id_' || k || '>'
+                           ELSE block_text END, ' ' ORDER BY b) AS input_text,
+           COALESCE(string_agg(CASE WHEN masked
+                      THEN '<extra_id_' || k || '> ' || block_text END,
+                      ' ' ORDER BY b), '') AS target_text
+    FROM numbered
+    GROUP BY doc_id
+    """,
+)
+def ext_span_corruption_varlen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span corruption with VARIABLE span lengths — the real-T5 shape
+    (round-5 verdict #7): each span's length is drawn from a seeded
+    truncated-geometric (mean ~2.6, max {mx}) keyed on (doc_id, span
+    index), so spans tile the token stream at irregular boundaries;
+    the ~{r:.0%} mask draw is an independent seeded uniform per span.
+    Both draws share the md5-uniform discipline of ext_span_corruption,
+    so the (input, target) pair text stays EXACTLY oracle-checkable.
+
+    Oracle construction trick: span STARTS are the prefix-sums of the
+    seeded lengths, so SQL can place spans with one window cumsum over
+    an over-generated span sequence (at most n spans since every span
+    is >= 1 token), keeping rows where start < n. The Spark side needs
+    no such over-generation materialized: ONE aggregate() fold walks
+    the same span sequence carrying (next start, sentinel counter,
+    input, target) and no-ops past the end of the document — still a
+    single map over the corpus, no explode, no shuffle, masking at
+    scan throughput like the fixed-length op.""".format(
+        mx=_VARLEN_MAX, r=_SPAN_RATE
+    )
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents")).where(
+        F.col("text").isNotNull() & (F.col("text") != "")
+    )
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+
+    def draw(tag: str, b):
+        return _span_uniform(
+            F.concat_ws("_", F.col("doc_id"), F.lit(tag), b.cast("string"))
+        )
+
+    def step(acc, b):
+        u = draw("L", b)
+        ln = F.when(u < F.lit(_VARLEN_CDF[0]), F.lit(1))
+        for k, t in enumerate(_VARLEN_CDF[1:], start=2):
+            ln = ln.when(u < F.lit(t), F.lit(k))
+        ln = ln.otherwise(F.lit(_VARLEN_MAX))
+        block = F.slice(toks, acc["s"] + 1, ln)
+        bt = F.array_join(block, " ")
+        masked = draw("M", b) < F.lit(_SPAN_RATE)
+        sent = F.concat(F.lit("<extra_id_"), acc["k"].cast("string"), F.lit(">"))
+        sep = F.when(b > 0, F.lit(" ")).otherwise(F.lit(""))
+        tsep = F.when(acc["k"] > 0, F.lit(" ")).otherwise(F.lit(""))
+        advanced = F.struct(
+            (acc["s"] + ln).alias("s"),
+            (acc["k"] + masked.cast("int")).alias("k"),
+            (acc["m"] + F.when(masked, F.size(block)).otherwise(F.lit(0))).alias("m"),
+            F.concat(acc["inp"], sep, F.when(masked, sent).otherwise(bt)).alias("inp"),
+            F.when(
+                masked, F.concat(acc["tgt"], tsep, sent, F.lit(" "), bt)
+            ).otherwise(acc["tgt"]).alias("tgt"),
+        )
+        # past-the-end steps of the over-generated span sequence no-op
+        return F.when(acc["s"] < n, advanced).otherwise(acc)
+
+    zero = F.struct(
+        F.lit(0).alias("s"),
+        F.lit(0).alias("k"),
+        F.lit(0).alias("m"),
+        F.lit("").alias("inp"),
+        F.lit("").alias("tgt"),
+    )
+    folded = docs.select(
+        "doc_id",
+        n.alias("n_tokens_raw"),
+        F.explode(F.array(F.aggregate(F.sequence(F.lit(0), n - 1), zero, step))).alias(
+            "sc"
+        ),
+    )
+    return folded.select(
+        "doc_id",
+        F.col("n_tokens_raw").cast("int").alias("n_tokens"),
+        F.col("sc.m").cast("int").alias("n_masked_tokens"),
+        F.col("sc.k").cast("int").alias("n_spans_masked"),
+        F.col("sc.inp").alias("input_text"),
+        F.col("sc.tgt").alias("target_text"),
+    )

@@ -74,6 +74,7 @@ QUERIES = [
     "ext_retrieval_metrics",
     "ext_dedup_index_probe",
     "ext_span_corruption",
+    "ext_span_corruption_varlen",
     "ext_hll_distinct",
 ]
 

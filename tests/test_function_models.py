@@ -10,6 +10,8 @@ import datetime
 import random
 import string
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from conftest import PARITY_SF_DIR
@@ -1623,17 +1625,21 @@ def test_viterbi_segment_pieces_uncoverable_word_empty_seg(spark):
     assert counts == {"ab": 1, "az": None}
 
 
-def test_span_corruption_roundtrip_reconstructs_text(spark):
-    """Denoising-pair invariant: splicing each <extra_id_k> sentinel's
-    span from target_text back into input_text must reproduce the
-    original document byte-for-byte, for EVERY document — masking that
-    loses or reorders tokens would train a corrupted objective and is
-    invisible to row counts."""
+@pytest.mark.parametrize("op", ["ext_span_corruption", "ext_span_corruption_varlen"])
+def test_span_corruption_roundtrip_reconstructs_text(spark, op):
+    """Denoising-pair invariant (fixed-length AND variable-length
+    variants): splicing each <extra_id_k> sentinel's span from
+    target_text back into input_text must reproduce the original
+    document byte-for-byte, for EVERY document — masking that loses or
+    reorders tokens would train a corrupted objective and is invisible
+    to row counts. For the varlen op this also proves the geometric
+    spans TILE the token stream exactly (no gap or overlap at any
+    irregular boundary)."""
     import re
 
     import pyarrow.parquet as pq
 
-    from film_media_etl_spark.queries.llm_curation import ext_span_corruption
+    from film_media_etl_spark.queries import all_queries
 
     originals = {
         r["doc_id"]: r["text"]
@@ -1642,7 +1648,7 @@ def test_span_corruption_roundtrip_reconstructs_text(spark):
         ).to_pylist()
         if r["text"]
     }
-    rows = ext_span_corruption(spark, PARITY_SF_DIR).collect()
+    rows = all_queries()[op](spark, PARITY_SF_DIR).collect()
     assert len(rows) == len(originals)
     saw_masked = False
     for r in rows:

@@ -43,6 +43,15 @@ from .dedup import _token_set, minhash_banded
 
 _NUM_HASHES = 30
 _BANDS = 5
+# Probe batches broadcast into the index scans only below this row
+# count. The documented regime is "batch MUCH smaller than corpus", where
+# broadcasting the batch is what keeps the corpus side exchange-free —
+# but an unconditional hint turns a caller's corpus-sized probe frame
+# into a driver/executor OOM instead of a degraded plan (round-5 verdict
+# #5). 2M banded rows of a few longs each is ~100 MB serialized, inside
+# a sane driver budget; above it the hints drop and AQE picks a shuffled
+# join — slower, never fatal.
+_BROADCAST_PROBE_ROWS = 2_000_000
 
 
 def build_dedup_index(
@@ -234,11 +243,24 @@ def probe_dedup_frames(
     num_hashes: int = _NUM_HASHES,
     bands: int = _BANDS,
     threshold: float = 0.9,
+    broadcast_limit: int = _BROADCAST_PROBE_ROWS,
 ) -> DataFrame:
     """The probe against index tables already loaded as DataFrames —
     the streaming incremental-index twin reads versioned increments
     (union of v* dirs) and shares this exact plan, so batch and stream
-    probes cannot drift."""
+    probes cannot drift.
+
+    The probe side (batch bands, candidates, batch token sets) rides
+    broadcast only while the batch is provably small: one row-count of
+    the batch (a pushed-down scan; the streaming caller has it
+    localCheckpointed already) gates the hints at ``broadcast_limit``.
+    Oversized probes degrade to AQE-planned shuffled joins — correct,
+    just no longer exchange-free — instead of OOMing the driver."""
+    small = new_docs.count() <= broadcast_limit
+
+    def ride(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if small else df
+
     probe_banded = (
         minhash_banded(
             new_docs, id_col=id_col, text_col=text_col, num_hashes=num_hashes, bands=bands
@@ -267,7 +289,7 @@ def probe_dedup_frames(
             | (F.col(f"prev{p}") != F.col(f"pprev{p}"))
         )
     cand = idx_bands.join(
-        F.broadcast(probe_banded),
+        ride(probe_banded),
         (F.col("band") == F.col("pband"))
         & (F.col("bhash") == F.col("pbhash"))
         & (F.col("doc_id") != F.col("probe_id"))
@@ -289,8 +311,8 @@ def probe_dedup_frames(
             F.col("tok_hashes").alias("ctoks"),
             F.col("nt").alias("cnt"),
         )
-        .join(F.broadcast(cand), "corpus_id")
-        .join(F.broadcast(probe_sigs), "probe_id")
+        .join(ride(cand), "corpus_id")
+        .join(ride(probe_sigs), "probe_id")
         # Generate barrier: `inter` feeds jaccard twice plus the filter,
         # and HOF/array exprs are excluded from codegen subexpression
         # elimination (the minhash_lsh_pairs lesson — 4x re-evaluation)

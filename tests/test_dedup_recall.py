@@ -454,3 +454,54 @@ def test_stream_index_read_guard_rejects_stale_checkpoint(spark, tmp_path):
     assert compact_dedup_index(spark, idx) == 2
     with pytest.raises(ValueError, match="SAME checkpoint"):
         read_stream_dedup_index(spark, idx, before_batch=1)
+
+
+def test_dedup_index_probe_oversized_batch_degrades_to_shuffle(spark, tmp_path):
+    """Round-5 verdict #5: probe_dedup_frames broadcast the probe batch
+    unconditionally — a corpus-sized probe frame meant a driver OOM
+    instead of a degraded plan. With the row-count guard, an oversized
+    batch (limit forced to 10 here) must (a) produce pair decisions
+    IDENTICAL to the broadcast path and (b) plan at least one
+    non-broadcast join (the degraded-but-correct shape). The existing
+    zero-exchange plan test pins that small batches still broadcast."""
+    from film_media_etl_spark.operators.dedup_index import (
+        build_dedup_index,
+        probe_dedup_frames,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    idx = str(tmp_path / "idx")
+    build_dedup_index(docs.where("doc_id >= 100"), idx)
+    bands = spark.read.parquet(f"{idx}/bands")
+    sigs = spark.read.parquet(f"{idx}/sigs")
+    batch = docs.where("doc_id < 100")
+
+    def pairs(limit):
+        df = probe_dedup_frames(bands, sigs, batch, broadcast_limit=limit)
+        got = sorted(
+            (r["probe_id"], r["corpus_id"], round(r["jaccard"], 12))
+            for r in df.collect()
+        )
+        return got, df._jdf.queryExecution().executedPlan().toString()
+
+    small_pairs, small_plan = pairs(10**6)
+    assert "Exchange hashpartitioning" not in small_plan
+    # model the true oversized regime: with the hints dropped AND
+    # auto-broadcast off (a genuinely big probe exceeds the planner's
+    # thresholds too — at fixture scale we force it), the probe must
+    # complete through shuffled joins with identical decisions
+    from conftest import spark_conf
+
+    with spark_conf(
+        spark,
+        {
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        },
+    ):
+        big_pairs, big_plan = pairs(10)
+    assert big_pairs == small_pairs and len(big_pairs) > 0
+    assert (
+        "Exchange hashpartitioning" in big_plan or "SortMergeJoin" in big_plan
+    ), big_plan[:3000]
+    assert "BroadcastHashJoin" not in big_plan, big_plan[:3000]

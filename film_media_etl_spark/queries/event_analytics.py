@@ -164,28 +164,6 @@ _JOURNEY_CAP = 1000  # most-recent events kept per user before any collect
     """,
 )
 def ext_collect_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered sequence assembly: each user's event-type sequence as a
-    '>'-joined path string — the grouped-ordered-collect every
-    sequence-model training pipeline runs to turn an event log into
-    examples. Spark has no ORDER BY inside collect_list, so the
-    deterministic spelling is collect_list(struct(sort_keys..., payload))
-    -> sort_array -> transform: the struct sort is lexicographic on
-    (ts, event_id), i.e. exactly the oracle's ORDER BY, and everything
-    stays a JVM higher-order function. The sequence crosses the driver
-    boundary as the joined STRING only (an array column would be
-    re-rendered differently by the engines' dataframe bridges — the
-    decimal trap again, queries/registry.py). One shuffle on user_id;
-    the user_id < 40 gate keeps oracle rows compact, pushed to the scan.
-
-    Whale cap (round-5 verdict #3/#6): the collect is bounded at the
-    most-recent {cap} events per user via the same deterministic
-    row_number window as ext_event_regex (oracle-mirrored), so one
-    whale user bounds the collected array instead of growing it with
-    their history; n_events counts the capped sequence. The row_number
-    itself is a streaming, spillable window sort. At fixture scales no
-    user approaches the cap, so results are unchanged.""".format(
-        cap=_JOURNEY_CAP
-    )
     ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 40)
     w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
     recent = (
@@ -201,6 +179,29 @@ def ext_collect_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(seq, ">").alias("event_path"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+ext_collect_ordered.__doc__ = """Ordered sequence assembly: each user's event-type sequence as a
+'>'-joined path string — the grouped-ordered-collect every
+sequence-model training pipeline runs to turn an event log into
+examples. Spark has no ORDER BY inside collect_list, so the
+deterministic spelling is collect_list(struct(sort_keys..., payload))
+-> sort_array -> transform: the struct sort is lexicographic on
+(ts, event_id), i.e. exactly the oracle's ORDER BY, and everything
+stays a JVM higher-order function. The sequence crosses the driver
+boundary as the joined STRING only (an array column would be
+re-rendered differently by the engines' dataframe bridges — the
+decimal trap again, queries/registry.py). One shuffle on user_id;
+the user_id < 40 gate keeps oracle rows compact, pushed to the scan.
+
+Whale cap (round-5 verdict #3/#6): the collect is bounded at the
+most-recent {cap} events per user via the same deterministic
+row_number window as ext_event_regex (oracle-mirrored), so one
+whale user bounds the collected array instead of growing it with
+their history; n_events counts the capped sequence. The row_number
+itself is a streaming, spillable window sort. At fixture scales no
+user approaches the cap, so results are unchanged.""".format(
+    cap=_JOURNEY_CAP
+)
 
 
 # ---------------------------------------------------------------------------

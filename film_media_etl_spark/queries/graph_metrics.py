@@ -252,18 +252,6 @@ def _pagerank_exact_oracle() -> str:
 
 @register("ext_pagerank_exact", oracle=_pagerank_exact_oracle())
 def ext_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixed-point PageRank over the event-transition graph, EXACT:
-    ranks live in integer picorank units (1e-12) and every operation is
-    BIGINT multiply/floor-divide, so the fixpoint iteration — normally
-    the poster child for 'not SQL-expressible, rows-only check' — hash-
-    matches an unrolled {iters}-iteration SQL oracle bit-for-bit. The
-    float twin (ext_pagerank_transitions, operators/graph.py) remains
-    the scale path; this query is the exactness demonstration and the
-    cross-engine regression pin for the iteration structure. Each
-    iteration is one shuffle join (ranks onto pre-normalized edges) +
-    one groupBy(dst) + a scalar dangling-mass aggregate — the same
-    dataflow shape, just quantized arithmetic (floor-division drops
-    sub-pico mass, deterministically).""".format(iters=_PR_ITERS)
     ev = load_table(spark, sf_dir, "events")
     from pyspark.sql import Window
 
@@ -330,6 +318,19 @@ def ext_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("node", F.col("r").cast("long").alias("picorank"))
 
 
+ext_pagerank_exact.__doc__ = """Fixed-point PageRank over the event-transition graph, EXACT:
+ranks live in integer picorank units (1e-12) and every operation is
+BIGINT multiply/floor-divide, so the fixpoint iteration — normally
+the poster child for 'not SQL-expressible, rows-only check' — hash-
+matches an unrolled {iters}-iteration SQL oracle bit-for-bit. The
+float twin (ext_pagerank_transitions, operators/graph.py) remains
+the scale path; this query is the exactness demonstration and the
+cross-engine regression pin for the iteration structure. Each
+iteration is one shuffle join (ranks onto pre-normalized edges) +
+one groupBy(dst) + a scalar dangling-mass aggregate — the same
+dataflow shape, just quantized arithmetic (floor-division drops
+sub-pico mass, deterministically).""".format(iters=_PR_ITERS)
+
 # ---------------------------------------------------------------------------
 # Exact multi-source BFS (second exact-iterative showcase)
 # ---------------------------------------------------------------------------
@@ -389,20 +390,6 @@ def _bfs_oracle() -> str:
 
 @register("ext_bfs_distances", oracle=_bfs_oracle())
 def ext_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-source BFS over the co-purchase graph: hop distance from
-    every part to the nearest {brand} part, reported as a distance
-    histogram — 'how far is the catalog from this brand's basket
-    neighborhood'. Second exact-iterative showcase after
-    ext_pagerank_exact, and the simpler one: the relaxation is pure
-    integer MIN (no quantization convention needed), so {iters} unrolled
-    frontier expansions hash-match the materialized-CTE oracle exactly.
-
-    Scale shape: each round is one shuffle join (distances onto the
-    oriented edge list, both directions) + one groupBy(dst) MIN with
-    map-side combine + a node-set left join; lineage is cut per round
-    with localCheckpoint. Fixed-round BFS is the bounded-diameter
-    pattern (k-hop neighborhoods); unbounded BFS adds the converged?
-    check of connected_components.""".format(brand=_BFS_BRAND, iters=_BFS_ITERS)
     li = load_table(spark, sf_dir, "lineitem")
     b = li.select("l_orderkey", "l_partkey").distinct()
     a, c = b.alias("a"), b.alias("c")
@@ -454,3 +441,18 @@ def ext_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("dist").cast("long").alias("distance"))
         .agg(F.count(F.lit(1)).alias("n_parts"))
     )
+ext_bfs_distances.__doc__ = """Multi-source BFS over the co-purchase graph: hop distance from
+every part to the nearest {brand} part, reported as a distance
+histogram — 'how far is the catalog from this brand's basket
+neighborhood'. Second exact-iterative showcase after
+ext_pagerank_exact, and the simpler one: the relaxation is pure
+integer MIN (no quantization convention needed), so {iters} unrolled
+frontier expansions hash-match the materialized-CTE oracle exactly.
+
+Scale shape: each round is one shuffle join (distances onto the
+oriented edge list, both directions) + one groupBy(dst) MIN with
+map-side combine + a node-set left join; lineage is cut per round
+with localCheckpoint. Fixed-round BFS is the bounded-diameter
+pattern (k-hop neighborhoods); unbounded BFS adds the converged?
+check of connected_components.""".format(brand=_BFS_BRAND, iters=_BFS_ITERS)
+

@@ -343,26 +343,6 @@ _SHAP_THR = 14  # a channel is "touched" at >= this many events (splits the fixt
     """,
 )
 def ext_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Data-driven Shapley-value channel attribution: each channel's
-    credit for conversion is its average marginal lift over every
-    coalition of the other channels — the game-theoretic attribution
-    that first/last-touch (ext_attribution_first_last) approximates.
-    Coalition value v(S) = conversion rate among users whose touched
-    channel set is contained in S (touched/converted = >= {thr} events
-    of that type — a per-user engagement threshold that actually splits
-    the population); with {n} channels the {n2} subsets enumerate
-    EXACTLY (no sampling), so the result is closed-form.
-
-    Scale shape: ONE corpus-sized aggregate (per-user channel bitmask +
-    conversion flag) collapses everything to <= {n2} mask rows; the
-    containment join, coalition values, and marginal terms all run on
-    subset-sized frames that broadcast. Adding channels grows subsets
-    2^n — the documented limit of exact Shapley (sampling or KernelSHAP
-    is the >12-channel path). Exactness: each marginal term rounds to 9
-    decimals and sums as DECIMAL (order-proof); v is a single int/int
-    double division, identical in both engines.""".format(
-        n=_SHAP_N, n2=2**_SHAP_N, thr=_SHAP_THR
-    )
     ev = load_table(spark, sf_dir, "events")
     ch = spark.createDataFrame(_SHAP_CHANNELS, "channel string, bit long")
     uc = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
@@ -417,3 +397,24 @@ def ext_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return terms.groupBy("channel").agg(F.sum("term").cast("double").alias("shapley"))
+ext_shapley_attribution.__doc__ = """Data-driven Shapley-value channel attribution: each channel's
+credit for conversion is its average marginal lift over every
+coalition of the other channels — the game-theoretic attribution
+that first/last-touch (ext_attribution_first_last) approximates.
+Coalition value v(S) = conversion rate among users whose touched
+channel set is contained in S (touched/converted = >= {thr} events
+of that type — a per-user engagement threshold that actually splits
+the population); with {n} channels the {n2} subsets enumerate
+EXACTLY (no sampling), so the result is closed-form.
+
+Scale shape: ONE corpus-sized aggregate (per-user channel bitmask +
+conversion flag) collapses everything to <= {n2} mask rows; the
+containment join, coalition values, and marginal terms all run on
+subset-sized frames that broadcast. Adding channels grows subsets
+2^n — the documented limit of exact Shapley (sampling or KernelSHAP
+is the >12-channel path). Exactness: each marginal term rounds to 9
+decimals and sums as DECIMAL (order-proof); v is a single int/int
+double division, identical in both engines.""".format(
+    n=_SHAP_N, n2=2**_SHAP_N, thr=_SHAP_THR
+)
+

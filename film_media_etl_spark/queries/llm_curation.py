@@ -745,25 +745,6 @@ _PROBE_BELOW = 100  # the "new batch": doc_id < 100; the corpus: the rest
 
 @register("ext_dedup_index_probe")  # hash-seeded banding -> rows-only check
 def ext_dedup_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ingest-time dedup against a PERSISTED MinHash index
-    (operators/dedup_index.py): the corpus (doc_id >= {lo}) is
-    signatured and written as an LSH band table + token-hash side table
-    ONCE; the probe then dedups the "new batch" (doc_id < {lo}) against
-    it — (probe_id, corpus_id, jaccard), exact Jaccard >= 0.9 on the
-    shared banding's candidates. This is the build/probe split every
-    production ingest pipeline runs (new data never triggers a corpus
-    re-signature), completing the dedup story the way
-    ext_knn_ivf_persisted completes ANN.
-
-    Plan shape: the probe batch BROADCASTS into the index scans — the
-    corpus side is read, never shuffled or re-signatured. All hashing
-    and verify expressions are shared with ext_dedup_minhash
-    (operators/dedup.py builders), so the probe's pair decisions are
-    bit-identical to the batch op restricted to cross-split pairs —
-    pinned by tests/test_dedup_recall.py. Index cached per (sf_dir,
-    corpus fingerprint), the ext_knn_ivf_persisted convention.""".format(
-        lo=_PROBE_BELOW
-    )
     import os as _os
     import tempfile
 
@@ -789,6 +770,26 @@ def ext_dedup_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = docs.where(F.col("doc_id") < _PROBE_BELOW)
     return probe_dedup_index(spark, idx, batch)
 
+
+ext_dedup_index_probe.__doc__ = """Ingest-time dedup against a PERSISTED MinHash index
+(operators/dedup_index.py): the corpus (doc_id >= {lo}) is
+signatured and written as an LSH band table + token-hash side table
+ONCE; the probe then dedups the "new batch" (doc_id < {lo}) against
+it — (probe_id, corpus_id, jaccard), exact Jaccard >= 0.9 on the
+shared banding's candidates. This is the build/probe split every
+production ingest pipeline runs (new data never triggers a corpus
+re-signature), completing the dedup story the way
+ext_knn_ivf_persisted completes ANN.
+
+Plan shape: the probe batch BROADCASTS into the index scans — the
+corpus side is read, never shuffled or re-signatured. All hashing
+and verify expressions are shared with ext_dedup_minhash
+(operators/dedup.py builders), so the probe's pair decisions are
+bit-identical to the batch op restricted to cross-split pairs —
+pinned by tests/test_dedup_recall.py. Index cached per (sf_dir,
+corpus fingerprint), the ext_knn_ivf_persisted convention.""".format(
+    lo=_PROBE_BELOW
+)
 
 def _reap_dedup_index_dirs() -> None:
     import shutil
@@ -865,23 +866,6 @@ def _span_uniform(key) -> "F.Column":
     """,
 )
 def ext_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T5/UL2-style span corruption: each document's token stream is cut
-    into {sl}-token blocks; a deterministic md5-uniform per (doc, block)
-    masks ~{r:.0%} of blocks; masked blocks collapse to numbered
-    sentinels in input_text and reappear after their sentinel in
-    target_text — the (input, target) pair a denoising LM trains on.
-    Seeded masking is the engine-wide reproducibility convention
-    (ext_hash_sample): re-runs, repartitions, and the DuckDB oracle all
-    mask the same spans, so the pair text is exactly oracle-checkable —
-    rare for a data-augmentation op.
-
-    Scale shape: ONE aggregate() fold per document walks its block
-    sequence carrying (sentinel counter, input, target) — no explode,
-    no shuffle at all (the whole query is a map over the corpus; only
-    the driver's final collect orders it). Block masking is a pure
-    expression, so 100 TB of documents mask at scan throughput.""".format(
-        sl=_SPAN_LEN, r=_SPAN_RATE
-    )
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents")).where(
         F.col("text").isNotNull() & (F.col("text") != "")
     )
@@ -929,6 +913,24 @@ def ext_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sc.tgt").alias("target_text"),
     )
 
+
+ext_span_corruption.__doc__ = """T5/UL2-style span corruption: each document's token stream is cut
+into {sl}-token blocks; a deterministic md5-uniform per (doc, block)
+masks ~{r:.0%} of blocks; masked blocks collapse to numbered
+sentinels in input_text and reappear after their sentinel in
+target_text — the (input, target) pair a denoising LM trains on.
+Seeded masking is the engine-wide reproducibility convention
+(ext_hash_sample): re-runs, repartitions, and the DuckDB oracle all
+mask the same spans, so the pair text is exactly oracle-checkable —
+rare for a data-augmentation op.
+
+Scale shape: ONE aggregate() fold per document walks its block
+sequence carrying (sentinel counter, input, target) — no explode,
+no shuffle at all (the whole query is a map over the corpus; only
+the driver's final collect orders it). Block masking is a pure
+expression, so 100 TB of documents mask at scan throughput.""".format(
+    sl=_SPAN_LEN, r=_SPAN_RATE
+)
 
 # ---------------------------------------------------------------------------
 # Variable-length span corruption: the real-T5 geometric-span variant
@@ -1008,25 +1010,6 @@ def _varlen_sql(u_sql: str) -> str:
     """,
 )
 def ext_span_corruption_varlen(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Span corruption with VARIABLE span lengths — the real-T5 shape
-    (round-5 verdict #7): each span's length is drawn from a seeded
-    truncated-geometric (mean ~2.6, max {mx}) keyed on (doc_id, span
-    index), so spans tile the token stream at irregular boundaries;
-    the ~{r:.0%} mask draw is an independent seeded uniform per span.
-    Both draws share the md5-uniform discipline of ext_span_corruption,
-    so the (input, target) pair text stays EXACTLY oracle-checkable.
-
-    Oracle construction trick: span STARTS are the prefix-sums of the
-    seeded lengths, so SQL can place spans with one window cumsum over
-    an over-generated span sequence (at most n spans since every span
-    is >= 1 token), keeping rows where start < n. The Spark side needs
-    no such over-generation materialized: ONE aggregate() fold walks
-    the same span sequence carrying (next start, sentinel counter,
-    input, target) and no-ops past the end of the document — still a
-    single map over the corpus, no explode, no shuffle, masking at
-    scan throughput like the fixed-length op.""".format(
-        mx=_VARLEN_MAX, r=_SPAN_RATE
-    )
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents")).where(
         F.col("text").isNotNull() & (F.col("text") != "")
     )
@@ -1084,3 +1067,23 @@ def ext_span_corruption_varlen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sc.inp").alias("input_text"),
         F.col("sc.tgt").alias("target_text"),
     )
+ext_span_corruption_varlen.__doc__ = """Span corruption with VARIABLE span lengths — the real-T5 shape
+(round-5 verdict #7): each span's length is drawn from a seeded
+truncated-geometric (mean ~2.6, max {mx}) keyed on (doc_id, span
+index), so spans tile the token stream at irregular boundaries;
+the ~{r:.0%} mask draw is an independent seeded uniform per span.
+Both draws share the md5-uniform discipline of ext_span_corruption,
+so the (input, target) pair text stays EXACTLY oracle-checkable.
+
+Oracle construction trick: span STARTS are the prefix-sums of the
+seeded lengths, so SQL can place spans with one window cumsum over
+an over-generated span sequence (at most n spans since every span
+is >= 1 token), keeping rows where start < n. The Spark side needs
+no such over-generation materialized: ONE aggregate() fold walks
+the same span sequence carrying (next start, sentinel counter,
+input, target) and no-ops past the end of the document — still a
+single map over the corpus, no explode, no shuffle, masking at
+scan throughput like the fixed-length op.""".format(
+    mx=_VARLEN_MAX, r=_SPAN_RATE
+)
+

@@ -102,7 +102,17 @@ class EngineQuery:
     name: str
     fn: QueryFn
     oracle: str | None  # DuckDB SQL over the pre-registered table views
-    doc: str = ""
+    doc_override: str = ""
+
+    @property
+    def doc(self) -> str:
+        # Resolved lazily so queries whose docstring interpolates module
+        # constants (``fn.__doc__ = \"""...\""".format(...)`` AFTER the
+        # def) are documented too — an eager capture at decoration time
+        # reads None for those and COVERAGE.md silently loses the row's
+        # rationale (round-6 fix; tests/test_registry_contract.py pins
+        # every registered query to a nonempty doc).
+        return self.doc_override or (self.fn.__doc__ or "")
 
 
 _REGISTRY: dict[str, EngineQuery] = {}
@@ -114,7 +124,7 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
     def deco(fn: QueryFn) -> QueryFn:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        _REGISTRY[name] = EngineQuery(name=name, fn=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""))
+        _REGISTRY[name] = EngineQuery(name=name, fn=fn, oracle=oracle, doc_override=doc)
         return fn
 
     return deco

@@ -153,3 +153,20 @@ def test_wrapped_query_records_sf_dir(spark, monkeypatch):
     monkeypatch.setattr(R, "_LAST_SF_DIR", None)
     all_queries()["op01_source_scan"](spark, "/root/testdata/sf0.001")
     assert R._LAST_SF_DIR == "/root/testdata/sf0.001"
+
+
+def test_every_registered_query_has_a_doc():
+    """COVERAGE.md's per-query rationale column comes from EngineQuery.doc.
+    Queries whose docstring interpolates module constants assign
+    ``fn.__doc__ = \"""...\""".format(...)`` AFTER the def — an in-body
+    format call is an expression, not a docstring, and an eager capture
+    at decoration time silently records "" (the round-5 COVERAGE.md
+    shipped blank rows for exactly that reason). The registry resolves
+    doc lazily; this pins that every query stays documented."""
+    import film_media_etl_spark.queries  # noqa: F401  populates registry
+    from film_media_etl_spark.queries import registry
+
+    undocumented = sorted(
+        n for n, q in registry._REGISTRY.items() if len(q.doc.strip()) < 40
+    )
+    assert not undocumented, undocumented

@@ -92,7 +92,14 @@ HEADLINE = [
     "ext_dedup_index_probe",    # persisted LSH index probe (build amortized rep 1)
     "ext_span_corruption",      # T5-style masked-span pairs: one fold per doc
     "ext_span_corruption_varlen",  # geometric-span variant: same single-fold map
+    "ext_histogram_quantiles",  # mergeable-sketch quantiles: grid agg + grid window
 ]
+
+# Rows whose OUTPUT cardinality scales super-linearly with the corpus
+# (they emit pair lists, not aggregates). They run and report like every
+# other row, but with min-of-(reps+2) instead of median (see the timing
+# loop) and they are additionally broken out of `value_linear`.
+OUTPUT_BOUND = {"ext_dedup_minhash"}
 
 
 def _sf_from_dir(sf_dir: str) -> float:
@@ -137,19 +144,37 @@ def main() -> None:
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
     for name in HEADLINE:
+        # Output-bound rows (result cardinality scales super-linearly
+        # with the corpus — ext_dedup_minhash emits every verified pair,
+        # 15.3M rows at 16x) are GC/materialization-noise dominated at
+        # scaled corpora: their MEDIAN swung +-15s+ run-to-run and made
+        # whole-suite walls disagree ~40% between same-day 16x sweeps
+        # (round-5 verdict #4). For those rows only, take extra reps and
+        # report the MIN — the stable estimator of the row's true cost
+        # when the noise is one-sided (GC pauses only ever add time).
+        # Every row stays in the suite and in `value`; `value_linear`
+        # additionally reports the wall without the output-bound tier
+        # (the scaling-story denominator; the survivors twin represents
+        # dedup inside it).
+        n = reps + 2 if name in OUTPUT_BOUND else reps
+        stat = min if name in OUTPUT_BOUND else statistics.median
         samples = []
-        for _ in range(reps):
+        for _ in range(n):
             pre_rep.get(name, lambda: None)()
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
             samples.append(time.perf_counter() - t0)
-        timings[name] = round(statistics.median(samples), 3)
+        timings[name] = round(stat(samples), 3)
         spread[name] = round(max(samples) - min(samples), 3)
 
     total = round(sum(timings.values()), 3)
+    linear = round(
+        sum(v for k, v in timings.items() if k not in OUTPUT_BOUND), 3
+    )
     full = {
         "metric": "headline_suite_wall",
         "value": total,
+        "value_linear": linear,
         "unit": "sec",
         "queries": timings,
         "spread": spread,

@@ -442,3 +442,115 @@ def ext_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").cast("long").alias("exact_users"),
         F.count(F.lit(1)).cast("long").alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable histogram quantiles: the third sketch-sink family
+# ---------------------------------------------------------------------------
+
+_HQ_BIN = 10.0  # fixed bin width over events.value (range ~0-330 -> ~33 bins)
+
+
+def hist_cells(ev: DataFrame) -> DataFrame:
+    """(event_type, bin, c): the fixed-width value histogram grid — the
+    mergeable object. Cells are pure additive state (integer counts), so
+    the grid over any concatenation of inputs is the cell-wise SUM of
+    per-part grids: exactly mergeable across partitions, micro-batches,
+    or days, like the CMS grid and the HLL registers."""
+    return ev.groupBy(
+        "event_type",
+        F.floor(F.col("value") / F.lit(_HQ_BIN)).cast("int").alias("bin"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+
+
+def hist_quantiles(cells: DataFrame) -> DataFrame:
+    """p50/p90/p99 read off a histogram grid: the smallest bin whose
+    cumulative count reaches rank ceil(q*n), with the rank computed in
+    INTEGER arithmetic — (q_num*n + q_den-1) div q_den — because
+    ceil(0.9*n) in binary doubles can land on either side of an exact
+    integer boundary depending on the engine's product rounding. Each
+    quantile also reports its bin's exclusive upper edge (the histogram
+    guarantee: true quantile < hi). One window cumsum over the
+    grid-sized table; nothing row-sized is touched."""
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = cells.withColumn("cum", F.sum("c").over(w))
+    tot = cells.groupBy("event_type").agg(F.sum("c").cast("long").alias("n_events"))
+    j = cum.join(F.broadcast(tot), "event_type")
+
+    def qbin(num: int, den: int, name: str):
+        rank = F.expr(f"({num} * n_events + {den - 1}) div {den}")
+        return F.min(F.when(F.col("cum") >= rank, F.col("bin"))).alias(name)
+
+    out = j.groupBy("event_type", "n_events").agg(
+        qbin(1, 2, "p50_bin"), qbin(9, 10, "p90_bin"), qbin(99, 100, "p99_bin")
+    )
+    return out.select(
+        "event_type",
+        "n_events",
+        "p50_bin",
+        "p90_bin",
+        "p99_bin",
+        ((F.col("p50_bin") + 1) * F.lit(_HQ_BIN)).alias("p50_hi"),
+        ((F.col("p90_bin") + 1) * F.lit(_HQ_BIN)).alias("p90_hi"),
+        ((F.col("p99_bin") + 1) * F.lit(_HQ_BIN)).alias("p99_hi"),
+    )
+
+
+@register(
+    "ext_histogram_quantiles",
+    oracle=f"""
+    WITH cells AS (
+      SELECT event_type, CAST(floor(value / {_HQ_BIN}) AS INT) AS bin,
+             COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, bin, c,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+             SUM(c) OVER (PARTITION BY event_type) AS n_events
+      FROM cells
+    )
+    SELECT event_type,
+           CAST(MAX(n_events) AS BIGINT) AS n_events,
+           MIN(CASE WHEN cum >= (1 * n_events + 1) // 2 THEN bin END) AS p50_bin,
+           MIN(CASE WHEN cum >= (9 * n_events + 9) // 10 THEN bin END) AS p90_bin,
+           MIN(CASE WHEN cum >= (99 * n_events + 99) // 100 THEN bin END)
+             AS p99_bin,
+           CAST((MIN(CASE WHEN cum >= (1 * n_events + 1) // 2
+                 THEN bin END) + 1) * {_HQ_BIN} AS DOUBLE) AS p50_hi,
+           CAST((MIN(CASE WHEN cum >= (9 * n_events + 9) // 10
+                 THEN bin END) + 1) * {_HQ_BIN} AS DOUBLE) AS p90_hi,
+           CAST((MIN(CASE WHEN cum >= (99 * n_events + 99) // 100
+                 THEN bin END) + 1) * {_HQ_BIN} AS DOUBLE) AS p99_hi
+    FROM cum
+    GROUP BY event_type
+    """,
+)
+def ext_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = ensure_parallelism(load_table(spark, sf_dir, "events"))
+    return hist_quantiles(hist_cells(ev))
+ext_histogram_quantiles.__doc__ = """Histogram-sketch quantiles per event type — the MERGEABLE answer
+to 'p50/p95/p99 at 100 TB' (the Prometheus/OpenTelemetry histogram
+pattern, and the shape ext_exact_stats' sort-based percentile cannot
+scale to a stream): the value distribution is maintained as a fixed
+{w:g}-wide bin grid (integer counts, cell-wise additive — daily
+grids merge into monthly quantiles without re-scanning raw events),
+and each quantile is read off the grid as the first bin whose
+cumulative count reaches the integer rank ceil(q*n). Every number
+is integer-or-exact-double arithmetic, so a sketch op is fully
+ORACLE-CHECKED, like the CMS (exact integer cells) and unlike raw
+HLL registers (rows-only).
+
+Completes the sketch-sink trio: streaming/sketches.py maintains the
+same grid incrementally (start_histogram_stream) with the versioned
+MERGE-sink idempotency pattern; the kill-and-resume test pins the
+streamed grid bit-identical to this query's builder over the whole
+corpus. Scale: the grid is (types x bins) rows regardless of corpus
+size; the probe/window work runs on the grid, never the events.""".format(
+    w=_HQ_BIN
+)
+

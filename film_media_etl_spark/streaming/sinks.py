@@ -26,6 +26,7 @@ partitions containing batch keys); the per-batch shape stays identical.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -36,16 +37,21 @@ from .windows import read_events_stream
 def _latest_version(path: str, before_batch: int | None = None) -> str | None:
     if not os.path.isdir(path):
         return None
-    versions = sorted(
-        (
-            d
-            for d in os.listdir(path)
-            if d.startswith("v")
-            and (before_batch is None or int(d[1:]) < before_batch)
-        ),
-        key=lambda d: int(d[1:]),
-    )
-    return os.path.join(path, versions[-1]) if versions else None
+    versions: list[tuple[int, str]] = []
+    for d in os.listdir(path):
+        # Skip non-v{int} entries (editor temps, .crc files, stray dirs)
+        # instead of dying on int() — the same tolerance as
+        # operators/index_manifest.increment_versions; a "v3.tmp" left by
+        # a crashed copy must not kill every later micro-batch.
+        if not d.startswith("v"):
+            continue
+        try:
+            v = int(d[1:])
+        except ValueError:
+            continue
+        if before_batch is None or v < before_batch:
+            versions.append((v, d))
+    return os.path.join(path, max(versions)[1]) if versions else None
 
 
 def read_snapshot(
@@ -61,6 +67,40 @@ def read_snapshot(
     pure function of (prior state, batch input): idempotent."""
     latest = _latest_version(path, before_batch)
     return spark.read.parquet(latest) if latest else None
+
+
+def write_snapshot(merged: DataFrame, snapshot_path: str, batch_id: int) -> None:
+    """Write a MERGE sink's new snapshot version, then prune superseded
+    ones. Every merged snapshot is a FULL rewrite of the state table, so
+    without retention a long-lived stream accumulates one complete copy
+    per micro-batch — per-minute triggers turn a GB-sized state into TBs
+    of dead versions within a week (round-6 hardening; the increments
+    that feed the compacting indexes are NOT snapshots and are cleaned
+    by their manifest sweep instead).
+
+    Retention must keep exactly two things:
+    - v{batch_id}, the version just written (what consumers read);
+    - the HIGHEST version strictly below batch_id — the re-delivery
+      anchor: a crash between this write and the checkpoint commit
+      replays batch_id, whose rewrite reads before_batch=batch_id and
+      must find the same prior state it read the first time.
+    Everything older is unreachable by both readers and replays, and
+    removal is best-effort idempotent cleanup (a crash mid-prune leaves
+    stale versions the next batch's prune finishes off)."""
+    merged.write.mode("overwrite").parquet(
+        os.path.join(snapshot_path, f"v{batch_id}")
+    )
+    anchor = _latest_version(snapshot_path, before_batch=batch_id)
+    keep = {os.path.join(snapshot_path, f"v{batch_id}"), anchor}
+    for d in os.listdir(snapshot_path):
+        full = os.path.join(snapshot_path, d)
+        if full in keep or not d.startswith("v") or not os.path.isdir(full):
+            continue
+        try:
+            int(d[1:])
+        except ValueError:
+            continue  # not a version dir; never touch it
+        shutil.rmtree(full, ignore_errors=True)
 
 
 def merge_user_totals(snapshot: DataFrame | None, batch_totals: DataFrame) -> DataFrame:
@@ -109,9 +149,7 @@ def start_upsert_totals(
         merged = merge_user_totals(
             read_snapshot(spark, snapshot_path, before_batch=batch_id), totals
         )
-        merged.write.mode("overwrite").parquet(
-            os.path.join(snapshot_path, f"v{batch_id}")
-        )
+        write_snapshot(merged, snapshot_path, batch_id)
 
     writer = (
         read_events_stream(spark, sf_dir, max_files_per_trigger=max_files_per_trigger)
@@ -165,9 +203,7 @@ def start_incremental_summary(
             read_snapshot(spark, snapshot_path, before_batch=batch_id),
             summary_support(enriched),
         )
-        merged.write.mode("overwrite").parquet(
-            os.path.join(snapshot_path, f"v{batch_id}")
-        )
+        write_snapshot(merged, snapshot_path, batch_id)
 
     writer = (
         incremental_fact(spark, sf_dir)

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from ..queries.scale_ops import cms_cells
 from .ingest_dedup import read_documents_stream
-from .sinks import read_snapshot
+from .sinks import read_snapshot, write_snapshot
 
 
 def merge_cms(snapshot: DataFrame | None, batch_cells: DataFrame) -> DataFrame:
@@ -57,9 +57,7 @@ def start_cms_stream(
             read_snapshot(spark, snapshot_path, before_batch=batch_id),
             cms_cells(toks),
         )
-        merged.write.mode("overwrite").parquet(
-            os.path.join(snapshot_path, f"v{batch_id}")
-        )
+        write_snapshot(merged, snapshot_path, batch_id)
 
     writer = (
         read_documents_stream(
@@ -120,9 +118,64 @@ def start_hll_stream(
         merged = merge_hll(
             read_snapshot(spark, snapshot_path, before_batch=batch_id), partial
         )
-        merged.write.mode("overwrite").parquet(
-            os.path.join(snapshot_path, f"v{batch_id}")
+        write_snapshot(merged, snapshot_path, batch_id)
+
+    writer = (
+        read_events_stream(spark, sf_dir, max_files_per_trigger=max_files_per_trigger)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Mergeable histogram sink: streaming value-distribution maintenance
+# ---------------------------------------------------------------------------
+
+
+def merge_hist(snapshot: DataFrame | None, batch_cells: DataFrame) -> DataFrame:
+    """Cell-wise additive MERGE of a partial histogram grid into the
+    snapshot — the same exactly-mergeable integer algebra as the CMS
+    grid (order-insensitive sums; re-delivery handled by the versioned
+    before-batch anchor, not by the merge)."""
+    if snapshot is None:
+        return batch_cells
+    return (
+        snapshot.unionByName(batch_cells)
+        .groupBy("event_type", "bin")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+
+
+def start_histogram_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    snapshot_path: str,
+    checkpoint: str,
+    *,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Maintain the per-event-type value histogram over the events file
+    stream — the quantile leg of the sketch-sink trio (CMS counts, HLL
+    distincts, histogram quantiles). Each micro-batch bins ITS OWN rows
+    (queries/scale_ops.hist_cells, the exact builder the batch query
+    uses) and MERGE-adds the partial grid into the versioned parquet
+    snapshot. Quantiles are derived from the snapshot on read
+    (scale_ops.hist_quantiles), so the stored state stays the few-KB
+    mergeable grid, never a sorted value stream."""
+    from ..queries.scale_ops import hist_cells
+    from .windows import read_events_stream
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        merged = merge_hist(
+            read_snapshot(spark, snapshot_path, before_batch=batch_id),
+            hist_cells(batch_df),
         )
+        write_snapshot(merged, snapshot_path, batch_id)
 
     writer = (
         read_events_stream(spark, sf_dir, max_files_per_trigger=max_files_per_trigger)

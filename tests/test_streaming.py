@@ -1029,11 +1029,15 @@ def test_stream_cms_matches_batch_grid(spark, tmp_path):
     )
     q.awaitTermination(120)
 
-    # the merge path actually ran: one snapshot version per file drop
+    # the merge path actually ran across three engine batches (ids
+    # 0/1/2), and retention pruned everything but the live version and
+    # its re-delivery anchor (write_snapshot keeps exactly those two —
+    # a long-lived stream must not accumulate a full state copy per
+    # micro-batch)
     import os
 
     versions = sorted(d for d in os.listdir(snap) if d.startswith("v"))
-    assert len(versions) == 3, versions
+    assert versions == ["v1", "v2"], versions
 
     got = {
         (r["r"], r["bucket"]): r["c"]
@@ -1056,34 +1060,40 @@ def test_snapshot_merge_redelivery_is_idempotent(spark, tmp_path):
     """The re-delivery trap the before_batch anchor exists for: after a
     crash between writing v{N} and committing the checkpoint, the
     replayed batch N must NOT merge into its own v{N}. Simulate the
-    replay directly: merging batch 1 twice (anchored below batch 1)
-    yields identical cells; the unanchored read would double-count."""
+    replay directly THROUGH write_snapshot (the production writer, so
+    retention runs too): merging batch 1 twice (anchored below batch 1)
+    yields identical cells — retention must have kept v0, the replay's
+    prior state — and the unanchored read would double-count."""
     import os
 
     from film_media_etl_spark.streaming.sketches import merge_cms
-    from film_media_etl_spark.streaming.sinks import read_snapshot
+    from film_media_etl_spark.streaming.sinks import read_snapshot, write_snapshot
 
     snap = str(tmp_path / "snap")
     b0 = spark.createDataFrame([(0, 1, 5), (1, 2, 7)], "r int, bucket int, c long")
     b1 = spark.createDataFrame([(0, 1, 3), (2, 9, 4)], "r int, bucket int, c long")
 
-    merge_cms(read_snapshot(spark, snap, before_batch=0), b0).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(snap, "v0"))
-    merge_cms(read_snapshot(spark, snap, before_batch=1), b1).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(snap, "v1"))
+    write_snapshot(merge_cms(read_snapshot(spark, snap, before_batch=0), b0), snap, 0)
+    write_snapshot(merge_cms(read_snapshot(spark, snap, before_batch=1), b1), snap, 1)
+    # retention after v1 keeps exactly {v1, anchor v0}
+    assert sorted(d for d in os.listdir(snap) if d.startswith("v")) == ["v0", "v1"]
     first = {
         (r["r"], r["bucket"]): r["c"] for r in read_snapshot(spark, snap).collect()
     }
     # crash after the v1 write, before the checkpoint commit: replay batch 1
-    merge_cms(read_snapshot(spark, snap, before_batch=1), b1).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(snap, "v1"))
+    write_snapshot(merge_cms(read_snapshot(spark, snap, before_batch=1), b1), snap, 1)
     replayed = {
         (r["r"], r["bucket"]): r["c"] for r in read_snapshot(spark, snap).collect()
     }
     assert replayed == first == {(0, 1): 8, (1, 2): 7, (2, 9): 4}
+
+    # a later batch retires the old anchor: after v5, only {v5, v1} live
+    write_snapshot(merge_cms(read_snapshot(spark, snap, before_batch=5), b0), snap, 5)
+    assert sorted(d for d in os.listdir(snap) if d.startswith("v")) == ["v1", "v5"]
+    final = {
+        (r["r"], r["bucket"]): r["c"] for r in read_snapshot(spark, snap).collect()
+    }
+    assert final == {(0, 1): 13, (1, 2): 14, (2, 9): 4}
 
 
 def test_stream_cms_kill_and_resume(spark, tmp_path):
@@ -1538,3 +1548,186 @@ def test_hll_estimates_at_high_cardinality_with_split_merge_associativity(spark)
             )
         )
     assert estimate(snap) == est
+
+
+def test_stream_histogram_matches_batch_grid_and_quantiles_with_kill(
+    spark, tmp_path, batch_events
+):
+    """Mergeable histogram maintenance (the quantile leg of the
+    sketch-sink trio): the grid built by streaming four file drops —
+    killed after the first committed batch, resumed from the same
+    checkpoint — must equal the batch hist_cells grid over the whole
+    corpus BIT-FOR-BIT (integer adds are order-insensitive; versioned
+    MERGE makes re-delivery idempotent), and quantiles read off the
+    snapshot must equal the registered ext_histogram_quantiles rows."""
+    import os
+    import time
+
+    import pyarrow.parquet as pq
+
+    from film_media_etl_spark.queries.scale_ops import hist_cells, hist_quantiles
+    from film_media_etl_spark.streaming.sinks import read_snapshot
+    from film_media_etl_spark.streaming.sketches import start_histogram_stream
+
+    src = tmp_path / "src"
+    src.mkdir()
+    t = pq.read_table(f"{PARITY_SF_DIR}/events.parquet")
+    quarter = (t.num_rows + 3) // 4
+    for i in range(4):
+        name = "events.parquet" if i == 0 else f"events-{i}.parquet"
+        path = src / name
+        pq.write_table(t.slice(i * quarter, quarter), path)
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    snap = str(tmp_path / "snap")
+    ckpt = str(tmp_path / "ckpt")
+
+    def start():
+        return start_histogram_stream(
+            spark, str(src), snap, ckpt,
+            available_now=True, max_files_per_trigger=1,
+        )
+
+    q = start()
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if any(p["numInputRows"] > 0 for p in (q.recentProgress or []) if p):
+            break
+        time.sleep(0.2)
+    _stop_and_drain(q)
+    q2 = start()
+    q2.awaitTermination(240)
+    assert not q2.isActive
+    versions = [d for d in os.listdir(snap) if d.startswith("v")]
+    assert len(versions) >= 2, versions  # multi-batch merge actually ran
+
+    snap_df = read_snapshot(spark, snap)
+    got_grid = {
+        (r["event_type"], r["bin"]): r["c"] for r in snap_df.collect()
+    }
+    want_grid = {
+        (r["event_type"], r["bin"]): r["c"]
+        for r in hist_cells(batch_events).collect()
+    }
+    assert got_grid == want_grid and len(got_grid) > 10
+
+    got_q = {r["event_type"]: tuple(r) for r in hist_quantiles(snap_df).collect()}
+    from film_media_etl_spark.queries import all_queries
+
+    want_q = {
+        r["event_type"]: tuple(r)
+        for r in all_queries()["ext_histogram_quantiles"](
+            spark, PARITY_SF_DIR
+        ).collect()
+    }
+    assert got_q == want_q and len(got_q) >= 4
+
+
+def test_latest_version_skips_non_version_entries(tmp_path):
+    """A crashed copy's "v3.tmp", a .crc file, or an editor temp in a
+    snapshot dir must be SKIPPED by the version scan, not raise and kill
+    every later micro-batch (the round-5 ADVICE failure mode, fixed in
+    operators/index_manifest.increment_versions and mirrored here)."""
+    from film_media_etl_spark.streaming.sinks import _latest_version
+
+    for d in ["v0", "v2", "v10", "v3.tmp", ".v1.crc", "stray", "v"]:
+        (tmp_path / d).mkdir()
+    assert _latest_version(str(tmp_path)) == str(tmp_path / "v10")
+    assert _latest_version(str(tmp_path), before_batch=10) == str(tmp_path / "v2")
+    assert _latest_version(str(tmp_path), before_batch=0) is None
+    assert _latest_version(str(tmp_path / "missing")) is None
+
+
+def test_stream_vector_index_day_in_the_life(spark, tmp_path):
+    """The vector-ingest production story end-to-end, composing the
+    proven pieces (the IVF twin of the dedup day-in-the-life test):
+    offline build, stream late vectors in as file drops, KILL
+    mid-stream, resume from the same checkpoint, COMPACT the increments
+    offline (crash-safe manifest commit), then probe. The compacted
+    index must answer probes identically to a one-shot index built from
+    the same centroids over all vectors, re-compaction must be a true
+    no-op, and the increment root must be gone — one base generation
+    serving every probe with one scan."""
+    import glob
+    import os
+    import time
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from film_media_etl_spark.operators.ann_index import (
+        assign_cells,
+        build_ivf_index,
+        compact_ivf_index,
+        probe_ivf_index,
+        resolve_cells_base,
+    )
+    from film_media_etl_spark.streaming.vector_index import (
+        start_vector_index_append_stream,
+    )
+
+    emb = spark.read.parquet(f"{PARITY_SF_DIR}/embeddings.parquet")
+    idx = str(tmp_path / "idx")
+    build_ivf_index(emb.where("vec_id < 300"), idx, nlist=16, seed=42)
+
+    tbl = pq.read_table(f"{PARITY_SF_DIR}/embeddings.parquet")
+    late = tbl.filter(pc.field("vec_id") >= 300).sort_by("vec_id")
+    src = tmp_path / "src"
+    src.mkdir()
+    half = (late.num_rows + 1) // 2
+    for i, name in enumerate(["embeddings.parquet", "embeddings_1.parquet"]):
+        path = src / name
+        pq.write_table(late.slice(i * half, half), path)
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    ckpt = str(tmp_path / "ckpt")
+
+    def start():
+        return start_vector_index_append_stream(
+            spark, str(src), idx, ckpt,
+            available_now=True, max_files_per_trigger=1,
+        )
+
+    q = start()
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if any(p["numInputRows"] > 0 for p in (q.recentProgress or []) if p):
+            break
+        time.sleep(0.2)
+    _stop_and_drain(q)  # the mid-day crash
+    q2 = start()  # same checkpoint: resume, drain the rest
+    q2.awaitTermination(240)
+    assert not q2.isActive
+    assert glob.glob(idx + "/cells_inc/v*")  # increments actually accrued
+
+    folded = compact_ivf_index(spark, idx)
+    assert folded >= 1
+    assert not os.path.isdir(f"{idx}/cells_inc")  # folded root swept
+    base, water = resolve_cells_base(idx)
+    assert os.path.basename(base).startswith("cells_g") and water >= 0
+
+    queries = emb.where("vec_id < 8")
+    got = sorted(
+        tuple(r)
+        for r in probe_ivf_index(spark, idx, queries, k=5, nprobe=10).collect()
+    )
+
+    # re-compaction is a true no-op: nothing folded, same base, same rows
+    n_rows = spark.read.parquet(base).count()
+    assert compact_ivf_index(spark, idx) == 0
+    assert resolve_cells_base(idx) == (base, water)
+    assert spark.read.parquet(base).count() == n_rows
+
+    # one-shot twin: same centroids, all vectors assigned in one batch
+    centers = [
+        (r["cell"], r["center"])
+        for r in spark.read.parquet(f"{idx}/centroids").collect()
+    ]
+    ref = str(tmp_path / "ref")
+    assign_cells(emb, centers).write.partitionBy("cell").parquet(f"{ref}/cells")
+    spark.read.parquet(f"{idx}/centroids").write.parquet(f"{ref}/centroids")
+    want = sorted(
+        tuple(r)
+        for r in probe_ivf_index(spark, ref, queries, k=5, nprobe=10).collect()
+    )
+    assert got == want and len(got) == 40

@@ -182,6 +182,17 @@ def cosine_knn_ivf(
     return ivf_probe_topk(assigned, queries, centers, k=k, nprobe=nprobe)
 
 
+# Query frames broadcast into the cell scans only below this row count.
+# Embedding vectors are ~64 doubles (~0.5 KB serialized), and the probe
+# explodes each query nprobe ways, so 100k query rows x nprobe 10 is
+# ~500 MB of broadcast — the ceiling of a sane driver budget. The
+# documented regime is "query batch MUCH smaller than corpus"; above the
+# limit the hint drops and AQE plans a shuffled join — slower, never
+# fatal (the same guard discipline as dedup_index._BROADCAST_PROBE_ROWS,
+# round-5 verdict #5).
+_BROADCAST_QUERY_ROWS = 100_000
+
+
 def ivf_probe_topk(
     cells: DataFrame,
     queries: DataFrame,
@@ -189,6 +200,7 @@ def ivf_probe_topk(
     *,
     k: int = 5,
     nprobe: int = 4,
+    broadcast_limit: int = _BROADCAST_QUERY_ROWS,
 ) -> DataFrame:
     """The ONE IVF probe both the inline op and the persisted index use
     (operators/ann_index.py), so the probe math cannot diverge between
@@ -231,10 +243,16 @@ def ivf_probe_topk(
         nprobe,
     )
     q = queries.withColumn("cell", F.explode(probe_cells))
+    # limit(n+1).count() short-circuits: it proves "small enough" by
+    # scanning at most broadcast_limit+1 query rows, so a corpus-sized
+    # probe frame pays a bounded peek, not a full count, before its
+    # broadcast hint is dropped.
+    small = queries.limit(broadcast_limit + 1).count() <= broadcast_limit
+    q = F.broadcast(q) if small else q
     scored = (
         cells.alias("n")
         .join(
-            F.broadcast(q).alias("q"),
+            q.alias("q"),
             (F.col("n.cell") == F.col("q.cell")) & (F.col("n.nbr_id") != F.col("q.query_id")),
         )
         .select(

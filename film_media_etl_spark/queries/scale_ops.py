@@ -554,3 +554,110 @@ size; the probe/window work runs on the grid, never the events.""".format(
     w=_HQ_BIN
 )
 
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without floats: PPS systematic
+# ---------------------------------------------------------------------------
+
+_PPS_K = 500  # picks per run (the subsample budget)
+
+
+@register(
+    "ext_weighted_sample_pps",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, lang, n_chars AS w,
+             md5(CAST(doc_id AS STRING)) AS h
+      FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, lang, w,
+             SUM(w) OVER (ORDER BY h, doc_id) AS cw,
+             SUM(w) OVER () AS tw
+      FROM d
+    ),
+    p AS (
+      SELECT doc_id, lang, w,
+             LEAST(CAST({_PPS_K} AS BIGINT), GREATEST(CAST(0 AS BIGINT),
+               (2 * {_PPS_K} * cw + tw - 1) // (2 * tw)))
+             - LEAST(CAST({_PPS_K} AS BIGINT), GREATEST(CAST(0 AS BIGINT),
+               (2 * {_PPS_K} * (cw - w) + tw - 1) // (2 * tw))) AS n_picks
+      FROM cum
+    )
+    SELECT doc_id, lang, CAST(w AS BIGINT) AS w,
+           CAST(n_picks AS INT) AS n_picks
+    FROM p WHERE n_picks > 0
+    """,
+)
+def ext_weighted_sample_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ds = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    d = ds.select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").alias("w"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    ).withColumn("bucket", F.substring("h", 1, 2))
+
+    # stage 1 of the distributed prefix sum: per-bucket totals (<= 256
+    # rows) and each bucket's exclusive offset. The single-partition
+    # window here orders 256 rows — bounded driver-side metadata, the
+    # same tier as a broadcast codebook.
+    btot = d.groupBy("bucket").agg(F.sum("w").alias("bw"))
+    woff = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = btot.select(
+        "bucket", F.coalesce(F.sum("bw").over(woff), F.lit(0)).alias("off")
+    )
+    tot = d.agg(F.sum("w").alias("tw"))
+
+    # stage 2: within-bucket cumulative sums run as 256 PARALLEL windows;
+    # the broadcast offset join turns them into the global prefix sum.
+    win = Window.partitionBy("bucket").orderBy("h", "doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = (
+        d.join(F.broadcast(offs), "bucket")
+        .withColumn("cw", F.sum("w").over(win) + F.col("off"))
+        .crossJoin(F.broadcast(tot))
+    )
+
+    def g(x):
+        ceil_expr = F.expr(
+            f"(2 * {_PPS_K} * {x} + tw - 1) div (2 * tw)"
+        )
+        return F.least(
+            F.lit(_PPS_K).cast("long"),
+            F.greatest(F.lit(0).cast("long"), ceil_expr),
+        )
+
+    return (
+        cum.withColumn("n_picks", (g("cw") - g("(cw - w)")).cast("int"))
+        .where(F.col("n_picks") > 0)
+        .select("doc_id", "lang", F.col("w").cast("long").alias("w"), "n_picks")
+    )
+
+
+ext_weighted_sample_pps.__doc__ = """Weighted sampling without replacement-by-
+expectation: PPS SYSTEMATIC sampling (probability proportional to size,
+the survey-sampling workhorse) picks {k} documents with inclusion
+probability proportional to n_chars — the deterministic, EXACT way to
+subsample a corpus toward a token budget (heavier docs proportionally
+likelier) without the floating-point exponential race of
+Efraimidis-Spirakis, whose ln() is not ulp-identical across engines
+(feature_ops.py module doc). Docs are shuffled by md5(doc_id), the
+cumulative weight line is divided into {k} equal strides, and each
+stride's midpoint picks the doc whose weight interval covers it; a doc
+wider than one stride is picked multiple times (n_picks is its
+multiplicity), keeping sum(n_picks) == {k} exactly. Every comparison is
+BIGINT ceil-division — g(x) = clamp((2kx + W - 1) div 2W, 0, k) — so
+the op is fully oracle-checked.
+
+Scale: the naive spelling is a GLOBAL window cumsum (one partition =
+one straggler at 100 TB). This implementation runs the textbook
+two-pass distributed prefix sum instead: 256 md5-prefix buckets window
+in PARALLEL, their totals (a 256-row aggregate) broadcast back as
+per-bucket offsets. Cross-engine determinism comes from the md5 order;
+no randomness, no transcendentals, no shuffle wider than the one
+bucket-keyed window sort.""".format(k=_PPS_K)

@@ -1665,3 +1665,55 @@ def test_span_corruption_roundtrip_reconstructs_text(spark, op):
         assert rebuilt == originals[r["doc_id"]], r["doc_id"]
         saw_masked = saw_masked or r["n_spans_masked"] > 0
     assert saw_masked  # the rate actually masks at fixture scale
+
+
+def test_weighted_sample_pps_matches_python_model(spark):
+    """PPS systematic sampling vs a pure-Python model of the same design:
+    md5-shuffled order, integer ceil-division stride math. Pins (a) the
+    distributed two-pass prefix sum equals the model's GLOBAL cumulative
+    line (the decomposition introduces no drift — integer adds), (b)
+    sum(n_picks) == K exactly, and (c) the PPS property itself: every
+    doc with w >= W/K is picked with multiplicity >= floor(K*w/W), and
+    expected-inclusion ordering holds in aggregate (mean weight of
+    picked docs exceeds the corpus mean — heavier docs proportionally
+    likelier)."""
+    import hashlib
+
+    from film_media_etl_spark.queries import all_queries
+    from film_media_etl_spark.queries.scale_ops import _PPS_K
+
+    rows = (
+        spark.read.parquet(f"{PARITY_SF_DIR}/documents.parquet")
+        .select("doc_id", "n_chars")
+        .collect()
+    )
+    docs = sorted(
+        (hashlib.md5(str(r["doc_id"]).encode()).hexdigest(), r["doc_id"], r["n_chars"])
+        for r in rows
+    )
+    total = sum(w for _, _, w in docs)
+
+    def g(x: int) -> int:
+        return min(_PPS_K, max(0, (2 * _PPS_K * x + total - 1) // (2 * total)))
+
+    want, cw = {}, 0
+    for _, doc_id, w in docs:
+        cw += w
+        n = g(cw) - g(cw - w)
+        if n > 0:
+            want[doc_id] = n
+
+    got = {
+        r["doc_id"]: r["n_picks"]
+        for r in all_queries()["ext_weighted_sample_pps"](
+            spark, PARITY_SF_DIR
+        ).collect()
+    }
+    assert got == want
+    assert sum(got.values()) == _PPS_K
+    wmap = {doc_id: w for _, doc_id, w in docs}
+    for doc_id, w in wmap.items():
+        if w * _PPS_K >= total:
+            assert got.get(doc_id, 0) >= (w * _PPS_K) // total, doc_id
+    mean_picked = sum(wmap[d] for d in got) / len(got)
+    assert mean_picked > total / len(docs)

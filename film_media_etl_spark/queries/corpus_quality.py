@@ -666,3 +666,58 @@ def ext_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cov"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe train/val/test split
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ext_leakage_safe_split",
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 2) < 'cc'
+                  THEN 'train'
+                  WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 2) < 'e6'
+                  THEN 'val' ELSE 'test' END AS split,
+             user_id
+      FROM events
+    )
+    SELECT split, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM s GROUP BY split, event_type
+    """,
+)
+def ext_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test assignment: the split is a pure
+    function of the GROUPING UNIT (user_id), not the row, so every
+    event of a user lands in the same split by construction — the
+    invariant that protects evaluation from target leakage (a user's
+    history straddling train and test is the classic silent eval
+    inflation). Buckets are md5-prefix thresholds ('cc'/'e6' of 256 ~
+    80/10/10), the ext_stratified_sample discipline: engine-portable,
+    rerun-stable, and recomputable from the key alone at 100 TB —
+    unlike randomSplit(), whose seed does not survive repartitioning,
+    this assignment is reproducible row-by-row forever. Assignment is
+    a map-side expression (no shuffle, no state); the per-(split, type)
+    count/distinct aggregate here is the compact oracle surface, and
+    split-disjointness is pinned by the model test (sum of per-split
+    distinct users == global distinct users)."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.substring(F.md5(F.col("user_id").cast("string")), 1, 2)
+    split = (
+        F.when(bucket < "cc", F.lit("train"))
+        .when(bucket < "e6", F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        ev.withColumn("split", split)
+        .groupBy("split", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+    )

@@ -1717,3 +1717,44 @@ def test_weighted_sample_pps_matches_python_model(spark):
             assert got.get(doc_id, 0) >= (w * _PPS_K) // total, doc_id
     mean_picked = sum(wmap[d] for d in got) / len(got)
     assert mean_picked > total / len(docs)
+
+
+def test_leakage_safe_split_users_are_disjoint_and_assignment_is_stable(spark):
+    """The invariant the split exists for: a user appears in EXACTLY one
+    split (sum of per-split distinct users == global distinct users), at
+    roughly 80/10/10 shares, and the assignment is a pure function of
+    user_id — recomputable row-by-row (pinned against hashlib.md5)."""
+    import hashlib
+
+    from film_media_etl_spark.queries import all_queries
+
+    rows = all_queries()["ext_leakage_safe_split"](spark, PARITY_SF_DIR).collect()
+    assert {r["split"] for r in rows} == {"train", "val", "test"}
+    # per-(split, type) n_users double-counts a user across types, so the
+    # disjointness invariant is recomputed from the raw assignment
+    ev = spark.read.parquet(f"{PARITY_SF_DIR}/events.parquet")
+    users = [r["user_id"] for r in ev.select("user_id").distinct().collect()]
+
+    def split_of(uid: int) -> str:
+        b = hashlib.md5(str(uid).encode()).hexdigest()[:2]
+        return "train" if b < "cc" else ("val" if b < "e6" else "test")
+
+    model = {}
+    for u in users:
+        model[split_of(u)] = model.get(split_of(u), 0) + 1
+    assert sum(model.values()) == len(users)  # exactly one split per user
+
+    got = {
+        r["split"]: r["nu"]
+        for r in ev.withColumn(
+            "split",
+            F.when(F.substring(F.md5(F.col("user_id").cast("string")), 1, 2) < "cc", "train")
+            .when(F.substring(F.md5(F.col("user_id").cast("string")), 1, 2) < "e6", "val")
+            .otherwise("test"),
+        )
+        .groupBy("split")
+        .agg(F.countDistinct("user_id").alias("nu"))
+        .collect()
+    }
+    assert got == model
+    assert 0.7 < model.get("train", 0) / len(users) < 0.9

@@ -209,8 +209,10 @@ def compact_ivf_index(
     from .index_manifest import (
         commit_manifest,
         crash_point,
+        grace_fields,
         increment_versions,
         next_generation,
+        retire_grace,
         sweep,
     )
 
@@ -226,7 +228,10 @@ def compact_ivf_index(
     base, water = resolve_cells_base(index_dir)
     incs = increment_versions(os.path.join(index_dir, "cells_inc"), above=water)
     if not incs:
-        _sweep(base)  # finish any interrupted post-commit cleanup
+        # running maintenance with nothing to fold retires the previous
+        # cycle's reader-grace view, then finishes any interrupted sweep
+        retire_grace(index_dir)
+        _sweep(base)
         return 0
     merged = read_index_cells(spark, index_dir)
     new_base = next_generation(index_dir, "cells")
@@ -235,7 +240,15 @@ def compact_ivf_index(
     )
     crash_point("write", _crash_after)
     commit_manifest(
-        index_dir, {"cells_base": new_base, "folded_through": incs[-1][0]}
+        index_dir,
+        {
+            "cells_base": new_base,
+            "folded_through": incs[-1][0],
+            # one-cycle reader grace: the previous view (old base + its
+            # increments) stays on disk until the NEXT maintenance call,
+            # so probes that resolved paths pre-commit finish cleanly
+            **grace_fields(os.path.basename(base), water),
+        },
     )
     crash_point("commit", _crash_after)
     _sweep(os.path.join(index_dir, new_base))

@@ -189,9 +189,11 @@ def compact_dedup_index(
         commit_manifest,
         crash_point,
         folded_through,
+        grace_fields,
         increment_versions,
         next_generation,
         read_manifest,
+        retire_grace,
         sweep,
     )
 
@@ -215,6 +217,9 @@ def compact_dedup_index(
         v for v in set(bands_vs) & set(sigs_vs) if cap is None or v < cap
     )
     if not folded:
+        # a no-op maintenance call retires the previous cycle's
+        # reader-grace view, then finishes any interrupted sweep
+        retire_grace(index_dir)
         _sweep(m["base"] if m else None)
         return 0
     new_base = next_generation(index_dir, "base")
@@ -227,7 +232,16 @@ def compact_dedup_index(
             df = df.unionByName(spark.read.parquet(p))
         df.write.mode("overwrite").parquet(os.path.join(index_dir, new_base, name))
     crash_point("write", _crash_after)
-    commit_manifest(index_dir, {"base": new_base, "folded_through": folded[-1]})
+    commit_manifest(
+        index_dir,
+        {
+            "base": new_base,
+            "folded_through": folded[-1],
+            # one-cycle reader grace (index_manifest.grace_fields): the
+            # previous view stays until the next maintenance call
+            **grace_fields(m["base"] if m else None, water),
+        },
+    )
     crash_point("commit", _crash_after)
     _sweep(new_base)
     return len(folded)

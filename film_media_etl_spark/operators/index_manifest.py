@@ -32,6 +32,14 @@ pointer-last commits, re-derived here from first principles):
   BEST-EFFORT sweep after the commit; a crash anywhere in the sweep
   costs only disk space, never correctness, and the next maintenance
   call finishes the sweep.
+- readers get ONE MAINTENANCE CYCLE of grace (round-6): a fold records
+  the previous base + previous watermark in the manifest, the sweep
+  preserves that whole previous VIEW (base and its increments), and the
+  next maintenance call retires it — so a probe that resolved paths
+  just before the commit finishes against intact files instead of dying
+  on a vanished directory (the "vacuum breaks readers" race; table
+  formats solve it with time-based retention, this module with
+  cycle-based).
 
 Contract shared by both indexes: compaction is an OFFLINE op — run it
 with the append stream stopped after a clean drain (availableNow
@@ -129,6 +137,37 @@ def next_generation(index_dir: str, prefix: str) -> str:
     return f"{prefix}_g{best + 1}"
 
 
+def grace_fields(prev_base: str | None, prev_water: int) -> dict:
+    """The previous-view record a fold writes into its manifest for
+    ONE-CYCLE READER GRACE: a probe that resolved the index layout just
+    before the commit still holds paths into the old base and the
+    just-folded increments. Deleting those immediately fails that probe
+    mid-job — the classic "vacuum breaks readers" race every table
+    format solves with a retention window. Here the window is one
+    maintenance cycle: the sweep keeps the recorded previous base and
+    every increment above the PREVIOUS watermark, and the NEXT
+    maintenance call (fold or no-op) retires them."""
+    out: dict = {"prev_folded_through": prev_water}
+    if prev_base is not None:
+        out["prev_base"] = prev_base
+    return out
+
+
+def retire_grace(index_dir: str) -> bool:
+    """Drop the previous-view grace record (an atomic manifest rewrite;
+    base and watermark unchanged) so the following sweep may remove the
+    superseded generation and its folded increments. Called by the
+    no-op maintenance path — running maintenance IS the caller's
+    declaration that the previous cycle's readers are done."""
+    m = read_manifest(index_dir)
+    if not m or "prev_folded_through" not in m:
+        return False
+    commit_manifest(
+        index_dir, {k: v for k, v in m.items() if not k.startswith("prev_")}
+    )
+    return True
+
+
 def sweep(
     index_dir: str,
     *,
@@ -139,23 +178,30 @@ def sweep(
 ) -> None:
     """Best-effort cleanup after a commit: remove superseded generation
     dirs (``{gen_prefix}_g*`` or a named legacy base not in
-    ``live_dirs``) and folded increments (v <= the committed watermark).
-    Touches ONLY names this module owns — never unrelated content (the
-    IVF index keeps its ``centroids`` table next to the bases).
-    Idempotent; every path here is safe to die in — the manifest already
-    excludes everything being removed."""
-    water = folded_through(index_dir)
+    ``live_dirs`` or the manifest's grace record) and retired
+    increments. During reader grace the increment cut is the PREVIOUS
+    watermark (the previous view still needs its folded increments);
+    after retirement it is the live watermark. Touches ONLY names this
+    module owns — never unrelated content (the IVF index keeps its
+    ``centroids`` table next to the bases). Idempotent; every path here
+    is safe to die in — the manifest already excludes everything being
+    removed."""
+    m = read_manifest(index_dir) or {}
+    keep = set(live_dirs)
+    if m.get("prev_base"):
+        keep.add(m["prev_base"])
+    cut = int(m.get("prev_folded_through", m.get("folded_through", -1)))
     for d in os.listdir(index_dir):
         full = os.path.join(index_dir, d)
         ours = d.startswith(gen_prefix + "_g") or d in legacy
-        if not ours or d in live_dirs or not os.path.isdir(full):
+        if not ours or d in keep or not os.path.isdir(full):
             continue
         shutil.rmtree(full, ignore_errors=True)
     for root in inc_roots:
         for v, path in increment_versions(root):
-            if v <= water:
+            if v <= cut:
                 shutil.rmtree(path, ignore_errors=True)
-        try:  # a fully-folded increment root disappears entirely
+        try:  # a fully-retired increment root disappears entirely
             os.rmdir(root)
         except OSError:
             pass

@@ -255,12 +255,20 @@ def test_ivf_compaction_preserves_probe_results(spark, tmp_path):
         tuple(r) for r in probe_ivf_index(spark, idx, queries, k=5, nprobe=10).collect()
     )
     assert compact_ivf_index(spark, idx) == 1
-    assert not os.path.isdir(f"{idx}/cells_inc")
+    # one-cycle reader grace: the folded increment survives the fold so
+    # probes that resolved the old layout pre-commit finish cleanly
+    assert os.path.isdir(f"{idx}/cells_inc")
     after = sorted(
         tuple(r) for r in probe_ivf_index(spark, idx, queries, k=5, nprobe=10).collect()
     )
     assert before == after and len(after) == 40
     assert compact_ivf_index(spark, idx) == 0  # idempotent no-op
+    # ...and the no-op maintenance call retires the grace view
+    assert not os.path.isdir(f"{idx}/cells_inc")
+    final = sorted(
+        tuple(r) for r in probe_ivf_index(spark, idx, queries, k=5, nprobe=10).collect()
+    )
+    assert final == before
 
 
 def _stage_ivf_with_increments(spark, tmp_path):
@@ -315,10 +323,13 @@ def test_ivf_compaction_crash_before_commit_leaves_old_base_live(spark, tmp_path
     assert mid == before
     assert read_index_cells(spark, idx).count() == rows_before
     # the retry folds both increments (the crashed attempt's half-written
-    # generation is superseded and swept)
+    # generation is superseded and swept); the increments themselves stay
+    # one cycle for reader grace, and the next no-op call retires them
     assert compact_ivf_index(spark, idx) == 2
     import os
 
+    assert os.path.isdir(f"{idx}/cells_inc")
+    assert compact_ivf_index(spark, idx) == 0
     assert not os.path.isdir(f"{idx}/cells_inc")
     after = sorted(
         tuple(r) for r in probe_ivf_index(spark, idx, queries, k=5, nprobe=10).collect()
@@ -421,3 +432,35 @@ def test_ivf_probe_oversized_query_frame_degrades_to_shuffle(spark, tmp_path):
         big_ranks, big_plan = ranks(10)
     assert "BroadcastHashJoin" not in big_plan, big_plan[:3000]
     assert big_ranks == small_ranks and len(big_ranks) == 40 * 5
+
+
+def test_ivf_compaction_reader_grace_window(spark, tmp_path):
+    """The "vacuum breaks readers" race: a probe plan resolves concrete
+    file paths (base + increments) when its relation is built; a
+    compaction that deletes those files immediately fails that probe
+    mid-job. The manifest's one-cycle grace keeps the whole previous
+    view on disk, so a plan captured BEFORE the fold still collects the
+    same answer AFTER it; the next (no-op) maintenance call retires the
+    grace view."""
+    import os
+
+    from film_media_etl_spark.operators.ann_index import (
+        compact_ivf_index,
+        probe_ivf_index,
+    )
+
+    idx, queries = _stage_ivf_with_increments(spark, tmp_path)
+    before = sorted(
+        tuple(r) for r in probe_ivf_index(spark, idx, queries, k=5, nprobe=10).collect()
+    )
+    # captured pre-fold: this plan's file index points at the OLD layout
+    stale = probe_ivf_index(spark, idx, queries, k=5, nprobe=10)
+    assert compact_ivf_index(spark, idx) == 2
+    assert sorted(tuple(r) for r in stale.collect()) == before  # grace
+    assert compact_ivf_index(spark, idx) == 0  # retires the grace view
+    assert not os.path.isdir(f"{idx}/cells_inc")
+    assert not os.path.isdir(f"{idx}/cells")
+    after = sorted(
+        tuple(r) for r in probe_ivf_index(spark, idx, queries, k=5, nprobe=10).collect()
+    )
+    assert after == before

@@ -1702,7 +1702,8 @@ def test_stream_vector_index_day_in_the_life(spark, tmp_path):
 
     folded = compact_ivf_index(spark, idx)
     assert folded >= 1
-    assert not os.path.isdir(f"{idx}/cells_inc")  # folded root swept
+    # folded increments stay one cycle for reader grace
+    assert os.path.isdir(f"{idx}/cells_inc")
     base, water = resolve_cells_base(idx)
     assert os.path.basename(base).startswith("cells_g") and water >= 0
 
@@ -1712,9 +1713,11 @@ def test_stream_vector_index_day_in_the_life(spark, tmp_path):
         for r in probe_ivf_index(spark, idx, queries, k=5, nprobe=10).collect()
     )
 
-    # re-compaction is a true no-op: nothing folded, same base, same rows
+    # re-compaction is a true no-op: nothing folded, same base, same
+    # rows — and it retires the grace view (folded root swept)
     n_rows = spark.read.parquet(base).count()
     assert compact_ivf_index(spark, idx) == 0
+    assert not os.path.isdir(f"{idx}/cells_inc")
     assert resolve_cells_base(idx) == (base, water)
     assert spark.read.parquet(base).count() == n_rows
 

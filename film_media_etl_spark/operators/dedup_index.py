@@ -270,7 +270,11 @@ def probe_dedup_frames(
     localCheckpointed already) gates the hints at ``broadcast_limit``.
     Oversized probes degrade to AQE-planned shuffled joins — correct,
     just no longer exchange-free — instead of OOMing the driver."""
-    small = new_docs.count() <= broadcast_limit
+    # bounded peek, not a full count: a corpus-sized probe frame would
+    # pay an unbounded scan just to learn it is oversized — limit(n+1)
+    # stops the scan after broadcast_limit+1 rows (the ivf_probe_topk
+    # convention, operators/similarity.py)
+    small = new_docs.limit(broadcast_limit + 1).count() <= broadcast_limit
 
     def ride(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if small else df

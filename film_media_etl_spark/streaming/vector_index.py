@@ -32,6 +32,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.ann_index import assign_cells
+from ..operators.index_manifest import folded_through
 
 
 def read_embeddings_stream(
@@ -71,6 +72,21 @@ def start_vector_index_append_stream(
         )
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # Compaction-watermark guard (the dedup stream's twin,
+        # dedup_index.read_stream_dedup_index): a stream resumed from a
+        # FRESH checkpoint replays batch ids 0..N that a committed
+        # manifest already masks — read_index_cells would silently skip
+        # the new increment and the next sweep would DELETE it (v <=
+        # watermark), losing the ingested vectors. The contract is
+        # "resume from the SAME checkpoint"; breaking it must fail
+        # loudly here, before any write.
+        water = folded_through(index_dir)
+        if water >= batch_id:
+            raise ValueError(
+                f"IVF index {index_dir} compacted through v{water} but the "
+                f"stream is at batch {batch_id}: compaction must run "
+                "offline and streams must resume from the SAME checkpoint"
+            )
         assign_cells(batch_df, centers).write.mode("overwrite").partitionBy(
             "cell"
         ).parquet(os.path.join(index_dir, "cells_inc", f"v{batch_id}"))

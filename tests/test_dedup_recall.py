@@ -505,3 +505,39 @@ def test_dedup_index_probe_oversized_batch_degrades_to_shuffle(spark, tmp_path):
         "Exchange hashpartitioning" in big_plan or "SortMergeJoin" in big_plan
     ), big_plan[:3000]
     assert "BroadcastHashJoin" not in big_plan, big_plan[:3000]
+
+
+def test_dedup_probe_size_peek_is_bounded(spark, tmp_path, monkeypatch):
+    """The probe's broadcast gate must learn "is the batch oversized?"
+    from a BOUNDED peek (limit(broadcast_limit+1).count(), the
+    ivf_probe_topk convention) — a corpus-sized probe frame must not pay
+    a full scan just to discover it cannot broadcast (round-6 ADVICE).
+    Pin: exactly one count() runs during planning and its plan carries
+    the GlobalLimit."""
+    from pyspark.sql import DataFrame
+
+    from film_media_etl_spark.operators.dedup_index import (
+        build_dedup_index,
+        probe_dedup_frames,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    idx = str(tmp_path / "idx")
+    build_dedup_index(docs.where("doc_id >= 100"), idx)
+    bands = spark.read.parquet(f"{idx}/bands")
+    sigs = spark.read.parquet(f"{idx}/sigs")
+    batch = docs.where("doc_id < 100")
+
+    plans = []
+    cls = type(batch)  # the CONCRETE class (pyspark.sql.classic since 4.0)
+    assert issubclass(cls, DataFrame)
+    orig = cls.count
+
+    def spying_count(self):
+        plans.append(self._jdf.queryExecution().optimizedPlan().toString())
+        return orig(self)
+
+    monkeypatch.setattr(cls, "count", spying_count)
+    probe_dedup_frames(bands, sigs, batch, broadcast_limit=7)
+    assert len(plans) == 1, plans
+    assert "GlobalLimit 8" in plans[0], plans[0][:2000]

@@ -464,3 +464,31 @@ def test_ivf_compaction_reader_grace_window(spark, tmp_path):
         tuple(r) for r in probe_ivf_index(spark, idx, queries, k=5, nprobe=10).collect()
     )
     assert after == before
+
+
+def test_ivf_sweep_refuses_when_live_base_missing(spark, tmp_path):
+    """Round-6 ADVICE: the sweep's legacy set {cells, cells_old,
+    cells_compacting} must never delete RECOVERY data. A round-5
+    mid-swap crash can leave an index with no cells/ dir and the data
+    only in cells_old; running the new compactor (no increments, so the
+    no-op path) must raise for manual repair instead of sweeping away
+    the only remaining copy."""
+    import os
+    import shutil
+
+    import pytest
+
+    from film_media_etl_spark.operators.ann_index import (
+        build_ivf_index,
+        compact_ivf_index,
+    )
+    from film_media_etl_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb.where("vec_id < 100"), idx, nlist=4, seed=42)
+    # simulate the round-5 mid-swap crash: data survives only in cells_old
+    shutil.move(f"{idx}/cells", f"{idx}/cells_old")
+    with pytest.raises(RuntimeError, match="refusing to sweep"):
+        compact_ivf_index(spark, idx)
+    assert os.path.isdir(f"{idx}/cells_old")  # recovery copy untouched

@@ -1734,3 +1734,60 @@ def test_stream_vector_index_day_in_the_life(spark, tmp_path):
         for r in probe_ivf_index(spark, ref, queries, k=5, nprobe=10).collect()
     )
     assert got == want and len(got) == 40
+
+
+def test_vector_index_stream_rejects_stale_checkpoint(spark, tmp_path):
+    """Round-6 ADVICE (medium): after compact_ivf_index commits
+    folded_through=N, a stream resumed from a FRESH checkpoint replays
+    batch ids 0..N — increments the watermark silently masks and the
+    next sweep permanently deletes (silent loss of newly ingested
+    vectors). apply_batch must raise BEFORE writing, mirroring the dedup
+    stream's read guard; the failure surfaces through the streaming
+    query's termination."""
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from film_media_etl_spark.operators.ann_index import (
+        assign_cells,
+        build_ivf_index,
+        compact_ivf_index,
+    )
+    from film_media_etl_spark.streaming.vector_index import (
+        start_vector_index_append_stream,
+    )
+
+    emb = spark.read.parquet(f"{PARITY_SF_DIR}/embeddings.parquet")
+    idx = str(tmp_path / "idx")
+    build_ivf_index(emb.where("vec_id < 200"), idx, nlist=8, seed=42)
+    centers = [
+        (r["cell"], r["center"])
+        for r in spark.read.parquet(f"{idx}/centroids").collect()
+    ]
+    # one batch-shaped increment, then an offline compaction: watermark=0
+    assign_cells(
+        emb.where("vec_id >= 200 AND vec_id < 300"), centers
+    ).write.partitionBy("cell").parquet(f"{idx}/cells_inc/v0")
+    assert compact_ivf_index(spark, idx) == 1
+
+    tbl = pq.read_table(f"{PARITY_SF_DIR}/embeddings.parquet")
+    src = tmp_path / "src"
+    src.mkdir()
+    pq.write_table(
+        tbl.filter(pc.field("vec_id") >= 300), src / "embeddings.parquet"
+    )
+    # FRESH checkpoint against the compacted index: batch 0 replays at or
+    # below the watermark and must be rejected loudly, nothing written
+    q = start_vector_index_append_stream(
+        spark, str(src), idx, str(tmp_path / "fresh_ckpt"), available_now=True
+    )
+    with pytest.raises(StreamingQueryException, match="SAME checkpoint"):
+        q.awaitTermination(240)
+    # the guard fired BEFORE the write: the grace-kept v0 increment is
+    # exactly the compaction-era one (its rows are the 100 folded
+    # vectors, not the replayed source's 300+), so nothing was lost or
+    # overwritten
+    assert spark.read.parquet(f"{idx}/cells_inc/v0").count() == 100

@@ -14,6 +14,19 @@ round-1/round-2 comparison was uninterpretable for exactly this reason).
 Repetitions are consecutive per query — not whole-suite passes — because
 a full extra suite pass accumulates JVM/GC/broadcast state that
 systematically inflates later queries (measured ~60% in round 2).
+
+CONTENTION SENTINEL (round-7): every artifact must prove its own
+validity. Round 6's bench-of-record read as a phantom 1.5x regression
+because another workload shared the box; the adjudication lived only in
+the judge's re-runs. Now the artifact carries the evidence inline:
+- "load": 1-minute os.getloadavg() sampled at start and end;
+- "cal": a FIXED calibration job (48M xxhash64 over 32 partitions —
+  constant work, independent of sf and HEADLINE) timed before and
+  after the suite.
+Mechanical rejection rule (README "Bench validity"): on the reference
+box (local[32]) reject and rerun when cal exceeds 2x its committed
+idle envelope or load[0] (pre-bench) exceeds half the CPU count —
+contention inflates both, code changes inflate neither.
 """
 
 from __future__ import annotations
@@ -102,6 +115,27 @@ HEADLINE = [
 OUTPUT_BOUND = {"ext_dedup_minhash"}
 
 
+def _loadavg1() -> float:
+    """1-minute load average, -1 where the platform lacks getloadavg."""
+    try:
+        return round(os.getloadavg()[0], 2)
+    except (OSError, AttributeError):
+        return -1.0
+
+
+def _calibration_sec(spark) -> float:
+    """Wall time of a FIXED CPU-bound probe: 48M xxhash64 folds over 32
+    partitions, executed through the same noop sink as the suite. The
+    job is constant — same rows, same partitions, regardless of sf or
+    suite contents — so its wall time moves only with the machine. A
+    contended box inflates it; no code change in the engine can."""
+    t0 = time.perf_counter()
+    spark.range(0, 48_000_000, 1, 32).selectExpr(
+        "xxhash64(id) AS h"
+    ).write.mode("overwrite").format("noop").save()
+    return round(time.perf_counter() - t0, 3)
+
+
 def _sf_from_dir(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -124,6 +158,11 @@ def main() -> None:
     qs["flagship_revenue_by_year"](spark, sf_dir).write.mode("overwrite").format(
         "noop"
     ).save()
+
+    # contention sentinel: load BEFORE the suite contributes its own,
+    # calibration AFTER the warmup (codegen-warm, like every timed row)
+    load_start = _loadavg1()
+    cal_pre = _calibration_sec(spark)
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_REPS", "3")))
 
@@ -167,6 +206,9 @@ def main() -> None:
         timings[name] = round(stat(samples), 3)
         spread[name] = round(max(samples) - min(samples), 3)
 
+    cal_post = _calibration_sec(spark)
+    load_end = _loadavg1()
+
     total = round(sum(timings.values()), 3)
     linear = round(
         sum(v for k, v in timings.items() if k not in OUTPUT_BOUND), 3
@@ -180,6 +222,9 @@ def main() -> None:
         "spread": spread,
         "reps": reps,
         "sf": _sf_from_dir(sf_dir),
+        "load": [load_start, load_end],
+        "cal": [cal_pre, cal_post],
+        "cpus": os.cpu_count(),
     }
     # Full record (incl. per-query spread) goes to a FILE; stdout gets a
     # compact medians-only line LAST. The driver's artifact keeps only
@@ -196,7 +241,12 @@ def main() -> None:
         json.dump(full, f)
     compact = dict(full, queries={k: round(v, 2) for k, v in timings.items()},
                    detail="BENCH_FULL.json")
-    del compact["spread"]
+    # byte budget: spread is file-only; reps/cpus live in the full record
+    # (the driver artifact records cpus itself) — the freed bytes pay for
+    # the contention sentinel ("load"/"cal"), which MUST ride the
+    # driver-visible line to make a contaminated artifact self-evident
+    for k in ("spread", "reps", "cpus"):
+        del compact[k]
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) >= 1990:  # explicit raise: a bare assert vanishes under -O
         raise SystemExit(

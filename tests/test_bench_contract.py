@@ -51,3 +51,10 @@ def test_bench_prints_one_compact_json_line(tmp_path):
     assert set(full["spread"]) == set(full["queries"])
     # the headline value is the exact sum of the full-precision medians
     assert abs(sum(full["queries"].values()) - full["value"]) < 0.01
+    # contention sentinel (round-7): the artifact proves its own validity
+    # — loadavg sampled at start/end and a fixed calibration job timed
+    # pre/post suite ride BOTH the compact driver line and the full file
+    for r in (rec, full):
+        assert len(r["load"]) == 2 and len(r["cal"]) == 2, r.keys()
+        assert all(c > 0 for c in r["cal"]), r["cal"]
+    assert full["cpus"] == os.cpu_count()

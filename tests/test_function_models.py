@@ -1758,3 +1758,24 @@ def test_leakage_safe_split_users_are_disjoint_and_assignment_is_stable(spark):
     }
     assert got == model
     assert 0.7 < model.get("train", 0) / len(users) < 0.9
+
+
+def test_bpe_learner_job_count_is_constant(spark):
+    """Round-6 verdict #2: merge learning used to launch ~2 driver-
+    synchronized jobs PER merge (argmax + eager checkpoint), making it
+    the suite's most contention-amplified row. The single-task redesign
+    must keep the Spark job count constant in k — one action, a handful
+    of AQE stage jobs (3 measured), never O(k)."""
+    from film_media_etl_spark.operators.bpe import learn_bpe_merges
+    from film_media_etl_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    sc = spark.sparkContext
+    sc.setJobGroup("bpe-jobcount", "pin job count")
+    try:
+        merges = learn_bpe_merges(docs, k=8)
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = sc.statusTracker().getJobIdsForGroup("bpe-jobcount")
+    assert len(merges) == 8
+    assert len(jobs) <= 5, f"expected O(1) jobs, got {len(jobs)}"

@@ -106,6 +106,7 @@ HEADLINE = [
     "ext_span_corruption",      # T5-style masked-span pairs: one fold per doc
     "ext_span_corruption_varlen",  # geometric-span variant: same single-fold map
     "ext_histogram_quantiles",  # mergeable-sketch quantiles: grid agg + grid window
+    "ext_dedup_substring",      # ExactSubstr: groupBy(shingle) + span removal
 ]
 
 # Rows whose OUTPUT cardinality scales super-linearly with the corpus

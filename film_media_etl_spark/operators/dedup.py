@@ -754,3 +754,99 @@ def simhash_survivors(
     return base.join(pruned, base["doc_id"] == F.col("pid"), "left").select(
         "doc_id", F.col("pid").isNotNull().alias("pruned")
     )
+
+
+def exact_substring_dedup(
+    docs: DataFrame,
+    *,
+    k: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tier 5: EXACT-SUBSTRING dedup (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better" — the ExactSubstr
+    variant): remove every duplicated run of >= ``k`` tokens from the
+    corpus, keeping the FIRST occurrence (global (doc_id, position)
+    order), and reassemble each document's surviving tokens. Unlike the
+    pair-reporting tiers above, this edits the documents themselves —
+    the form LLM training pipelines apply it in (the duplicated SPAN is
+    what gets memorized, not the document).
+
+    Semantics (exact, oracle-checkable):
+    - every k-token shingle occurrence (doc, pos) is keyed by its
+      space-joined token string;
+    - a shingle occurring more than once globally marks every
+      occurrence EXCEPT the global minimum (doc_id, pos) as duplicated;
+    - a token position is removed iff covered by >= 1 duplicated
+      occurrence — overlapping duplicated shingles union into maximal
+      removed runs (the "run stitching"): a pasted passage of length
+      L >= k yields L-k+1 duplicated shingles whose coverage is exactly
+      the passage;
+    - survivors reassemble in original order, space-joined.
+
+    Scale shape (nothing quadratic anywhere):
+    - the shingle explode is ~tokens-per-doc rows (linear in corpus
+      tokens; at 100 TB you'd key by xxhash64(shingle) to shrink the
+      shuffle — kept as the string here so the DuckDB oracle is exact);
+    - duplicate detection is ONE groupBy(shingle) with map-side
+      combine; the join back is an equi-join against only the
+      duplicated keys (candidates bounded by evidence, like the LSH
+      band join — never all pairs, never a cross product);
+    - first-occurrence survivorship is an integer MIN aggregate
+      (doc_id * 1_000_000 + pos encodes the lexicographic order while
+      positions stay below 1M tokens/doc — asserted cheap at the edge);
+    - span removal explodes k rows per DUPLICATED occurrence only;
+      reassembly is a map-side index filter over each doc's token
+      array after one bounded (positions-per-doc) aggregate.
+
+    Relation to the other tiers: ext_dedup_winnowing samples this
+    signal (fingerprints) to find document PAIRS; decontamination uses
+    8-token shingle hits as a gate. This tier removes the duplicated
+    span itself, exactly. Reference kin: dedup-on-load (etl:69-77)
+    dedups whole rows; this is its intra-document, token-level big
+    sibling."""
+    toks = F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), " ")
+    t = ensure_parallelism(docs).select(
+        F.col(id_col).alias("doc_id"), toks.alias("toks")
+    )
+    occ = t.where(F.size("toks") >= k).select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.size("toks") - (k - 1))).alias("pos"),
+        "toks",
+    ).select(
+        "doc_id",
+        "pos",
+        F.array_join(F.slice(F.col("toks"), F.col("pos"), k), " ").alias("sh"),
+    )
+    enc = F.col("doc_id") * F.lit(1_000_000) + F.col("pos")
+    dup_keys = (
+        occ.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("c"), F.min(enc).alias("first_enc"))
+        .where(F.col("c") > 1)
+        .select("sh", "first_enc")
+    )
+    removed = (
+        occ.join(dup_keys, "sh")
+        .where(enc != F.col("first_enc"))
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("tpos"),
+        )
+    )
+    # collect_set IS the dedup of overlapping spans' positions — no
+    # separate distinct() shuffle before it
+    rm = removed.groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("tpos")).alias("rm")
+    )
+    keep = F.filter(
+        F.col("toks"),
+        lambda w, i: ~F.array_contains(
+            F.coalesce(F.col("rm"), F.array().cast("array<int>")), i + F.lit(1)
+        ),
+    )
+    return t.join(rm, "doc_id", "left").select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.coalesce(F.size("rm"), F.lit(0)).alias("n_removed"),
+        F.concat_ws(" ", keep).alias("clean_text"),
+    )

@@ -1779,3 +1779,76 @@ def test_bpe_learner_job_count_is_constant(spark):
     jobs = sc.statusTracker().getJobIdsForGroup("bpe-jobcount")
     assert len(merges) == 8
     assert len(jobs) <= 5, f"expected O(1) jobs, got {len(jobs)}"
+
+
+def _exact_substr_model(texts, k):
+    """Brute-force ExactSubstr model: global shingle occurrence lists,
+    first-(doc,pos) survivorship, coverage-union removal, reassembly."""
+    toks = {d: (t or "").lower().split(" ") for d, t in texts}
+    occ: dict = {}
+    for d, ws in sorted(toks.items()):
+        for p in range(len(ws) - k + 1):
+            occ.setdefault(tuple(ws[p : p + k]), []).append((d, p))
+    removed = {d: set() for d in toks}
+    for sites in occ.values():
+        if len(sites) > 1:
+            first = min(sites)
+            for d, p in sites:
+                if (d, p) != first:
+                    removed[d].update(range(p, p + k))
+    return {
+        d: (
+            len(ws),
+            len(removed[d]),
+            " ".join(w for i, w in enumerate(ws) if i not in removed[d]),
+        )
+        for d, ws in toks.items()
+    }
+
+
+def test_exact_substring_dedup_matches_python_model(spark):
+    """The distributed ExactSubstr tier must reproduce a brute-force
+    Python model (every shingle occurrence enumerated, first occurrence
+    by (doc_id, pos), removed spans unioned) document for document —
+    token counts, removal counts, and the reassembled text."""
+    from film_media_etl_spark.operators.dedup import exact_substring_dedup
+    from film_media_etl_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["clean_text"])
+        for r in exact_substring_dedup(docs, k=5).collect()
+    }
+    want = _exact_substr_model(
+        [(r["doc_id"], r["text"]) for r in docs.select("doc_id", "text").collect()],
+        5,
+    )
+    assert set(got) == set(want)
+    mismatches = {d: (got[d], want[d]) for d in want if got[d] != want[d]}
+    assert not mismatches, dict(list(mismatches.items())[:3])
+    # the corpus actually exercises the operator (planted near-dups)
+    assert sum(1 for v in want.values() if v[1] > 0) > 0
+
+
+def test_exact_substring_dedup_planted_passage_guarantee(spark):
+    """The paper's guarantee: a pasted passage of >= k tokens is removed
+    from every occurrence EXCEPT the first, exactly — surrounding
+    unique text untouched, shorter-than-k overlaps never removed."""
+    from film_media_etl_spark.operators.dedup import exact_substring_dedup
+
+    passage = "one two three four five six seven eight"  # 8 tokens, k=5
+    rows = [
+        (0, f"u0a u0b u0c {passage} u0d u0e"),
+        (1, f"v1a v1b {passage} v1c v1d v1e"),  # full copy -> removed
+        (2, "w2a w2b one two three w2c w2d w2e w2f"),  # 3-token overlap < k
+        (3, "x3a x3b x3c x3d x3e x3f x3g x3h"),  # unique
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_removed"], r["clean_text"])
+        for r in exact_substring_dedup(docs, k=5).collect()
+    }
+    assert got[0] == (0, rows[0][1])  # first occurrence survives intact
+    assert got[1] == (8, "v1a v1b v1c v1d v1e")  # the whole passage gone
+    assert got[2] == (0, rows[2][1])  # sub-k overlap never removed
+    assert got[3] == (0, rows[3][1])

@@ -186,22 +186,145 @@ CURATION_MIN_QUALITY = 0.5
 CURATION_MIN_TTR = 0.3
 CURATION_MAX_TOP_BIGRAM_SHARE = 0.18
 
+# --- Gopher document-quality battery (Rae et al. 2021, table A1) -----------
+# The published rule set beyond length/langid/quality/repetition: mean word
+# length bounds, symbol-to-word ratio, bullet/ellipsis line shares, and a
+# unique-stop-word floor. All exact integer counting + one double division
+# per rule, so the DuckDB oracle hash-matches. The stop-word lexicon is this
+# module's STOPWORDS (the paper's {the,be,to,of,and,that,have,with} — same
+# floor semantics, our 8-word lexicon, so the rule actually exercises the
+# fixture corpus).
+CURATION_MIN_MEAN_WORD_LEN = 3.0
+CURATION_MAX_MEAN_WORD_LEN = 10.0
+CURATION_MAX_SYMBOL_RATIO = 0.1  # '#' + ellipsis chars per word
+CURATION_MAX_BULLET_SHARE = 0.9  # lines starting '- ' / '* ' / '• '
+CURATION_MAX_ELLIPSIS_SHARE = 0.3  # lines ending '...' / '…'
+CURATION_MIN_UNIQUE_STOPWORDS = 2
+_BULLET_PREFIXES = ["- ", "* ", "• "]
+
+
+def _symbol_count(text: Column) -> Column:
+    """Occurrences of '#', '…', and '...' — the paper's symbol set —
+    counted by length difference (replace is non-overlapping
+    left-to-right in both engines)."""
+    hashes = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    uni = F.length(text) - F.length(F.replace(text, F.lit("…"), F.lit("")))
+    dots = (
+        F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    return (hashes + uni + dots).cast("int")
+
+
+def gopher_reason(text: Column, toks: Column) -> Column:
+    """First failing Gopher table-A1 rule (beyond the length / langid /
+    quality / repetition gates the pipeline already had), or 'ok'. Pure
+    map-side expressions over (text, token array); nulls propagate to
+    false so the earlier too_short gate keeps owning null text."""
+    n = F.size(toks).cast("double")
+    mean_len = (
+        F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)).cast("double")
+        / n
+    )
+    sym_ratio = _symbol_count(text).cast("double") / n
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines).cast("double")
+    bullet = F.size(
+        F.filter(
+            lines,
+            lambda l: F.substring(l, 1, 2).isin(_BULLET_PREFIXES),
+        )
+    ).cast("double")
+    ellipsis = F.size(
+        F.filter(
+            lines,
+            lambda l: l.endswith(F.lit("...")) | l.endswith(F.lit("…")),
+        )
+    ).cast("double")
+    uniq_sw = None
+    for w in STOPWORDS:
+        c = (marker_count(text, w) > 0).cast("int")
+        uniq_sw = c if uniq_sw is None else uniq_sw + c
+    return (
+        F.when(
+            (mean_len < CURATION_MIN_MEAN_WORD_LEN)
+            | (mean_len > CURATION_MAX_MEAN_WORD_LEN),
+            F.lit("word_length"),
+        )
+        .when(sym_ratio > CURATION_MAX_SYMBOL_RATIO, F.lit("too_symbolic"))
+        .when(bullet / n_lines > CURATION_MAX_BULLET_SHARE, F.lit("bullet_lines"))
+        .when(
+            ellipsis / n_lines > CURATION_MAX_ELLIPSIS_SHARE,
+            F.lit("ellipsis_lines"),
+        )
+        .when(uniq_sw < CURATION_MIN_UNIQUE_STOPWORDS, F.lit("no_stopwords"))
+        .otherwise(F.lit("ok"))
+    )
+
+
+def oracle_gopher_reason(text: str, toks: str) -> str:
+    """DuckDB twin of gopher_reason — same rules, same order, same
+    integer counting and single-division comparisons."""
+    n = f"CAST(len({toks}) AS DOUBLE)"
+    mean_len = (
+        f"(CAST(list_sum(list_transform({toks}, t -> length(t))) AS DOUBLE) / {n})"
+    )
+    sym = (
+        f"CAST((length({text}) - length(replace({text}, '#', '')))"
+        f" + (length({text}) - length(replace({text}, '…', '')))"
+        f" + (length({text}) - length(replace({text}, '...', ''))) / 3 AS INT)"
+    )
+    lines = f"string_split({text}, chr(10))"
+    n_lines = f"CAST(len({lines}) AS DOUBLE)"
+    prefixes = ", ".join(f"'{p}'" for p in _BULLET_PREFIXES)
+    bullet = (
+        f"CAST(len(list_filter({lines}, l -> substr(l, 1, 2) IN ({prefixes}))) "
+        f"AS DOUBLE)"
+    )
+    ellipsis = (
+        f"CAST(len(list_filter({lines}, l -> ends_with(l, '...') "
+        f"OR ends_with(l, '…'))) AS DOUBLE)"
+    )
+    uniq_sw = " + ".join(
+        f"CASE WHEN {oracle_marker_count(text, w)} > 0 THEN 1 ELSE 0 END"
+        for w in STOPWORDS
+    )
+    return f"""CASE
+      WHEN {mean_len} < {CURATION_MIN_MEAN_WORD_LEN}
+           OR {mean_len} > {CURATION_MAX_MEAN_WORD_LEN} THEN 'word_length'
+      WHEN CAST({sym} AS DOUBLE) / {n} > {CURATION_MAX_SYMBOL_RATIO}
+           THEN 'too_symbolic'
+      WHEN {bullet} / {n_lines} > {CURATION_MAX_BULLET_SHARE}
+           THEN 'bullet_lines'
+      WHEN {ellipsis} / {n_lines} > {CURATION_MAX_ELLIPSIS_SHARE}
+           THEN 'ellipsis_lines'
+      WHEN ({uniq_sw}) < {CURATION_MIN_UNIQUE_STOPWORDS} THEN 'no_stopwords'
+      ELSE 'ok'
+    END"""
+
 
 def curation_scalar_reason(
-    text: Column, n_toks: Column, lang: Column, q: Column, ttr_ok: Column
+    text: Column,
+    n_toks: Column,
+    lang: Column,
+    q: Column,
+    ttr_ok: Column,
+    gopher: Column,
 ) -> Column:
     """The FIXED scalar gate order every curation surface must apply:
-    length -> language -> quality -> repetition. Returns the
-    reject_reason through the scalar gates ('ok' if all pass); callers
-    append their own duplicate gate after (batch: min-id join; stream:
-    per-fingerprint state). One builder so a threshold or gate-order
-    change cannot drift between the batch and streaming twins."""
+    length -> language -> quality -> Gopher battery -> repetition.
+    Returns the reject_reason through the scalar gates ('ok' if all
+    pass); callers append their own duplicate gate after (batch: min-id
+    join; stream: per-fingerprint state). One builder so a threshold or
+    gate-order change cannot drift between the batch and streaming
+    twins; ``gopher`` is REQUIRED (build it with gopher_reason) so a
+    caller cannot silently ship the pre-Gopher rule set."""
     return (
         F.when(
             text.isNull() | (n_toks < CURATION_MIN_TOKENS), F.lit("too_short")
         )
         .when(lang != CURATION_LANG, F.lit("wrong_lang"))
         .when(q < CURATION_MIN_QUALITY, F.lit("low_quality"))
+        .when(gopher != "ok", gopher)
         .when(~ttr_ok, F.lit("repetitive"))
         .otherwise(F.lit("ok"))
     )

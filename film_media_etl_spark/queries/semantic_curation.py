@@ -25,7 +25,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.text import oracle_predicted_lang, oracle_quality_score
+from ..functions.text import (
+    oracle_gopher_reason,
+    oracle_predicted_lang,
+    oracle_quality_score,
+)
 from ..functions.vectors import dot, l2sq, oracle_dot, oracle_l2sq, to_double_vec
 from ..sources import ensure_parallelism, load_table
 from .registry import register
@@ -475,6 +479,7 @@ def ext_dedup_simhash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
              WHEN t.text IS NULL OR len(t.toks) < 5 THEN 'too_short'
              WHEN {{pred}} <> 'en' THEN 'wrong_lang'
              WHEN {{q}} < 0.5 THEN 'low_quality'
+             WHEN ({{gor}}) <> 'ok' THEN ({{gor}})
              WHEN NOT (CAST(len(list_distinct(t.toks)) AS DOUBLE)
                          / CAST(len(t.toks) AS DOUBLE) >= 0.3
                        AND CAST(top.topc AS DOUBLE)
@@ -487,6 +492,7 @@ def ext_dedup_simhash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
              WHEN t.text IS NULL OR len(t.toks) < 5 THEN FALSE
              WHEN {{pred}} <> 'en' THEN FALSE
              WHEN {{q}} < 0.5 THEN FALSE
+             WHEN ({{gor}}) <> 'ok' THEN FALSE
              WHEN NOT (CAST(len(list_distinct(t.toks)) AS DOUBLE)
                          / CAST(len(t.toks) AS DOUBLE) >= 0.3
                        AND CAST(top.topc AS DOUBLE)
@@ -499,14 +505,19 @@ def ext_dedup_simhash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEFT JOIN top ON t.doc_id = top.doc_id
     LEFT JOIN dup ON t.text = dup.text
     """.format(
-        pred=oracle_predicted_lang("t.text"), q=oracle_quality_score("t.text")
+        pred=oracle_predicted_lang("t.text"),
+        q=oracle_quality_score("t.text"),
+        gor=oracle_gopher_reason("t.text", "t.toks"),
     ),
 )
 def ext_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus curation verdict — the composition a real
     training-data pipeline runs as ONE pass: minimum length, language
-    gate (marker-lexicon langid == 'en'), heuristic quality floor,
-    Gopher repetition gates (type-token ratio + top-bigram share), and
+    gate (marker-lexicon langid == 'en'), heuristic quality floor, the
+    FULL Gopher table-A1 battery (mean-word-length bounds,
+    symbol-to-word ratio, bullet-start / ellipsis-end line shares,
+    unique-stop-word floor — functions/text.gopher_reason), Gopher
+    repetition gates (type-token ratio + top-bigram share), and
     exact dedup (greedy min-id survivor), applied in a FIXED order so
     every document gets one deterministic reject_reason (or 'ok'). All
     gate expressions are the already-oracle-checked building blocks
@@ -566,9 +577,16 @@ def ext_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("topc").cast("double") / F.col("n_bigrams").cast("double")
         <= TX.CURATION_MAX_TOP_BIGRAM_SHARE
     )
-    # shared FIXED gate order (functions/text.py) + the batch dup gate
+    # shared FIXED gate order (functions/text.py) + the batch dup gate;
+    # the Gopher battery (word length / symbols / bullet / ellipsis /
+    # stop-word floor) is pure map-side expression work over (text, toks)
     scalar = TX.curation_scalar_reason(
-        F.col("text"), n, F.col("lang"), F.col("q"), ttr_ok
+        F.col("text"),
+        n,
+        F.col("lang"),
+        F.col("q"),
+        ttr_ok,
+        TX.gopher_reason(F.col("text"), F.col("toks")),
     )
     reason = (
         F.when(scalar != "ok", scalar)

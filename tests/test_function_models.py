@@ -228,9 +228,11 @@ def test_charlm_unicode_corpus_oracle_parity(spark, tmp_path):
 
 
 def test_curation_pipeline_every_gate_fires(spark, tmp_path):
-    """The fixture corpus never triggers too_short/wrong_lang/duplicate,
-    so pin the gate ORDER and each reason on a synthetic corpus where
-    all five fire — against the DuckDB oracle, not hand-expectations."""
+    """The fixture corpus never triggers too_short/wrong_lang/duplicate
+    (nor most of the round-7 Gopher battery), so pin the gate ORDER and
+    every reason — the original five plus the five Gopher table-A1
+    rules — on a synthetic corpus where all fire, against the DuckDB
+    oracle, not hand-expectations."""
     import os
 
     import duckdb
@@ -251,8 +253,16 @@ def test_curation_pipeline_every_gate_fires(spark, tmp_path):
         "der hund und die katze laufen durch den wald und der vogel "
         "singt dabei ein schönes lied über den hohen bergen im süden",  # 3: wrong_lang
         "x! y! z! w! q! a! b! c! d! e! f! g! h! i! j! k! l! m! n! o!",  # 4: low_quality
-        ("the cat " * 30).strip(),  # 5: repetitive (one bigram dominates)
+        ("the dog and " * 30).strip(),  # 5: repetitive (passes Gopher: mean
+        #    word length exactly 3.0, two unique stop words)
         good,                      # 6: duplicate of 0
+        "a an it is to in of on at up we he be do so no go my me us",  # 7: word_length
+        "## the black cats sat down here while going again of it",  # 8: too_symbolic
+        "- the alpha dogs\n- the bravo cats\n- the charlie birds",  # 9: bullet_lines
+        "the brown foxes jumped over lazy dogs and quickly ran home...\n"
+        "the second line",  # 10: ellipsis_lines (symbol ratio under cap)
+        "the zebra the quokka the wombat the numbat the dingo the koala",
+        # 11: no_stopwords (only ONE unique stop word, repeated)
     ]
     pq.write_table(
         pa.table(
@@ -287,9 +297,14 @@ def test_curation_pipeline_every_gate_fires(spark, tmp_path):
     assert got == want
     reasons = {v[0] for v in got.values()}
     assert reasons == {
-        "ok", "too_short", "wrong_lang", "low_quality", "repetitive", "duplicate"
+        "ok", "too_short", "wrong_lang", "low_quality", "repetitive",
+        "duplicate", "word_length", "too_symbolic", "bullet_lines",
+        "ellipsis_lines", "no_stopwords",
     }, reasons
     assert got[6] == ("duplicate", False) and got[0][0] == "ok"
+    assert got[7][0] == "word_length" and got[8][0] == "too_symbolic"
+    assert got[9][0] == "bullet_lines" and got[10][0] == "ellipsis_lines"
+    assert got[11][0] == "no_stopwords" and got[5][0] == "repetitive"
 
 
 def test_kneser_ney_is_proper_distribution_and_matches_reference(spark, tmp_path):
@@ -1852,3 +1867,45 @@ def test_exact_substring_dedup_planted_passage_guarantee(spark):
     assert got[1] == (8, "v1a v1b v1c v1d v1e")  # the whole passage gone
     assert got[2] == (0, rows[2][1])  # sub-k overlap never removed
     assert got[3] == (0, rows[3][1])
+
+
+def test_gopher_battery_each_rule_fires(spark):
+    """Every rule of the round-7 Gopher table-A1 battery must fire on a
+    document constructed to violate it (and only the FIRST violated rule
+    is reported — fixed order), with a passing document mapping to 'ok'."""
+    import pyspark.sql.functions as F
+
+    from film_media_etl_spark.functions import text as TX
+
+    rows = [
+        (0, "a b c d e f g h"),  # mean word length 1 < 3
+        (1, " ".join(["abcdefghijkl"] * 6)),  # mean 12 > 10
+        (2, "the cat ### sat down ... here we go now again ..."),  # symbols
+        (3, "- alpha\n- bravo\n- charlie"),  # every line bullet-started
+        (
+            4,
+            "alpha bravo charlie delta echos foxtrot golfers hotel india...\n"
+            "julie kilos limas mikes novem oscar papas quebec romeo",
+        ),  # 1/2 lines ellipsis-ended, symbols 1/18 under the ratio cap
+        (5, "zebra quokka wombat numbat dingos bilby"),  # no stop words
+        (6, "the quick brown foxes jumped over the fence and landed safely"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["reason"]
+        for r in df.select(
+            "doc_id",
+            TX.gopher_reason(
+                F.col("text"), F.split(F.lower("text"), " ")
+            ).alias("reason"),
+        ).collect()
+    }
+    assert got == {
+        0: "word_length",
+        1: "word_length",
+        2: "too_symbolic",
+        3: "bullet_lines",
+        4: "ellipsis_lines",
+        5: "no_stopwords",
+        6: "ok",
+    }

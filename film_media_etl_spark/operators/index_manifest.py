@@ -146,7 +146,15 @@ def grace_fields(prev_base: str | None, prev_water: int) -> dict:
     format solves with a retention window. Here the window is one
     maintenance cycle: the sweep keeps the recorded previous base and
     every increment above the PREVIOUS watermark, and the NEXT
-    maintenance call (fold or no-op) retires them."""
+    maintenance call (fold or no-op) retires them.
+
+    CADENCE CONTRACT: the maintenance period must be MUCH LONGER than
+    the longest-running probe. A plan that outlives a full extra cycle
+    (resolved before fold N, still running after fold N+1 retires N's
+    view) fails with a clean missing-file read error — never a silently
+    partial answer — pinned for both indexes in
+    tests/test_graph_ops.py / tests/test_dedup_recall.py
+    (grace-expiry tests)."""
     out: dict = {"prev_folded_through": prev_water}
     if prev_base is not None:
         out["prev_base"] = prev_base

@@ -58,3 +58,41 @@ def duck():
         )
     yield con
     con.close()
+
+
+# Whole-engine physical audits (plan census, bench contract, skew
+# torture, compaction layout, live JDBC): they validate the ENGINE's
+# runtime behavior end-to-end and are minutes-per-file — inner-loop
+# logic changes are covered by the unit tier; these run with the gate.
+_AUDIT_FILES = {
+    "test_bench_contract.py",
+    "test_plans.py",
+    "test_skew_torture.py",
+    "test_zorder_compact.py",
+    "test_jdbc.py",
+    "test_observability.py",
+    # statistical/lifecycle audits: recall floors against quadratic
+    # ground truth, index crash-safety fault injection, ANN recall
+    "test_dedup_recall.py",
+    "test_graph_ops.py",
+}
+
+
+def pytest_collection_modifyitems(items):
+    """Tier the suite (see pytest.ini): test_parity.py -> `parity`,
+    test_streaming.py -> `streaming`, the physical audits -> `audit`,
+    everything else -> `unit`. File-level assignment keeps the tiers
+    exhaustive and disjoint — no test can silently fall out of all
+    tiers."""
+    import pytest as _pytest
+
+    for item in items:
+        fname = item.fspath.basename
+        if fname == "test_parity.py":
+            item.add_marker(_pytest.mark.parity)
+        elif fname == "test_streaming.py":
+            item.add_marker(_pytest.mark.streaming)
+        elif fname in _AUDIT_FILES:
+            item.add_marker(_pytest.mark.audit)
+        else:
+            item.add_marker(_pytest.mark.unit)

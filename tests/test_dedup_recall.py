@@ -541,3 +541,25 @@ def test_dedup_probe_size_peek_is_bounded(spark, tmp_path, monkeypatch):
     probe_dedup_frames(bands, sigs, batch, broadcast_limit=7)
     assert len(plans) == 1, plans
     assert "GlobalLimit 8" in plans[0], plans[0][:2000]
+
+
+def test_dedup_index_reader_grace_expires_with_clean_failure(spark, tmp_path):
+    """The dedup twin of the IVF grace-expiry pin: a probe over index
+    frames resolved BEFORE a fold, collected only after the next
+    maintenance call retires the previous view, must fail with a clean
+    read error — never a silently partial probe (missing corpus docs
+    would mean missed duplicates, which no one notices downstream).
+    Cadence contract: maintenance period >> longest probe."""
+    from film_media_etl_spark.operators.dedup_index import (
+        compact_dedup_index,
+        probe_dedup_frames,
+        read_stream_dedup_index,
+    )
+
+    idx, batch = _stage_stream_shaped_index(spark, tmp_path)
+    bands, sigs = read_stream_dedup_index(spark, idx)
+    stale = probe_dedup_frames(bands, sigs, batch)
+    assert compact_dedup_index(spark, idx) == 2  # fold: grace begins
+    assert compact_dedup_index(spark, idx) == 0  # next call retires the view
+    with pytest.raises(Exception, match="(?i)file|exist|path"):
+        stale.collect()

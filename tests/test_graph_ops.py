@@ -492,3 +492,25 @@ def test_ivf_sweep_refuses_when_live_base_missing(spark, tmp_path):
     with pytest.raises(RuntimeError, match="refusing to sweep"):
         compact_ivf_index(spark, idx)
     assert os.path.isdir(f"{idx}/cells_old")  # recovery copy untouched
+
+
+def test_ivf_reader_grace_expires_with_clean_failure(spark, tmp_path):
+    """The OTHER edge of the one-cycle grace (round-6 verdict #5): a
+    probe plan resolved before fold N, collected only after the NEXT
+    maintenance call retires N's previous view, must fail with a clean
+    read error (its files are gone) — NEVER return a silently partial
+    answer. The cadence contract is maintenance period >> longest probe
+    (index_manifest.grace_fields docstring)."""
+    import pytest
+
+    from film_media_etl_spark.operators.ann_index import (
+        compact_ivf_index,
+        probe_ivf_index,
+    )
+
+    idx, queries = _stage_ivf_with_increments(spark, tmp_path)
+    stale = probe_ivf_index(spark, idx, queries, k=5, nprobe=10)
+    assert compact_ivf_index(spark, idx) == 2  # fold N: grace begins
+    assert compact_ivf_index(spark, idx) == 0  # fold N+1 retires the view
+    with pytest.raises(Exception, match="(?i)file|exist|path"):
+        stale.collect()

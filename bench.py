@@ -107,6 +107,7 @@ HEADLINE = [
     "ext_span_corruption_varlen",  # geometric-span variant: same single-fold map
     "ext_histogram_quantiles",  # mergeable-sketch quantiles: grid agg + grid window
     "ext_dedup_substring",      # ExactSubstr: groupBy(shingle) + span removal
+    "ext_ngram_diversity",      # exact distinct-gram report: two-stage distinct agg
 ]
 
 # Rows whose OUTPUT cardinality scales super-linearly with the corpus
@@ -240,13 +241,26 @@ def main() -> None:
     )
     with open(out_path, "w") as f:
         json.dump(full, f)
-    compact = dict(full, queries={k: round(v, 2) for k, v in timings.items()},
-                   detail="BENCH_FULL.json")
-    # byte budget: spread is file-only; reps/cpus live in the full record
-    # (the driver artifact records cpus itself) — the freed bytes pay for
-    # the contention sentinel ("load"/"cal"), which MUST ride the
-    # driver-visible line to make a contaminated artifact self-evident
-    for k in ("spread", "reps", "cpus"):
+    # byte budget (the driver keeps only the final ~2000B of stdout):
+    # spread is file-only; reps/cpus/value_linear live in the full record
+    # (the driver artifact records cpus itself; value_linear matters for
+    # the committed scale artifacts, which ARE full records) — the freed
+    # bytes pay for the contention sentinel ("load"/"cal"), which MUST
+    # ride the driver-visible line to make a contaminated artifact
+    # self-evident. Per-query precision is adaptive (2 decimals under
+    # 10s, 1 decimal above): a contended run inflates many rows past
+    # 10s at once, and the fixed-2-decimal encoding grew the line
+    # EXACTLY when the box was busiest. Worst-case line length is
+    # pinned by tests/test_bench_contract.py.
+    compact = dict(
+        full,
+        queries={
+            k: (round(v, 2) if v < 10 else round(v, 1))
+            for k, v in timings.items()
+        },
+        detail="BENCH_FULL.json",
+    )
+    for k in ("spread", "reps", "cpus", "value_linear"):
         del compact[k]
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) >= 1990:  # explicit raise: a bare assert vanishes under -O

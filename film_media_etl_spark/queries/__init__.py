@@ -53,5 +53,6 @@ from . import tpch_extended  # noqa: E402,F401  Q4/Q6/Q8/Q9/Q11-Q17/Q19-Q22 shap
 from . import semantic_curation  # noqa: E402,F401  SemDeDup + DSIR weighting
 from . import hybrid_retrieval  # noqa: E402,F401  RRF lexical+semantic fusion
 from . import substring_dedup  # noqa: E402,F401  ExactSubstr span removal
+from . import corpus_signals  # noqa: E402,F401  compression ratio + n-gram diversity
 
 __all__ = ["EngineQuery", "register", "get", "all_queries", "all_oracles"]

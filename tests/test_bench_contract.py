@@ -39,13 +39,15 @@ def test_bench_prints_one_compact_json_line(tmp_path):
     assert rec["unit"] == "sec" and rec["sf"] == 0.001
     assert isinstance(rec["value"], (int, float)) and rec["value"] > 0
     assert rec["queries"] and all(v >= 0 for v in rec["queries"].values())
-    # compact medians are 2-decimal roundings of the full record
+    # compact medians are adaptive-precision roundings of the full
+    # record: 2 decimals under 10s, 1 decimal above (byte diet)
     with open(detail) as f:
         full = json.load(f)
     assert full["value"] == rec["value"]
     assert set(full["queries"]) == set(rec["queries"])
     assert all(
-        abs(full["queries"][q] - rec["queries"][q]) <= 0.005 + 1e-9
+        abs(full["queries"][q] - rec["queries"][q])
+        <= (0.005 if full["queries"][q] < 10 else 0.05) + 1e-9
         for q in full["queries"]
     )
     assert set(full["spread"]) == set(full["queries"])
@@ -58,3 +60,31 @@ def test_bench_prints_one_compact_json_line(tmp_path):
         assert len(r["load"]) == 2 and len(r["cal"]) == 2, r.keys()
         assert all(c > 0 for c in r["cal"]), r["cal"]
     assert full["cpus"] == os.cpu_count()
+
+
+def test_compact_line_fits_driver_window_worst_case():
+    """The stdout line must fit the driver's ~2000B tail window even on
+    a badly contended box. Worst realistic case: EVERY headline row
+    inflated past 10s (adaptive 1-decimal encoding, 4 chars up to
+    99.9s), suite wall in the thousands, double-digit loadavg. A row
+    above 100s would mean the run is broken for other reasons; the
+    encoding is not sized for that and shouldn't be."""
+    sys.path.insert(0, REPO)
+    import bench
+
+    worst = {name: 99.9 for name in bench.HEADLINE}
+    compact = {
+        "metric": "headline_suite_wall",
+        "value": round(sum(worst.values()), 3),
+        "unit": "sec",
+        "queries": worst,
+        "sf": 0.1,
+        "load": [31.55, 32.01],
+        "cal": [0.999, 1.234],
+        "detail": "BENCH_FULL.json",
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    assert len(line) < 1990, (
+        f"worst-case compact line {len(line)}B breaches the driver "
+        "window — trim HEADLINE or the encoding"
+    )

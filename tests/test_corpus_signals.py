@@ -1,0 +1,102 @@
+"""Corpus-signal operators: compression-ratio proxy and n-gram diversity.
+
+The diversity query's exact DuckDB oracle rides the parity sweep; these
+tests pin what the oracle can't — the zlib byte counts (rows-only query)
+and the short-document trigram edge — against independent pure-Python
+models.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+from conftest import PARITY_SF_DIR
+
+from film_media_etl_spark.queries.corpus_signals import (
+    _RATIO_HI,
+    _RATIO_LO,
+    _ZLIB_LEVEL,
+    compression_report,
+    ngram_diversity,
+)
+from film_media_etl_spark.sources import load_table
+
+
+def test_compression_ratio_matches_zlib_model(spark):
+    """Every (raw_bytes, compressed_bytes, ratio, verdict) cell of the
+    rows-only query equals an independent per-document zlib recompute —
+    the model twin of the parity sweep's hash check."""
+    docs = load_table(spark, PARITY_SF_DIR, "documents")
+    got = {
+        r.doc_id: r
+        for r in compression_report(docs).collect()
+    }
+    src = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+    assert set(got) == set(src) and len(got) > 0
+    for doc_id, text in src.items():
+        raw = text.encode("utf-8")
+        comp = len(zlib.compress(raw, _ZLIB_LEVEL))
+        r = got[doc_id]
+        assert (r.raw_bytes, r.compressed_bytes) == (len(raw), comp)
+        ratio = comp / len(raw)
+        assert r.compression_ratio == ratio
+        assert r.passes_compression == (_RATIO_LO <= ratio <= _RATIO_HI)
+
+
+def test_compression_gate_rejects_both_tails(spark):
+    """Planted documents: templated repetition compresses past the low
+    bound, incompressible base64-ish noise exceeds the high bound,
+    natural-looking prose passes — the gate is genuinely two-sided."""
+    import random
+    import string
+
+    boiler = "click here to subscribe now " * 60
+    # 120 unique random alphanumerics: ~5.95 bits/char entropy plus the
+    # zlib header means the "compressed" form is LARGER than the raw
+    # bytes (ratio ~1.02) — the random/binary-ish tail of the gate
+    rng = random.Random(7)
+    noise = "".join(
+        rng.choice(string.ascii_letters + string.digits) for _ in range(120)
+    )
+    prose = (
+        "the supplier shipped twelve crates of film stock to the lyon "
+        "depot where the archivist logged each reel against the 1987 "
+        "catalogue and flagged three for nitrate decay inspection and "
+        "noted the vault humidity drifting above the preservation bound "
+        "while two couriers waited for the customs manifest to clear"
+    )
+    docs = spark.createDataFrame(
+        [(1, boiler, "en"), (2, noise, "en"), (3, prose, "en")],
+        "doc_id long, text string, lang string",
+    )
+    rows = {r.doc_id: r for r in compression_report(docs).collect()}
+    assert rows[1].compression_ratio < _RATIO_LO
+    assert not rows[1].passes_compression
+    assert rows[2].compression_ratio > _RATIO_HI
+    assert not rows[2].passes_compression
+    assert rows[3].passes_compression
+
+
+def test_ngram_diversity_short_doc_edge(spark):
+    """Documents with fewer than 3 tokens produce zero trigrams (the
+    greatest(n-2, 0) guard) and a source consisting only of such docs
+    gets the -1.0 fraction sentinel (output-null contract; the zero
+    trigram count is the indicator) — verified against a hand model."""
+    docs = spark.createDataFrame(
+        [
+            (1, "tiny", "a"),            # 1 token: no trigram
+            (2, "tiny", "a b"),          # 2 tokens: no trigram
+            (3, "web", "a b c d"),       # trigrams: 'a b c', 'b c d'
+            (4, "web", "a b c"),         # trigram:  'a b c' (dup)
+        ],
+        "doc_id long, source string, text string",
+    )
+    rows = {r.source: r for r in ngram_diversity(docs).collect()}
+    tiny, web = rows["tiny"], rows["web"]
+    assert (tiny.n_docs, tiny.total_tokens, tiny.distinct_tokens) == (2, 3, 2)
+    assert tiny.total_trigrams == 0 and tiny.distinct_trigrams == 0
+    assert tiny.dup_trigram_frac == -1.0
+    assert (web.n_docs, web.total_tokens, web.distinct_tokens) == (2, 7, 4)
+    assert (web.total_trigrams, web.distinct_trigrams) == (3, 2)
+    assert web.dup_trigram_frac == 1.0 - 2.0 / 3.0
+    assert web.type_token_ratio == 4.0 / 7.0

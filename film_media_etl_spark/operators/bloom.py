@@ -1,0 +1,115 @@
+"""Broadcast Bloom-filter membership: constant-size set screens.
+
+The exact decontamination screen (queries/llm_curation.ext_decontamination)
+broadcasts the eval shingle set itself — correct while the benchmark suite
+is MBs. When the screened set is corpus-class (every URL ever crawled,
+every paragraph hash of a previous dump, a thousand-benchmark eval union),
+the broadcast must stop growing with the set: a Bloom bitmap is the
+standard answer (Bloom 1970; production crawlers screen URL frontiers
+exactly this way). Properties that matter here:
+
+- the bitmap is FIXED SIZE (bits/64 longs) no matter how many keys went
+  in — the broadcast cost is a constant of the job, not of the data;
+- membership has NO false negatives: a key that was inserted always
+  probes true, so a screen can never miss real contamination;
+- false positives happen at a tunable rate (~(1-e^(-kn/m))^k), which for
+  a REMOVAL screen means a little over-removal — the conservative
+  direction for decontamination.
+
+Spark-first shape: building the bitmap is one aggregation (positions →
+per-word bit_or → map_from_arrays), probing is a pure map-side
+expression over the broadcast one-row bitmap — the probed corpus is
+never exploded, hashed into a join, or shuffled. Hashing is the same
+JVM xxhash64 the dedup family uses (not SQL-expressible, so queries
+built on this are rows-only; correctness is pinned by a
+zero-false-negative guarantee test against the exact screen and an
+FP-rate bound in tests/test_corpus_signals.py).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 2^20 bits = 128 KiB bitmap; with k=3 hashes the false-positive rate at
+# n inserted keys is (1 - e^(-3n/2^20))^3 — ~1.9e-5 at n=10k, ~1.2e-2 at
+# n=100k. A 100 TB screen sizes m to its real n; the CONSTANT here is
+# the operator's fixture setting, the construction is m-agnostic.
+BLOOM_BITS = 1 << 20
+BLOOM_SEEDS = (101, 202, 303)
+
+
+def _positions(key: Column, *, bits: int, seeds: tuple[int, ...]) -> list[Column]:
+    """The k bit positions of a key: pmod(xxhash64(key, seed), bits) per
+    seed — the same seeded-xxhash64 idiom as the MinHash family."""
+    return [F.pmod(F.xxhash64(key, F.lit(s)), F.lit(bits)) for s in seeds]
+
+
+def bloom_build(
+    keys: DataFrame,
+    key_col: str,
+    *,
+    bits: int = BLOOM_BITS,
+    seeds: tuple[int, ...] = BLOOM_SEEDS,
+) -> DataFrame:
+    """ONE-ROW frame (bloom: map<long,long>, n_keys: long) holding the
+    bitmap as a sparse word->bits map (only words with set bits appear,
+    so an underfilled bitmap broadcasts even smaller than bits/8 bytes;
+    the map is bounded by bits/64 entries regardless of key count).
+
+    Shape: keys → explode k positions → distinct (word, bit) →
+    groupBy(word).bit_or — every stage is bounded by the bitmap size,
+    not the key count, after the first map-side distinct."""
+    pos = keys.select(
+        F.explode(F.array(*_positions(F.col(key_col), bits=bits, seeds=seeds))).alias(
+            "pos"
+        )
+    )
+    words = (
+        pos.select(
+            (F.col("pos") / 64).cast("long").alias("word"),
+            # call_function: the PySpark shiftleft wrapper takes only a
+            # literal bit count; the SQL function accepts a column
+            F.call_function(
+                "shiftleft", F.lit(1).cast("long"), (F.col("pos") % 64).cast("int")
+            ).alias("bit"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("bit").alias("bits"))
+    )
+    n = keys.select(F.count(F.lit(1)).alias("n_keys"))
+    return words.agg(
+        F.map_from_arrays(
+            F.collect_list("word"), F.collect_list("bits")
+        ).alias("bloom")
+    ).crossJoin(F.broadcast(n))
+
+
+def bloom_contains(
+    bloom: Column,
+    key: Column,
+    *,
+    bits: int = BLOOM_BITS,
+    seeds: tuple[int, ...] = BLOOM_SEEDS,
+) -> Column:
+    """Membership probe: true iff ALL k bits are set. A missing word in
+    the sparse map means no bits set there — coalesce to 0."""
+
+    def bit_set(pos: Column) -> Column:
+        word = (pos / 64).cast("long")
+        mask = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), (pos % 64).cast("int")
+        )
+        return (
+            F.coalesce(F.element_at(bloom, word), F.lit(0).cast("long")).bitwiseAND(
+                mask
+            )
+            != 0
+        )
+
+    return reduce(
+        lambda a, b: a & b,
+        [bit_set(p) for p in _positions(key, bits=bits, seeds=seeds)],
+    )

@@ -1,7 +1,8 @@
-"""Corpus-level quality signals: compression-ratio repetition proxy and
-per-source n-gram diversity.
+"""Corpus-level quality signals: compression-ratio repetition proxy,
+per-source n-gram diversity, and the Bloom-broadcast decontamination
+tier.
 
-Two signals every published curation stack reports next to the Gopher
+Signals every published curation stack reports next to the Gopher
 gates (reference parity target: the reference has no corpus module at
 all — this extends the documents surface the same way the rest of the
 LLM-pipeline family does):
@@ -24,6 +25,12 @@ LLM-pipeline family does):
   (count_distinct shuffles the distinct grams); the sketch tier for the
   same question at 100 TB is ext_hll_distinct / the HLL sketch sink,
   which this report is the ground truth for. Exact DuckDB oracle.
+
+- ``ext_decontamination_bloom``: the constant-broadcast tier of the
+  benchmark screen — a fixed 128 KiB Bloom bitmap over the eval
+  shingles replaces the exact broadcast set when the screened set is
+  corpus-class (operators/bloom.py). Rows-only (xxhash64 bitmap);
+  guarantees pinned in tests/test_corpus_signals.py.
 """
 
 from __future__ import annotations
@@ -34,6 +41,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..operators.bloom import bloom_build, bloom_contains
+from ..operators.dedup import _shingle_set
 from ..sources import ensure_parallelism, load_table
 from .registry import register
 
@@ -274,4 +283,67 @@ def ngram_diversity(docs: DataFrame) -> DataFrame:
         total_trigrams.alias("total_trigrams"),
         distinct_trigrams.alias("distinct_trigrams"),
         dup_frac.alias("dup_trigram_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-broadcast decontamination (constant-size screen)
+# ---------------------------------------------------------------------------
+
+# Same split and shingle width as the exact screen
+# (llm_curation.ext_decontamination) so the two tiers are directly
+# comparable: eval = doc_id < 10, 8-token shingles.
+_EVAL_MAX_ID = 10
+_DECON_SHINGLE_N = 8
+
+
+def bloom_flag_docs(docs: DataFrame) -> DataFrame:
+    """Per-document Bloom contamination flags: (doc_id, source,
+    flagged). The eval shingles build a fixed-size bitmap (one
+    aggregation, bounded by the bitmap, not the eval set); every
+    training document probes it map-side via exists() over its shingle
+    array — the corpus is never exploded, joined, or shuffled. No
+    false negatives by construction (operators/bloom.py): every truly
+    contaminated document is flagged; a tunable trickle of false
+    positives over-removes, the conservative direction."""
+    sh = docs.select(
+        "doc_id",
+        "source",
+        _shingle_set(F.col("text"), _DECON_SHINGLE_N).alias("grams"),
+    )
+    eval_keys = sh.where(F.col("doc_id") < _EVAL_MAX_ID).select(
+        F.explode("grams").alias("g")
+    )
+    bloom = bloom_build(eval_keys, "g")
+    train = sh.where(F.col("doc_id") >= _EVAL_MAX_ID)
+    return train.crossJoin(F.broadcast(bloom)).select(
+        "doc_id",
+        "source",
+        F.exists(
+            "grams", lambda g: bloom_contains(F.col("bloom"), g)
+        ).alias("flagged"),
+    )
+
+
+@register("ext_decontamination_bloom")  # xxhash64 bitmap -> rows-only
+def ext_decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CONSTANT-BROADCAST tier of benchmark decontamination: the
+    exact screen (ext_decontamination) broadcasts the eval shingle set
+    itself and stops scaling when that set is corpus-class (thousand-
+    benchmark unions, previous-dump paragraph hashes, URL frontiers);
+    this tier broadcasts a fixed 128 KiB Bloom bitmap instead, keeping
+    the screen one map-side corpus scan at ANY screened-set size, at
+    the price of a tunable false-positive trickle (over-removal — the
+    conservative direction) and never a false negative. Per-source
+    report with the same shape as the exact tier; the guarantee tests
+    pin flags(exact) ⊆ flags(bloom) and the FP rate bound."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    flags = bloom_flag_docs(docs)
+    return flags.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_train_docs"),
+        F.count(F.when(F.col("flagged"), 1)).alias("n_flagged"),
+        (
+            F.count(F.when(F.col("flagged"), 1)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("flag_rate"),
     )

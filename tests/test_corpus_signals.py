@@ -100,3 +100,50 @@ def test_ngram_diversity_short_doc_edge(spark):
     assert (web.total_trigrams, web.distinct_trigrams) == (3, 2)
     assert web.dup_trigram_frac == 1.0 - 2.0 / 3.0
     assert web.type_token_ratio == 4.0 / 7.0
+
+
+def _py_shingles(text: str, n: int = 8) -> set:
+    toks = text.lower().split(" ")
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def test_bloom_decontamination_guarantees(spark):
+    """Bloom-screen contract vs an independent pure-Python exact model:
+    (a) ZERO false negatives — every training doc sharing an 8-token
+    shingle with the eval set (doc_id < 10) is flagged; (b) the
+    false-positive trickle is bounded (m=2^20, k=3 at fixture-scale n
+    predicts ~0); (c) the bitmap map stays within its bits/64 size
+    bound."""
+    from film_media_etl_spark.operators.bloom import BLOOM_BITS, bloom_build
+    from film_media_etl_spark.queries.corpus_signals import bloom_flag_docs
+
+    docs = load_table(spark, PARITY_SF_DIR, "documents")
+    src = {
+        r.doc_id: r.text for r in docs.select("doc_id", "text").collect()
+    }
+    eval_grams = set().union(
+        *(_py_shingles(t) for d, t in src.items() if d < 10)
+    ) or set()
+    exact = {
+        d
+        for d, t in src.items()
+        if d >= 10 and _py_shingles(t) & eval_grams
+    }
+    flagged = {
+        r.doc_id
+        for r in bloom_flag_docs(docs).collect()
+        if r.flagged
+    }
+    n_train = sum(1 for d in src if d >= 10)
+    assert exact, "fixture lost its planted contamination — test is vacuous"
+    assert exact <= flagged, f"false negatives: {sorted(exact - flagged)[:5]}"
+    fp = len(flagged - exact)
+    assert fp / max(n_train, 1) < 0.01, (fp, n_train)
+    # bitmap size bound: sparse map never exceeds bits/64 words
+    eval_keys = (
+        docs.where("doc_id < 10")
+        .selectExpr("explode(split(lower(text), ' ')) AS g")
+    )
+    bloom_row = bloom_build(eval_keys, "g").collect()[0]
+    assert len(bloom_row.bloom) <= BLOOM_BITS // 64
+    assert bloom_row.n_keys > 0

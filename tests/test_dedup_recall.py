@@ -257,8 +257,14 @@ def test_minhash_survivors_saturated_corpus_linear(spark):
         return dt
 
     run(500)  # warmup
-    t1 = run(3000)
-    t2 = run(12000)
+    # min-of-2 per size: wall-clock noise on this host is one-sided and
+    # EPISODIC (hypervisor neighbors; see README "Bench validity") — a
+    # single spiked sample flunked the 4x budget in a full-suite run
+    # while the same test passed solo seconds later. The min is the
+    # stable estimator of true cost, same rationale as the bench's
+    # output-bound tier.
+    t1 = min(run(3000), run(3000))
+    t2 = min(run(12000), run(12000))
     assert t2 <= 4 * t1 + 2.0, (t1, t2)
 
 

@@ -20,13 +20,20 @@ validity. Round 6's bench-of-record read as a phantom 1.5x regression
 because another workload shared the box; the adjudication lived only in
 the judge's re-runs. Now the artifact carries the evidence inline:
 - "load": 1-minute os.getloadavg() sampled at start and end;
-- "cal": a FIXED calibration job (48M xxhash64 over 32 partitions —
-  constant work, independent of sf and HEADLINE) timed before and
-  after the suite.
+- "cal": a FIXED CPU calibration job (48M xxhash64 over 32 partitions
+  — constant work, independent of sf and HEADLINE; min-of-3 so the
+  JIT-cold first sample doesn't masquerade as contention) timed
+  before and after the suite;
+- "shuf": a FIXED shuffle calibration job (16M longs repartitioned
+  32-wide, ~128 MB through the shuffle path; min-of-3) — catches the
+  memory-bandwidth/disk co-tenancy the cache-resident hash probe
+  can't see.
 Mechanical rejection rule (README "Bench validity"): on the reference
 box (local[32]) reject and rerun when cal exceeds 2x its committed
 idle envelope or load[0] (pre-bench) exceeds half the CPU count —
-contention inflates both, code changes inflate neither.
+contention inflates both, code changes inflate neither. The shuf row
+is recorded for cross-round platform comparison (first committed
+envelope: round 7).
 """
 
 from __future__ import annotations
@@ -130,12 +137,44 @@ def _calibration_sec(spark) -> float:
     partitions, executed through the same noop sink as the suite. The
     job is constant — same rows, same partitions, regardless of sf or
     suite contents — so its wall time moves only with the machine. A
-    contended box inflates it; no code change in the engine can."""
-    t0 = time.perf_counter()
-    spark.range(0, 48_000_000, 1, 32).selectExpr(
-        "xxhash64(id) AS h"
-    ).write.mode("overwrite").format("noop").save()
-    return round(time.perf_counter() - t0, 3)
+    contended box inflates it; no code change in the engine can.
+
+    MIN-OF-3 (round-7 fix): a single pre-suite sample reads the young
+    JVM's JIT state, not the box — measured 3.1s cold, then 0.27 /
+    0.21 / 0.11 over consecutive warm runs on an idle host. The first
+    timed sample tripped the 0.7 rejection threshold on a machine whose
+    WARM hash throughput matched the committed envelope exactly. The
+    min of three back-to-back runs is warm by construction and
+    one-sided-noise-stable, so pre and post become comparable."""
+    samples = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(0, 48_000_000, 1, 32).selectExpr(
+            "xxhash64(id) AS h"
+        ).write.mode("overwrite").format("noop").save()
+        samples.append(time.perf_counter() - t0)
+    return round(min(samples), 3)
+
+
+def _shuffle_cal_sec(spark) -> float:
+    """Second calibration dimension (round-7): a FIXED shuffle probe —
+    16M longs hash-repartitioned 32-wide through the noop sink (~128 MB
+    written + read through the shuffle path). The hash probe above is
+    cache-resident and catches CPU contention only; a co-tenant
+    saturating MEMORY BANDWIDTH or the disk behind spark.local.dir
+    inflates every real query while leaving the hash probe clean
+    (observed this round: warm hash cal dead-on the idle envelope while
+    the suite ran uniformly ~1.4x over the prior round's box). This
+    probe moves with exactly that resource. Min-of-3, same rationale
+    as the hash row."""
+    samples = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(0, 16_000_000, 1, 32).repartition(
+            64, "id"
+        ).write.mode("overwrite").format("noop").save()
+        samples.append(time.perf_counter() - t0)
+    return round(min(samples), 3)
 
 
 def _sf_from_dir(sf_dir: str) -> float:
@@ -165,6 +204,7 @@ def main() -> None:
     # calibration AFTER the warmup (codegen-warm, like every timed row)
     load_start = _loadavg1()
     cal_pre = _calibration_sec(spark)
+    shuf_pre = _shuffle_cal_sec(spark)
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_REPS", "3")))
 
@@ -209,6 +249,7 @@ def main() -> None:
         spread[name] = round(max(samples) - min(samples), 3)
 
     cal_post = _calibration_sec(spark)
+    shuf_post = _shuffle_cal_sec(spark)
     load_end = _loadavg1()
 
     total = round(sum(timings.values()), 3)
@@ -226,6 +267,7 @@ def main() -> None:
         "sf": _sf_from_dir(sf_dir),
         "load": [load_start, load_end],
         "cal": [cal_pre, cal_post],
+        "shuf": [shuf_pre, shuf_post],
         "cpus": os.cpu_count(),
     }
     # Full record (incl. per-query spread) goes to a FILE; stdout gets a

@@ -58,7 +58,8 @@ def test_bench_prints_one_compact_json_line(tmp_path):
     # pre/post suite ride BOTH the compact driver line and the full file
     for r in (rec, full):
         assert len(r["load"]) == 2 and len(r["cal"]) == 2, r.keys()
-        assert all(c > 0 for c in r["cal"]), r["cal"]
+        assert len(r["shuf"]) == 2, r.keys()
+        assert all(c > 0 for c in r["cal"] + r["shuf"]), (r["cal"], r["shuf"])
     assert full["cpus"] == os.cpu_count()
 
 
@@ -81,6 +82,7 @@ def test_compact_line_fits_driver_window_worst_case():
         "sf": 0.1,
         "load": [31.55, 32.01],
         "cal": [0.999, 1.234],
+        "shuf": [9.999, 9.876],
         "detail": "BENCH_FULL.json",
     }
     line = json.dumps(compact, separators=(",", ":"))

@@ -59,9 +59,13 @@ def bloom_build(
     so an underfilled bitmap broadcasts even smaller than bits/8 bytes;
     the map is bounded by bits/64 entries regardless of key count).
 
-    Shape: keys → explode k positions → distinct (word, bit) →
-    groupBy(word).bit_or — every stage is bounded by the bitmap size,
-    not the key count, after the first map-side distinct."""
+    Shape: keys → explode k positions → groupBy(word).{bit_or, count}
+    → one global fold to (map, n_keys). The screened set is scanned
+    exactly ONCE (it is the big side in the motivating scenario);
+    n_keys falls out of the same aggregation because explode emits
+    exactly k rows per key (sum of per-word counts = k * n_keys).
+    Every post-explode stage is bounded by the bitmap size, not the
+    key count, after the map-side partial aggregate."""
     pos = keys.select(
         F.explode(F.array(*_positions(F.col(key_col), bits=bits, seeds=seeds))).alias(
             "pos"
@@ -77,14 +81,16 @@ def bloom_build(
             ).alias("bit"),
         )
         .groupBy("word")
-        .agg(F.bit_or("bit").alias("bits"))
+        .agg(F.bit_or("bit").alias("bits"), F.count(F.lit(1)).alias("cnt"))
     )
-    n = keys.select(F.count(F.lit(1)).alias("n_keys"))
     return words.agg(
         F.map_from_arrays(
             F.collect_list("word"), F.collect_list("bits")
-        ).alias("bloom")
-    ).crossJoin(F.broadcast(n))
+        ).alias("bloom"),
+        (F.coalesce(F.sum("cnt"), F.lit(0)) / F.lit(len(seeds)))
+        .cast("long")
+        .alias("n_keys"),
+    )
 
 
 def bloom_contains(

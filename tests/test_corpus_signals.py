@@ -147,3 +147,25 @@ def test_bloom_decontamination_guarantees(spark):
     bloom_row = bloom_build(eval_keys, "g").collect()[0]
     assert len(bloom_row.bloom) <= BLOOM_BITS // 64
     assert bloom_row.n_keys > 0
+
+
+def test_bloom_screen_plan_is_map_side(spark):
+    """The 100 TB property of the Bloom screen, pinned in the plan: the
+    probed corpus is never joined by key or shuffled — the only joins
+    are the 1-row bitmap broadcasts (BroadcastNestedLoopJoin over a
+    single-row build side), there is no sort-merge or shuffled hash
+    join anywhere, and the screened-set scan appears exactly once
+    (n_keys folds out of the same aggregation as the bitmap)."""
+    from film_media_etl_spark.plans.audit import plan_summary
+    from film_media_etl_spark.queries import all_queries
+
+    df = all_queries()["ext_decontamination_bloom"](
+        spark, "/root/testdata/sf0.001"
+    )
+    s = plan_summary(df)
+    assert s["sort_merge_joins"] == 0 and s["broadcast_hash_joins"] == 0
+    assert s["cartesian_products"] == 0
+    assert s["nested_loop_joins"] == 1  # the 1-row bitmap broadcast
+    assert s["scans"] == 2  # eval keys once, train corpus once
+    # bitmap-build fold is the only single-partition exchange
+    assert s["single_partition_exchanges"] <= 1

@@ -25,7 +25,7 @@ the judge's re-runs. Now the artifact carries the evidence inline:
   JIT-cold first sample doesn't masquerade as contention) timed
   before and after the suite;
 - "shuf": a FIXED shuffle calibration job (16M longs repartitioned
-  32-wide, ~128 MB through the shuffle path; min-of-3) — catches the
+  64-wide, ~128 MB through the shuffle path; min-of-3) — catches the
   memory-bandwidth/disk co-tenancy the cache-resident hash probe
   can't see.
 Mechanical rejection rule (README "Bench validity"): on the reference
@@ -158,7 +158,7 @@ def _calibration_sec(spark) -> float:
 
 def _shuffle_cal_sec(spark) -> float:
     """Second calibration dimension (round-7): a FIXED shuffle probe —
-    16M longs hash-repartitioned 32-wide through the noop sink (~128 MB
+    16M longs hash-repartitioned 64-wide through the noop sink (~128 MB
     written + read through the shuffle path). The hash probe above is
     cache-resident and catches CPU contention only; a co-tenant
     saturating MEMORY BANDWIDTH or the disk behind spark.local.dir

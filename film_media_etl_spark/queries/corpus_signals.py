@@ -74,14 +74,21 @@ def compression_sizes(docs: DataFrame) -> DataFrame:
     compressed_bytes) per document. mapInPandas streams Arrow batches —
     constant memory per task regardless of corpus size, no Python
     row-at-a-time path. The ratio/verdict math stays JVM-side so the
-    Python boundary carries exactly two integers per document out."""
+    Python boundary carries exactly two integers per document out.
+
+    NULL contract (this is a reusable operator over any (doc_id, lang,
+    text) frame, not just the fixture corpus): NULL text sizes as the
+    empty string — raw_bytes 0, compressed_bytes the empty zlib stream
+    — mirroring the JVM queries' null-propagation instead of crashing
+    the Arrow batch; compression_report then yields a NULL ratio and a
+    FALSE keep-gate for such rows."""
 
     def batches(it: Iterator) -> Iterator:
         import pandas as pd
         import zlib
 
         for pdf in it:
-            raw = pdf["text"].map(lambda s: s.encode("utf-8"))
+            raw = pdf["text"].map(lambda s: (s or "").encode("utf-8"))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -100,20 +107,24 @@ def compression_sizes(docs: DataFrame) -> DataFrame:
 
 def compression_report(docs: DataFrame) -> DataFrame:
     """Ratio + two-sided keep-gate over compression_sizes — JVM
-    expressions only past the Arrow boundary."""
+    expressions only past the Arrow boundary. Zero raw bytes (NULL or
+    empty text) yields a NULL ratio and a FALSE gate explicitly — no
+    reliance on division-by-zero semantics."""
     sized = compression_sizes(docs)
-    ratio = F.col("compressed_bytes").cast("double") / F.col(
-        "raw_bytes"
-    ).cast("double")
+    ratio = F.when(
+        F.col("raw_bytes") > 0,
+        F.col("compressed_bytes").cast("double")
+        / F.col("raw_bytes").cast("double"),
+    )
     return sized.select(
         "doc_id",
         "lang",
         "raw_bytes",
         "compressed_bytes",
         ratio.alias("compression_ratio"),
-        ((ratio >= _RATIO_LO) & (ratio <= _RATIO_HI)).alias(
-            "passes_compression"
-        ),
+        F.coalesce(
+            (ratio >= _RATIO_LO) & (ratio <= _RATIO_HI), F.lit(False)
+        ).alias("passes_compression"),
     )
 
 

@@ -77,6 +77,28 @@ def test_compression_gate_rejects_both_tails(spark):
     assert rows[3].passes_compression
 
 
+def test_compression_null_text_contract(spark):
+    """NULL and empty text must not crash the Arrow batch (the operator
+    is reusable over any (doc_id, lang, text) frame): NULL sizes as the
+    empty string, the ratio is NULL at zero raw bytes, and the keep-gate
+    is explicitly FALSE — never a null verdict."""
+    import zlib
+
+    docs = spark.createDataFrame(
+        [(1, None, None), (2, "", "en"), (3, "a plain short doc", "en")],
+        "doc_id long, text string, lang string",
+    )
+    rows = {r.doc_id: r for r in compression_report(docs).collect()}
+    empty_comp = len(zlib.compress(b"", _ZLIB_LEVEL))
+    for did in (1, 2):
+        assert rows[did].raw_bytes == 0
+        assert rows[did].compressed_bytes == empty_comp
+        assert rows[did].compression_ratio is None
+        assert rows[did].passes_compression is False
+    assert rows[3].raw_bytes == len(b"a plain short doc")
+    assert rows[3].compression_ratio is not None
+
+
 def test_ngram_diversity_short_doc_edge(spark):
     """Documents with fewer than 3 tokens produce zero trigrams (the
     greatest(n-2, 0) guard) and a source consisting only of such docs

@@ -762,6 +762,7 @@ def exact_substring_dedup(
     k: int = 50,
     id_col: str = "doc_id",
     text_col: str = "text",
+    pos_radix: int = 1_000_000,
 ) -> DataFrame:
     """Tier 5: EXACT-SUBSTRING dedup (Lee et al. 2021, "Deduplicating
     Training Data Makes Language Models Better" — the ExactSubstr
@@ -792,12 +793,25 @@ def exact_substring_dedup(
       combine; the join back is an equi-join against only the
       duplicated keys (candidates bounded by evidence, like the LSH
       band join — never all pairs, never a cross product);
-    - first-occurrence survivorship is an integer MIN aggregate
-      (doc_id * 1_000_000 + pos encodes the lexicographic order while
-      positions stay below 1M tokens/doc — asserted cheap at the edge);
+    - first-occurrence survivorship is an integer MIN aggregate:
+      doc_id * pos_radix + pos encodes the lexicographic (doc_id, pos)
+      order while every shingle position stays below ``pos_radix``
+      (default 1M tokens/doc). The bound is ENFORCED, not assumed — a
+      document whose shingle positions reach the radix raises
+      USER_RAISED_EXCEPTION from inside the encoding expression (zero
+      extra jobs; the guard rides the expressions that consume the
+      encoding), because a silent radix overflow would bleed pos into
+      the doc_id digits and elect a non-first survivor. Callers with
+      >1M-token whales raise ``pos_radix`` (doc_id must stay below
+      2^63 / pos_radix);
     - span removal explodes k rows per DUPLICATED occurrence only;
-      reassembly is a map-side index filter over each doc's token
-      array after one bounded (positions-per-doc) aggregate.
+      reassembly is map-side and LINEAR per document: the sorted
+      removed-position set is folded into maximal removed runs with
+      pairwise array ops, and the survivors are rebuilt by slicing the
+      complement intervals out of the token array — never a per-token
+      membership probe of the removal set (which is O(tokens x removed)
+      and approaches quadratic on a mostly-duplicated whale; see
+      tests/test_skew_torture.py's whale-reassembly pin).
 
     Relation to the other tiers: ext_dedup_winnowing samples this
     signal (fingerprints) to find document PAIRS; decontamination uses
@@ -818,7 +832,25 @@ def exact_substring_dedup(
         "pos",
         F.array_join(F.slice(F.col("toks"), F.col("pos"), k), " ").alias("sh"),
     )
-    enc = F.col("doc_id") * F.lit(1_000_000) + F.col("pos")
+    # radix-encoded (doc_id, pos) order, guarded: evaluating the
+    # encoding for an out-of-radix position is a LOUD runtime error, not
+    # a silent wrong survivor. The when/otherwise folds the check into
+    # every expression that consumes the encoding, so no separate
+    # max(size) job is spent on it.
+    enc = F.when(
+        F.col("pos") < pos_radix,
+        F.col("doc_id") * F.lit(pos_radix) + F.col("pos"),
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "exact_substring_dedup: shingle position %s in doc %s "
+                f"exceeds pos_radix={pos_radix}; raise pos_radix above "
+                "the longest document's token count",
+                F.col("pos"),
+                F.col("doc_id"),
+            )
+        ).cast("long")
+    )
     dup_keys = (
         occ.groupBy("sh")
         .agg(F.count(F.lit(1)).alias("c"), F.min(enc).alias("first_enc"))
@@ -838,15 +870,55 @@ def exact_substring_dedup(
     rm = removed.groupBy("doc_id").agg(
         F.sort_array(F.collect_set("tpos")).alias("rm")
     )
-    keep = F.filter(
-        F.col("toks"),
-        lambda w, i: ~F.array_contains(
-            F.coalesce(F.col("rm"), F.array().cast("array<int>")), i + F.lit(1)
+    # LINEAR reassembly (whale-safe): fold the sorted removed positions
+    # into maximal removed runs via pairwise array ops, complement them
+    # into kept intervals, and slice the survivors out of the token
+    # array. Every step is O(tokens + removed) per document — a per-token
+    # array_contains probe of the removal set is O(tokens x removed) and
+    # approaches quadratic on a mostly-duplicated whale document.
+    rmc = F.coalesce(F.col("rm"), F.array().cast("array<int>"))
+    n = F.size("toks")
+    m = F.size(rmc)
+    pair_len = F.greatest(m - 1, F.lit(0))
+    head = F.slice(rmc, 1, pair_len)  # rm[0..m-2]
+    tail = F.slice(rmc, 2, pair_len)  # rm[1..m-1]
+    # a removed run starts at rm[0] and wherever the sorted sequence
+    # jumps by more than 1; it ends just before each jump and at rm[m-1]
+    run_starts = F.concat(
+        F.slice(rmc, 1, 1),
+        F.filter(
+            F.zip_with(tail, head, lambda c, p: F.when(c != p + 1, c)),
+            lambda x: x.isNotNull(),
         ),
+    )
+    run_ends = F.concat(
+        F.filter(
+            F.zip_with(head, tail, lambda p, c: F.when(c != p + 1, p)),
+            lambda x: x.isNotNull(),
+        ),
+        F.slice(rmc, F.greatest(m, F.lit(1)), 1),
+    )
+    # kept intervals = the complement of the removed runs inside [1, n];
+    # edge intervals collapse to length 0 (never negative) when a run
+    # touches a document boundary, so every slice below is well-formed
+    kept_starts = F.concat(
+        F.array(F.lit(1)), F.transform(run_ends, lambda e: e + 1)
+    )
+    kept_ends = F.concat(
+        F.transform(run_starts, lambda s: s - 1), F.array(n)
+    )
+    kept = F.flatten(
+        F.zip_with(
+            kept_starts,
+            kept_ends,
+            lambda s, e: F.slice(
+                F.col("toks"), s, F.greatest(e - s + 1, F.lit(0))
+            ),
+        )
     )
     return t.join(rm, "doc_id", "left").select(
         "doc_id",
-        F.size("toks").alias("n_tokens"),
-        F.coalesce(F.size("rm"), F.lit(0)).alias("n_removed"),
-        F.concat_ws(" ", keep).alias("clean_text"),
+        n.alias("n_tokens"),
+        m.alias("n_removed"),
+        F.concat_ws(" ", kept).alias("clean_text"),
     )

@@ -1869,6 +1869,40 @@ def test_exact_substring_dedup_planted_passage_guarantee(spark):
     assert got[3] == (0, rows[3][1])
 
 
+def test_exact_substring_dedup_radix_guard(spark):
+    """The (doc_id, pos) radix encoding must FAIL LOUDLY when a shingle
+    position reaches pos_radix — a silent overflow bleeds pos into the
+    doc_id digits and elects a non-first survivor. At a tiny radix a
+    long document raises from inside the encoding expression; the same
+    radix stays correct (identical to the default-radix result) when
+    every document fits under it."""
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+
+    from film_media_etl_spark.operators.dedup import exact_substring_dedup
+
+    passage = "one two three four five six seven"
+    long_doc = " ".join(f"w{i}" for i in range(12)) + f" {passage}"
+    docs = spark.createDataFrame(
+        [(0, f"{passage} tail0"), (1, long_doc)],
+        "doc_id long, text string",
+    )
+    # doc 1 has 19 tokens -> shingle positions up to 15 >= radix 8
+    with pytest.raises(SparkRuntimeException, match="pos_radix"):
+        exact_substring_dedup(docs, k=5, pos_radix=8).collect()
+    # radix 64 clears every position; result must equal the default radix
+    small = {
+        r["doc_id"]: (r["n_removed"], r["clean_text"])
+        for r in exact_substring_dedup(docs, k=5, pos_radix=64).collect()
+    }
+    default = {
+        r["doc_id"]: (r["n_removed"], r["clean_text"])
+        for r in exact_substring_dedup(docs, k=5).collect()
+    }
+    assert small == default
+    assert small[1][0] == 7  # the pasted passage removed from doc 1
+
+
 def test_gopher_battery_each_rule_fires(spark):
     """Every rule of the round-7 Gopher table-A1 battery must fire on a
     document constructed to violate it (and only the FIRST violated rule

@@ -278,3 +278,35 @@ def test_collect_ordered_whale_user_capped_and_flat(spark, tmp_path):
     # the path string is bounded by the cap, not the 10^6-event history
     assert whale["event_path"].count(">") == _JOURNEY_CAP - 1
     assert t_w <= 2.0 * t_u + 1.0, (t_w, t_u)
+
+
+def test_exact_substring_whale_doc_reassembly_linear(spark):
+    """Round-7 verdict #2: ExactSubstr reassembly was a per-token
+    array_contains probe of the removal set — O(tokens x removed), ~10^10
+    membership steps inside ONE task for a 100k-token mostly-duplicated
+    whale document (concatenated logs / minified bundles are real at
+    100 TB). The interval-slice reassembly is linear per document; this
+    pins BOTH completion at whale scale and cell-exact agreement with
+    the brute-force Python model."""
+    from test_function_models import _exact_substr_model
+
+    from film_media_etl_spark.operators.dedup import exact_substring_dedup
+
+    period = " ".join(f"a{i}" for i in range(10))
+    whale = " ".join([period] * 10_000)  # 100k tokens, all but the head duplicated
+    filler = " ".join(f"u{i}" for i in range(100))
+    docs = spark.createDataFrame(
+        [(0, whale), (1, filler)], "doc_id long, text string"
+    )
+    t0 = time.perf_counter()
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["clean_text"])
+        for r in exact_substring_dedup(docs, k=5).collect()
+    }
+    wall = time.perf_counter() - t0
+    want = _exact_substr_model([(0, whale), (1, filler)], 5)
+    assert got == want
+    # the whale really is mostly removed, and the run finished in linear
+    # time (the quadratic probe needed ~10^10 steps in one task here)
+    assert got[0][1] > 0.9 * got[0][0]
+    assert wall < 60.0, wall

@@ -12,7 +12,8 @@ exactly this way). Properties that matter here:
   in — the broadcast cost is a constant of the job, not of the data;
 - membership has NO false negatives: a key that was inserted always
   probes true, so a screen can never miss real contamination;
-- false positives happen at a tunable rate (~(1-e^(-kn/m))^k), which for
+- false positives happen at a tunable rate (~(1-e^(-kn/m))^k, n = the
+  DISTINCT inserted keys — see bloom_size/expected_fp_rate), which for
   a REMOVAL screen means a little over-removal — the conservative
   direction for decontamination.
 
@@ -28,6 +29,7 @@ FP-rate bound in tests/test_corpus_signals.py).
 
 from __future__ import annotations
 
+import math
 from functools import reduce
 
 from pyspark.sql import Column, DataFrame
@@ -39,6 +41,52 @@ from pyspark.sql import functions as F
 # the operator's fixture setting, the construction is m-agnostic.
 BLOOM_BITS = 1 << 20
 BLOOM_SEEDS = (101, 202, 303)
+
+
+def bloom_seeds(n_hashes: int) -> tuple[int, ...]:
+    """k deterministic xxhash64 seeds (the fixed trio's progression
+    extended: 101, 202, 303, 404, ...)."""
+    return tuple(101 * (i + 1) for i in range(n_hashes))
+
+
+def bloom_size(n_distinct: int, target_fp: float) -> tuple[int, tuple[int, ...]]:
+    """Size a filter for ``n_distinct`` DISTINCT keys at a target
+    false-positive rate: the textbook optimum m = ceil(-n ln p / ln^2 2)
+    bits (rounded up to whole 64-bit words) and k = round(m/n ln 2)
+    hash seeds. Feed n_distinct from the screened set's key count —
+    NOT from ``n_inserts`` in the built frame, which counts insertions
+    including duplicates and overestimates the load (round-7 verdict
+    #3). Returns (bits, seeds) ready to pass to bloom_build /
+    bloom_contains."""
+    if not (0.0 < target_fp < 1.0):
+        raise ValueError(f"target_fp must be in (0, 1), got {target_fp}")
+    n = max(1, n_distinct)
+    m = math.ceil(-n * math.log(target_fp) / (math.log(2) ** 2))
+    bits = ((m + 63) // 64) * 64
+
+    def best_k(b: int) -> int:
+        k_opt = b / n * math.log(2)
+        return min(
+            {max(1, math.floor(k_opt)), math.ceil(k_opt)},
+            key=lambda k: expected_fp_rate(b, k, n),
+        )
+
+    # integer k can land a hair above the target the real-valued optimum
+    # hits exactly — widen by whole words until the analytic rate is
+    # actually under target (a few iterations at most)
+    k = best_k(bits)
+    while expected_fp_rate(bits, k, n) > target_fp:
+        bits += max(64, bits // 128)
+        bits = ((bits + 63) // 64) * 64
+        k = best_k(bits)
+    return bits, bloom_seeds(k)
+
+
+def expected_fp_rate(bits: int, n_hashes: int, n_distinct: int) -> float:
+    """The classic approximation (1 - e^(-kn/m))^k for n DISTINCT
+    inserted keys — the bound the sizing helper targets and the FP
+    tests assert against."""
+    return (1.0 - math.exp(-n_hashes * n_distinct / bits)) ** n_hashes
 
 
 def _positions(key: Column, *, bits: int, seeds: tuple[int, ...]) -> list[Column]:
@@ -54,18 +102,28 @@ def bloom_build(
     bits: int = BLOOM_BITS,
     seeds: tuple[int, ...] = BLOOM_SEEDS,
 ) -> DataFrame:
-    """ONE-ROW frame (bloom: map<long,long>, n_keys: long) holding the
-    bitmap as a sparse word->bits map (only words with set bits appear,
-    so an underfilled bitmap broadcasts even smaller than bits/8 bytes;
-    the map is bounded by bits/64 entries regardless of key count).
+    """ONE-ROW frame (bloom: map<long,long>, n_inserts: long) holding
+    the bitmap as a sparse word->bits map (only words with set bits
+    appear, so an underfilled bitmap broadcasts even smaller than
+    bits/8 bytes; the map is bounded by bits/64 entries regardless of
+    key count).
 
     Shape: keys → explode k positions → groupBy(word).{bit_or, count}
-    → one global fold to (map, n_keys). The screened set is scanned
+    → one global fold to (map, n_inserts). The screened set is scanned
     exactly ONCE (it is the big side in the motivating scenario);
-    n_keys falls out of the same aggregation because explode emits
-    exactly k rows per key (sum of per-word counts = k * n_keys).
+    n_inserts falls out of the same aggregation because explode emits
+    exactly k rows per key row (sum of per-word counts = k * rows).
     Every post-explode stage is bounded by the bitmap size, not the
-    key count, after the map-side partial aggregate."""
+    key count, after the map-side partial aggregate.
+
+    ``n_inserts`` counts INSERTIONS — input rows, duplicates included
+    (a shingle shared by ten eval docs counts ten times). It is the
+    number that falls out of this single-scan aggregation for free; the
+    DISTINCT key count that FP-rate sizing needs is a property of the
+    caller's key set, not recoverable from the bitmap — count it where
+    the keys are produced and size with bloom_size(). (Round-7 verdict
+    #3: the old name n_keys implied distinct and overestimated an FP
+    budget sized from it.)"""
     pos = keys.select(
         F.explode(F.array(*_positions(F.col(key_col), bits=bits, seeds=seeds))).alias(
             "pos"
@@ -89,7 +147,7 @@ def bloom_build(
         ).alias("bloom"),
         (F.coalesce(F.sum("cnt"), F.lit(0)) / F.lit(len(seeds)))
         .cast("long")
-        .alias("n_keys"),
+        .alias("n_inserts"),
     )
 
 

@@ -11,6 +11,7 @@ from __future__ import annotations
 import zlib
 
 from conftest import PARITY_SF_DIR
+from pyspark.sql import functions as F
 
 from film_media_etl_spark.queries.corpus_signals import (
     _RATIO_HI,
@@ -168,7 +169,58 @@ def test_bloom_decontamination_guarantees(spark):
     )
     bloom_row = bloom_build(eval_keys, "g").collect()[0]
     assert len(bloom_row.bloom) <= BLOOM_BITS // 64
-    assert bloom_row.n_keys > 0
+    assert bloom_row.n_inserts > 0
+
+
+def test_bloom_n_inserts_counts_insertions_not_distinct(spark):
+    """The accounting field is honest about duplicates (round-7 verdict
+    #3): inserting the same key three times reports n_inserts=3. The
+    distinct count FP sizing needs is the caller's to supply."""
+    from film_media_etl_spark.operators.bloom import bloom_build
+
+    keys = spark.createDataFrame(
+        [("a",), ("a",), ("a",), ("b",)], "g string"
+    )
+    row = bloom_build(keys, "g").collect()[0]
+    assert row.n_inserts == 4
+
+
+def test_bloom_sizing_helper_meets_fp_target(spark):
+    """bloom_size(n, p) must deliver: zero false negatives always, and
+    an observed FP rate over a disjoint probe set within ~2x of the
+    analytic bound at BOTH a loose and a tight target (two sizes —
+    the helper's m/k really move with p)."""
+    from film_media_etl_spark.operators.bloom import (
+        bloom_build,
+        bloom_contains,
+        bloom_size,
+        expected_fp_rate,
+    )
+
+    n = 2_000
+    members = spark.range(n).selectExpr("concat('key', id) AS g")
+    probes = spark.range(20_000).selectExpr("concat('miss', id) AS g")
+    for target in (0.05, 0.005):
+        bits, seeds = bloom_size(n, target)
+        bloom = bloom_build(members, "g", bits=bits, seeds=seeds)
+        flagged_members = (
+            members.crossJoin(F.broadcast(bloom))
+            .where(
+                bloom_contains(F.col("bloom"), F.col("g"), bits=bits, seeds=seeds)
+            )
+            .count()
+        )
+        assert flagged_members == n  # no false negatives, ever
+        fp = (
+            probes.crossJoin(F.broadcast(bloom))
+            .where(
+                bloom_contains(F.col("bloom"), F.col("g"), bits=bits, seeds=seeds)
+            )
+            .count()
+        )
+        bound = expected_fp_rate(bits, len(seeds), n)
+        assert bound <= target  # the helper sized to the target
+        assert fp / 20_000 <= 2 * target, (fp, bits, len(seeds))
 
 
 def test_bloom_screen_plan_is_map_side(spark):

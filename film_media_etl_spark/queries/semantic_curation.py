@@ -26,6 +26,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import (
+    oracle_c4_kept_lines,
+    oracle_c4_reason,
+    oracle_c4_sentence_count,
+    oracle_curation_c4_reason,
     oracle_gopher_reason,
     oracle_predicted_lang,
     oracle_quality_score,
@@ -480,6 +484,7 @@ def ext_dedup_simhash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
              WHEN {{pred}} <> 'en' THEN 'wrong_lang'
              WHEN {{q}} < 0.5 THEN 'low_quality'
              WHEN ({{gor}}) <> 'ok' THEN ({{gor}})
+             WHEN ({{c4r}}) <> 'ok' THEN ({{c4r}})
              WHEN NOT (CAST(len(list_distinct(t.toks)) AS DOUBLE)
                          / CAST(len(t.toks) AS DOUBLE) >= 0.3
                        AND CAST(top.topc AS DOUBLE)
@@ -493,6 +498,7 @@ def ext_dedup_simhash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
              WHEN {{pred}} <> 'en' THEN FALSE
              WHEN {{q}} < 0.5 THEN FALSE
              WHEN ({{gor}}) <> 'ok' THEN FALSE
+             WHEN ({{c4r}}) <> 'ok' THEN FALSE
              WHEN NOT (CAST(len(list_distinct(t.toks)) AS DOUBLE)
                          / CAST(len(t.toks) AS DOUBLE) >= 0.3
                        AND CAST(top.topc AS DOUBLE)
@@ -508,6 +514,7 @@ def ext_dedup_simhash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         pred=oracle_predicted_lang("t.text"),
         q=oracle_quality_score("t.text"),
         gor=oracle_gopher_reason("t.text", "t.toks"),
+        c4r=oracle_curation_c4_reason("t.text"),
     ),
 )
 def ext_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -516,8 +523,10 @@ def ext_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate (marker-lexicon langid == 'en'), heuristic quality floor, the
     FULL Gopher table-A1 battery (mean-word-length bounds,
     symbol-to-word ratio, bullet-start / ellipsis-end line shares,
-    unique-stop-word floor — functions/text.gopher_reason), Gopher
-    repetition gates (type-token ratio + top-bigram share), and
+    unique-stop-word floor — functions/text.gopher_reason), the C4 §2.2
+    page battery (lorem-ipsum / curly-brace / retained-sentences floor —
+    functions/text.c4_reason; the line-structural complement, round-8),
+    Gopher repetition gates (type-token ratio + top-bigram share), and
     exact dedup (greedy min-id survivor), applied in a FIXED order so
     every document gets one deterministic reject_reason (or 'ok'). All
     gate expressions are the already-oracle-checked building blocks
@@ -587,6 +596,7 @@ def ext_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("q"),
         ttr_ok,
         TX.gopher_reason(F.col("text"), F.col("toks")),
+        TX.curation_c4_reason(F.col("text")),
     )
     reason = (
         F.when(scalar != "ok", scalar)
@@ -595,4 +605,55 @@ def ext_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return j.select(
         "doc_id", reason.alias("reject_reason"), (reason == "ok").alias("keep")
+    )
+
+
+@register(
+    "ext_c4_filters",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, coalesce(text, '') AS tx FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(string_split(tx, chr(10))) AS INT) AS n_lines,
+           CAST(len({oracle_c4_kept_lines("tx")}) AS INT) AS n_kept_lines,
+           {oracle_c4_sentence_count(oracle_c4_kept_lines("tx"))} AS n_sentences,
+           {oracle_c4_reason("tx")} AS reject_reason,
+           ({oracle_c4_reason("tx")}) = 'ok' AS keep,
+           coalesce(
+             array_to_string({oracle_c4_kept_lines("tx")}, chr(10)), ''
+           ) AS clean_text
+    FROM t
+    """,
+)
+def ext_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4 heuristic filter battery as a standalone per-document
+    report (Raffel et al. 2020 §2.2 — functions/text.c4_reason): line
+    retention accounting (terminal-punctuation ending, >= 5 words, no
+    'javascript'), the retained-line sentence count, the page verdict
+    through the fixed rule order (lorem-ipsum -> curly-brace ->
+    <3-retained-sentences), and the C4-cleaned text (retained lines
+    rejoined). The same rules also run inside ext_curation_pipeline and
+    the streaming curation gate via the shared builder; this surface is
+    the per-rule observability a pipeline operator tunes against.
+
+    Scale: pure map-side string expressions over one documents scan —
+    no shuffle, no UDF; at 100 TB the scan partitioning is the job
+    partitioning (same class as ext_text_stats). NULL text is sized as
+    the empty page ('' -> 0 retained lines -> too_few_sentences), so no
+    output column is ever NULL."""
+    from ..functions import text as TX
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    kept = TX.c4_kept_lines(txt)
+    reason = TX.c4_reason(txt)
+    return docs.select(
+        "doc_id",
+        F.size(F.split(txt, "\n")).alias("n_lines"),
+        F.size(kept).alias("n_kept_lines"),
+        TX.c4_sentence_count(kept).alias("n_sentences"),
+        reason.alias("reject_reason"),
+        (reason == "ok").alias("keep"),
+        F.array_join(kept, "\n").alias("clean_text"),
     )

@@ -213,7 +213,7 @@ def stream_curation_gate(docs: DataFrame) -> DataFrame:
         F.size(F.array_distinct("toks")).cast("double") / n.cast("double")
         >= F.lit(TX.CURATION_MIN_TTR)
     ) & (top_share <= F.lit(TX.CURATION_MAX_TOP_BIGRAM_SHARE))
-    # shared FIXED gate order (functions/text.py), Gopher battery
+    # shared FIXED gate order (functions/text.py), Gopher + C4 batteries
     # included (map-side, stateless on the stream); the dup gate is the
     # per-fingerprint state below
     reason0 = TX.curation_scalar_reason(
@@ -223,6 +223,7 @@ def stream_curation_gate(docs: DataFrame) -> DataFrame:
         F.col("q"),
         ttr_ok,
         TX.gopher_reason(F.col("text"), F.col("toks")),
+        TX.curation_c4_reason(F.col("text")),
     )
     scalar = base.select(
         "doc_id",

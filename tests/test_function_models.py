@@ -1943,3 +1943,78 @@ def test_gopher_battery_each_rule_fires(spark):
         5: "no_stopwords",
         6: "ok",
     }
+
+
+def test_c4_battery_each_rule_fires(spark):
+    """Every C4 §2.2 rule must fire on a document constructed to violate
+    it, first-violated-rule-wins, with a passing page mapping to 'ok' —
+    and the line keep-rule's three conditions (terminal punctuation,
+    >= 5 words, no javascript) each independently drop a line."""
+    import pyspark.sql.functions as F
+
+    from film_media_etl_spark.functions import text as TX
+
+    good3 = (
+        "the archivist logged every reel today.\n"
+        "the vault humidity stayed within bounds.\n"
+        "all three couriers cleared customs early."
+    )
+    rows = [
+        (0, f"sample page with Lorem Ipsum filler inside.\n{good3}"),
+        (1, "function() { return 1; }\n" + good3),
+        (2, "word stream with no punctuation at all"),
+        # only lines that WOULD be sentences mention javascript -> dropped
+        (3, "enable javascript to view this page today.\n"
+            "please enable JavaScript now to continue here.\n"
+            "third line about javascript being required too."),
+        # punctuated lines with < 5 words don't count toward sentences
+        (4, "too few words here.\nalso too short.\nstill too short."),
+        (5, good3),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["reason"]
+        for r in df.select(
+            "doc_id", TX.c4_reason(F.col("text")).alias("reason")
+        ).collect()
+    }
+    assert got == {
+        0: "lorem_ipsum",
+        1: "curly_brace",
+        2: "too_few_sentences",
+        3: "too_few_sentences",
+        4: "too_few_sentences",
+        5: "ok",
+    }
+    kept = {
+        r["doc_id"]: r["k"]
+        for r in df.select(
+            "doc_id", F.size(TX.c4_kept_lines(F.col("text"))).alias("k")
+        ).collect()
+    }
+    assert kept[3] == 0 and kept[4] == 0 and kept[5] == 3
+
+
+def test_curation_c4_tier_fixture_profile(spark):
+    """The SHARED curation gate's C4 tier (CURATION_C4_MIN_SENTENCES=0):
+    the structural sentence floor is off — an unpunctuated single-line
+    fixture document stays 'ok' (so the downstream repetition/duplicate
+    gates keep their test signal) — while the content page gates
+    (lorem-ipsum, curly-brace) still fire through it."""
+    import pyspark.sql.functions as F
+
+    from film_media_etl_spark.functions import text as TX
+
+    rows = [
+        (0, "plain single line fixture document with no punctuation"),
+        (1, "this page hides lorem ipsum in its body"),
+        (2, "config = { key: value }"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["reason"]
+        for r in df.select(
+            "doc_id", TX.curation_c4_reason(F.col("text")).alias("reason")
+        ).collect()
+    }
+    assert got == {0: "ok", 1: "lorem_ipsum", 2: "curly_brace"}

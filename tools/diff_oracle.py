@@ -6,6 +6,16 @@ differing cells so the root cause of a hash mismatch is visible.
 
 Usage: python tools/diff_oracle.py [--sf DIR] q1 q2 ...
        python tools/diff_oracle.py --all      # every query with an oracle
+       python tools/diff_oracle.py --all --json CORRECTNESS_FULL_rNN.json
+
+--json writes the FULL-REGISTRY correctness artifact (round-7 verdict
+"Next round #1"): one record per registered query — oracle queries get
+the driver-shaped compare (column set, row count, order-insensitive
+canonical values), rows-only queries get executed and row-counted — so
+the whole surface beyond the driver's frozen 50-query window is
+mechanically verified by a committed artifact instead of judge re-runs.
+With --json, --all sweeps rows-only queries too. The artifact's shape
+is pinned by tests/test_correctness_artifact.py.
 """
 
 from __future__ import annotations
@@ -51,6 +61,8 @@ def main():
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--all", action="store_true")
     ap.add_argument("--ncell", type=int, default=8)
+    ap.add_argument("--json", default=None, metavar="OUT",
+                    help="write the full correctness artifact here")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -60,7 +72,14 @@ def main():
     spark = get_spark()
     qs = ent.queries()
     oracles = ent.oracle_sql()
-    names = args.names or (sorted(n for n in qs if n in oracles) if args.all else [])
+    if args.names:
+        names = args.names
+    elif args.all and args.json:
+        names = sorted(qs)  # the artifact covers rows-only queries too
+    elif args.all:
+        names = sorted(n for n in qs if n in oracles)
+    else:
+        names = []
 
     con = duckdb.connect()
     for t in TABLES:
@@ -68,10 +87,29 @@ def main():
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
+    records: dict[str, dict] = {}
     n_bad = 0
     for name in names:
         if name not in oracles:
-            print(f"{name}: NO ORACLE (rows-only)")
+            # rows-only: the driver's weaker check — execute, count, and
+            # record the schema; failures (exceptions) still fail loudly
+            try:
+                sdf = qs[name](spark, args.sf)
+                rows = sdf.count()
+            except Exception as e:  # noqa: BLE001
+                print(f"{name}: ERROR {type(e).__name__}: {e}")
+                n_bad += 1
+                records[name] = {
+                    "mode": "rows_only", "ok": False, "rows": None,
+                    "oracle_rows": None,
+                    "err": f"{type(e).__name__}: {e}"[:300],
+                }
+                continue
+            print(f"{name}: ROWS-ONLY ({rows} rows)")
+            records[name] = {
+                "mode": "rows_only", "ok": True, "rows": rows,
+                "oracle_rows": None, "err": None,
+            }
             continue
         try:
             sdf = qs[name](spark, args.sf)
@@ -83,15 +121,27 @@ def main():
         except Exception as e:  # noqa: BLE001
             print(f"{name}: ERROR {type(e).__name__}: {e}")
             n_bad += 1
+            records[name] = {
+                "mode": "oracle", "ok": False, "rows": None,
+                "oracle_rows": None,
+                "err": f"{type(e).__name__}: {e}"[:300],
+            }
             continue
         sc, sv = rows_to_canon(scols, srows)
         oc, ov = rows_to_canon(ocols, orows)
+        rec = {
+            "mode": "oracle", "ok": False, "rows": len(sv),
+            "oracle_rows": len(ov), "err": None,
+        }
+        records[name] = rec
         if sc != oc:
             print(f"{name}: COLUMN MISMATCH spark={sc} oracle={oc}")
+            rec["err"] = f"COLUMN MISMATCH spark={sc} oracle={oc}"[:300]
             n_bad += 1
             continue
         if len(sv) != len(ov):
             print(f"{name}: ROWCOUNT {len(sv)} vs {len(ov)}")
+            rec["err"] = f"ROWCOUNT {len(sv)} vs {len(ov)}"
             n_bad += 1
             continue
         diffs = []
@@ -104,12 +154,34 @@ def main():
                     break
         if diffs:
             n_bad += 1
+            rec["err"] = f"{len(diffs)}+ value diffs"
             print(f"{name}: {len(diffs)}+ value diffs (of {len(sv)} rows)")
             for i, colname, x, y in diffs[: args.ncell]:
                 print(f"    row {i} col {colname}: spark={x!r} oracle={y!r}")
         else:
+            rec["ok"] = True
             print(f"{name}: OK ({len(sv)} rows)")
     print(f"\n{n_bad} queries with diffs")
+
+    if args.json:
+        import json
+
+        artifact = {
+            "kind": "full_registry_correctness",
+            "sf_dir": args.sf,
+            "n_queries": len(records),
+            "n_oracle": sum(1 for r in records.values() if r["mode"] == "oracle"),
+            "n_rows_only": sum(
+                1 for r in records.values() if r["mode"] == "rows_only"
+            ),
+            "n_bad": n_bad,
+            "queries": dict(sorted(records.items())),
+        }
+        with open(args.json, "w") as f:
+            json.dump(artifact, f, indent=1)
+        print(f"artifact -> {args.json}")
+    if n_bad:
+        raise SystemExit(1)
 
 
 if __name__ == "__main__":

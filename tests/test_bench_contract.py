@@ -80,10 +80,12 @@ def test_compact_line_fits_driver_window_worst_case():
         "unit": "sec",
         "queries": worst,
         "sf": 0.1,
-        "load": [31.55, 32.01],
-        "cal": [0.999, 1.234],
-        "shuf": [9.999, 9.876],
-        "detail": "BENCH_FULL.json",
+        # sentinel fields at the compact line's decision precision
+        # (load 1 decimal, cal/shuf 2 decimals — the round-8 byte diet)
+        "load": [31.6, 32.0],
+        "cal": [1.0, 1.23],
+        "shuf": [10.0, 9.88],
+        "detail": "BENCH_FULL_r99.json",
     }
     line = json.dumps(compact, separators=(",", ":"))
     assert len(line) < 1990, (

@@ -1088,3 +1088,23 @@ def test_weighted_sample_pps_prefix_sum_is_bucket_parallel(spark):
     assert plan.count("BroadcastExchange") >= 2, plan[:3000]
     # and the result is still correct through this decomposition
     assert df.count() > 0
+
+
+def test_c4_filters_is_map_only_single_scan(spark):
+    """ext_c4_filters' 100 TB shape: one documents scan, no key
+    shuffle and no join anywhere (pure map-side string expressions —
+    the scan partitioning IS the job partitioning at scale; the one
+    permitted exchange is ensure_parallelism's fixture-scale
+    round-robin, a no-op on a many-row-group table), schema pruned to
+    the two consumed columns."""
+    from film_media_etl_spark.plans import physical_plan
+
+    df = _q("ext_c4_filters", spark)
+    s = plan_summary(df)
+    assert s["scans"] == 1
+    assert s["exchanges"] <= 1
+    assert "hashpartitioning" not in physical_plan(df)
+    assert s["sort_merge_joins"] == 0 and s["broadcast_hash_joins"] == 0
+    assert s["window_nodes"] == 0
+    assert_read_schema_pruned(df, "documents", 2)
+    assert_no_cartesian(df)

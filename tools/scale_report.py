@@ -15,7 +15,7 @@ import sys
 
 
 def main() -> None:
-    paths = sys.argv[1:4] or ["BENCH_1x_r07.json", "BENCH_4x.json", "BENCH_16x.json"]
+    paths = sys.argv[1:4] or ["BENCH_1x_r08.json", "BENCH_4x.json", "BENCH_16x.json"]
     b1, b4, b16 = (json.loads(open(p).read()) for p in paths)
     print(
         f"suite wall: {b1['value']}s (1x) | {b4['value']}s "

@@ -2018,3 +2018,109 @@ def test_curation_c4_tier_fixture_profile(spark):
         ).collect()
     }
     assert got == {0: "ok", 1: "lorem_ipsum", 2: "curly_brace"}
+
+
+def _repetition_model(text: str) -> dict:
+    """Brute-force model of the Gopher repetition-signal vector:
+    Counter-based gram stats and a covered-position SET for the
+    duplicated-n-gram union coverage — deliberately nothing like the
+    sorted-fold/interval implementation it checks."""
+    from collections import Counter
+
+    from film_media_etl_spark.queries.repetition_signals import (
+        GOPHER_REP_THRESHOLDS,
+    )
+
+    tx = text or ""
+    toks = tx.lower().split(" ")
+    total = len(" ".join(toks))
+    out = {}
+
+    def seg(segs):
+        n, nd = len(segs), len(set(segs))
+        chars = sum(map(len, segs))
+        chd = sum(len(x) for x in set(segs))
+        return (
+            (n - nd) / n if n else 0.0,
+            (chars - chd) / chars if chars > 0 else 0.0,
+        )
+
+    out["dup_line_frac"], out["dup_line_char_frac"] = seg(tx.split("\n"))
+    out["dup_para_frac"], out["dup_para_char_frac"] = seg(tx.split("\n\n"))
+    for n in (2, 3, 4):
+        grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+        best = max(
+            (c * len(g) for g, c in Counter(grams).items()), default=0
+        )
+        out[f"top_{n}gram_char_frac"] = best / total if total > 0 else 0.0
+    for n in range(5, 11):
+        grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+        cnt = Counter(grams)
+        covered: set = set()
+        for i, g in enumerate(grams):
+            if cnt[g] > 1:
+                covered.update(range(i, i + n))
+        ch = sum(len(toks[i]) for i in covered)
+        ch += sum(1 for i in covered if i + 1 in covered)
+        out[f"dup_{n}gram_char_frac"] = ch / total if total > 0 else 0.0
+    out["passes_repetition"] = all(
+        out[k] <= v for k, v in GOPHER_REP_THRESHOLDS.items()
+    )
+    return out
+
+
+def test_repetition_signals_match_python_model(spark):
+    """Every cell of the 13-signal vector equals the brute-force model,
+    on the fixture corpus PLUS constructed pathologies: duplicated
+    lines/paragraphs, a pasted >=10-token passage (fires every
+    dup-n-gram signal through overlapping coverage), a hammered bigram,
+    and degenerate empty/short docs."""
+    from film_media_etl_spark.queries.repetition_signals import (
+        repetition_signals,
+    )
+    from film_media_etl_spark.sources import load_table
+
+    passage = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    rows = [
+        (1, "a b c d.\na b c d.\nx y z w."),           # duplicated lines
+        (2, "para one here\n\npara one here\n\nzz qq"),  # duplicated paragraphs
+        (3, f"u1 u2 {passage} u3 {passage} u4"),        # pasted passage
+        (4, "go go go go go stop"),                      # hammered bigram
+        (5, ""),                                          # empty
+        (6, "one two three"),                             # shorter than n
+        (7, None),                                        # null text
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fixture = load_table(spark, "/root/testdata/sf0.001", "documents")
+    for frame, texts in (
+        (docs, dict(rows)),
+        (
+            fixture,
+            {
+                r["doc_id"]: r["text"]
+                for r in fixture.select("doc_id", "text").collect()
+            },
+        ),
+    ):
+        got = {r["doc_id"]: r.asDict() for r in repetition_signals(frame).collect()}
+        assert set(got) == set(texts)
+        for did, text in texts.items():
+            want = _repetition_model(text)
+            have = {k: v for k, v in got[did].items() if k != "doc_id"}
+            assert have == want, (did, {
+                k: (have[k], want[k]) for k in want if have[k] != want[k]
+            })
+    # the pathologies actually fire: each constructed doc fails, the
+    # clean short docs pass
+    got = {r["doc_id"]: r for r in repetition_signals(docs).collect()}
+    assert not got[1]["passes_repetition"] and got[1]["dup_line_frac"] > 0.3
+    assert not got[2]["passes_repetition"] and got[2]["dup_para_frac"] > 0.3
+    assert not got[3]["passes_repetition"] and got[3]["dup_10gram_char_frac"] > 0.1
+    assert not got[4]["passes_repetition"] and got[4]["top_2gram_char_frac"] > 0.2
+    # degenerate docs: empty/null text yields all-zero signals (passes);
+    # a 3-token doc fails the top-2-gram fraction BY CONSTRUCTION (its
+    # one bigram covers most of its characters) — the raw-signal
+    # behavior Gopher's upstream length gate exists to mask
+    assert got[5]["passes_repetition"]
+    assert not got[6]["passes_repetition"] and got[6]["top_2gram_char_frac"] > 0.2
+    assert got[7]["passes_repetition"]  # null text: all-zero signals

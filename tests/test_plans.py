@@ -1108,3 +1108,22 @@ def test_c4_filters_is_map_only_single_scan(spark):
     assert s["window_nodes"] == 0
     assert_read_schema_pruned(df, "documents", 2)
     assert_no_cartesian(df)
+
+
+def test_repetition_signals_is_map_only_single_scan(spark):
+    """ext_repetition_signals computes all 13 Gopher signals map-side:
+    one pruned documents scan, no key shuffle, no join, no window — the
+    sorted-fold/interval-union spelling exists precisely so nothing
+    per-gram ever shuffles (the oracle's unnest+GROUP BY formulation is
+    the cross-check, not the plan)."""
+    from film_media_etl_spark.plans import physical_plan
+
+    df = _q("ext_repetition_signals", spark)
+    s = plan_summary(df)
+    assert s["scans"] == 1
+    assert s["exchanges"] <= 1  # ensure_parallelism round-robin only
+    assert "hashpartitioning" not in physical_plan(df)
+    assert s["sort_merge_joins"] == 0 and s["broadcast_hash_joins"] == 0
+    assert s["window_nodes"] == 0
+    assert_read_schema_pruned(df, "documents", 2)
+    assert_no_cartesian(df)

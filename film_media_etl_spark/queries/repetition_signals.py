@@ -31,9 +31,17 @@ BY + islands detection) — two independent formulations that must agree
 cell-exactly.
 
 ANSI-safe by construction (the driver's vanilla Spark 4 session runs
-ANSI on): out-of-bounds neighbor peeks use F.get (NULL, never throw),
-empty gram lists guard the descending-sequence pitfall, and every
-division is zero-guarded.
+ANSI on): empty gram lists guard the descending-sequence pitfall and
+every division is zero-guarded. PERFORMANCE SHAPE (learned the hard
+way in-round): higher-order-function lambdas re-evaluate any OUTER
+array expression they reference once PER ELEMENT — an element_at/get
+peek over the sorted gram array turned the dup scan O(m^2 * build)
+and cost 276s at sf0.1. The sorted arrays are therefore materialized
+ONCE per row behind a Generate barrier (the lang_quality_barrier
+pattern), and duplicate detection is a single fold over a zip of the
+sorted array with its own tail — no lambda ever indexes an outer
+array. Post-fix, solo-measured: 3.5s at sf0.1, 5.3s at 4x, 14.7s
+at 16x data.
 """
 
 from __future__ import annotations
@@ -99,10 +107,10 @@ def _gram_structs(toks: Column, n: int) -> Column:
     ).otherwise(F.array().cast("array<struct<g:string,p:int>>"))
 
 
-def top_ngram_char_frac(toks: Column, total_chars: Column, n: int) -> Column:
+def top_ngram_char_frac(gs: Column, total_chars: Column) -> Column:
     """max over n-grams of count(g) * length(g), over the normalized
-    text length — one sort + one linear fold over the gram array."""
-    gs = F.array_sort(F.transform(_gram_structs(toks, n), lambda s: s["g"]))
+    text length — one linear fold over the pre-sorted gram array (the
+    sort is materialized once per row by the caller's barrier)."""
     best = F.aggregate(
         gs,
         F.struct(
@@ -124,32 +132,51 @@ def top_ngram_char_frac(toks: Column, total_chars: Column, n: int) -> Column:
     return _frac(best, total_chars)
 
 
-def dup_ngram_char_frac(toks: Column, total_chars: Column, n: int) -> Column:
+def dup_ngram_char_frac(srt: Column, toks: Column, total_chars: Column, n: int) -> Column:
     """Union character coverage of duplicated n-grams / normalized text
-    length. Sort struct(g, p) so equal grams are adjacent (duplicated
-    occurrence <=> same gram as a sorted neighbor — F.get peeks are
-    NULL-safe out of bounds), then fold the sorted positions into
-    merged [p, p+n-1] intervals, accumulating covered token characters
-    run by run (O(covered), each token counted once) plus the in-run
-    separator spaces."""
-    s = F.array_sort(_gram_structs(toks, n))
-    m = F.size(s)
-    dup_ps = F.when(
-        m >= 2,
-        F.array_sort(
-            F.filter(
-                F.transform(
-                    F.sequence(F.lit(1), F.greatest(m, F.lit(1))),
-                    lambda j: F.when(
-                        (F.get(s, j - 2)["g"] == F.get(s, j - 1)["g"])
-                        | (F.get(s, j)["g"] == F.get(s, j - 1)["g"]),
-                        F.get(s, j - 1)["p"],
-                    ),
-                ),
-                lambda x: x.isNotNull(),
+    length. ``srt`` is the PRE-SORTED struct<g,p> gram array (equal
+    grams adjacent). Duplicate positions fall out of ONE fold over the
+    array zipped with its own tail: an occurrence is duplicated iff its
+    gram equals the previous or the next sorted entry — the previous
+    gram rides the accumulator, the next rides the zip, so no lambda
+    ever indexes an outer array (which would re-evaluate it per
+    element). The collected positions then fold into merged
+    [p, p+n-1] intervals, accumulating covered token characters run by
+    run (O(covered), each token counted once) plus in-run separator
+    spaces."""
+    m = F.size(srt)
+    tail = F.concat(
+        F.slice(srt, 2, F.greatest(m - 1, F.lit(0))),
+        F.array(
+            F.struct(
+                F.lit(None).cast("string").alias("g"), F.lit(0).alias("p")
             )
         ),
-    ).otherwise(F.array().cast("array<int>"))
+    )
+    pairs = F.zip_with(
+        srt,
+        tail,
+        lambda c, nx: F.struct(
+            c["g"].alias("g"), c["p"].alias("p"), nx["g"].alias("ng")
+        ),
+    )
+    dup_ps = F.aggregate(
+        pairs,
+        F.struct(
+            F.lit("").alias("pg"),
+            F.array().cast("array<int>").alias("out"),
+        ),
+        lambda acc, x: F.struct(
+            x["g"].alias("pg"),
+            F.when(
+                (x["g"] == acc["pg"]) | (x["g"] == x["ng"]),
+                F.concat(acc["out"], F.array(x["p"])),
+            )
+            .otherwise(acc["out"])
+            .alias("out"),
+        ),
+        lambda acc: F.array_sort(acc["out"]),
+    )
     cover = F.aggregate(
         dup_ps,
         F.struct(
@@ -197,6 +224,22 @@ def repetition_signals(docs: DataFrame) -> DataFrame:
         F.split(txt, "\n").alias("lines"),
         F.split(txt, "\n\n").alias("paras"),
     )
+    # Generate barrier: build + sort every gram array ONCE per row.
+    # Projections don't cut it (CollapseProject inlines them into each
+    # consumer), and HOF lambdas re-evaluate outer arrays per element —
+    # the explode of a 1-element struct array is the one construct that
+    # genuinely materializes these before the fold columns consume them.
+    tk = F.col("toks")
+    arrs = F.struct(
+        *[
+            F.array_sort(
+                F.transform(_gram_structs(tk, n), lambda x: x["g"])
+            ).alias(f"g{n}")
+            for n in (2, 3, 4)
+        ],
+        *[F.array_sort(_gram_structs(tk, n)).alias(f"s{n}") for n in (5, 6, 7, 8, 9, 10)],
+    )
+    b = base.withColumn("_ga", F.explode(F.array(arrs)))
     total = F.length(F.array_join(F.col("toks"), " "))
     dl, dlc = _dup_seg_fracs(F.col("lines"))
     dp, dpc = _dup_seg_fracs(F.col("paras"))
@@ -208,17 +251,17 @@ def repetition_signals(docs: DataFrame) -> DataFrame:
     }
     for n in (2, 3, 4):
         cols[f"top_{n}gram_char_frac"] = top_ngram_char_frac(
-            F.col("toks"), total, n
+            F.col(f"_ga.g{n}"), total
         )
     for n in (5, 6, 7, 8, 9, 10):
         cols[f"dup_{n}gram_char_frac"] = dup_ngram_char_frac(
-            F.col("toks"), total, n
+            F.col(f"_ga.s{n}"), F.col("toks"), total, n
         )
     passes = None
     for name, bound in GOPHER_REP_THRESHOLDS.items():
         c = cols[name] <= F.lit(bound)
         passes = c if passes is None else (passes & c)
-    return base.select(
+    return b.select(
         "doc_id",
         *[c.alias(name) for name, c in cols.items()],
         passes.alias("passes_repetition"),

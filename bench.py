@@ -143,6 +143,44 @@ def _loadavg1() -> float:
         return -1.0
 
 
+def _cpu_ticks() -> tuple[int, int]:
+    """(total, steal) jiffies from the /proc/stat cpu summary row, or
+    (-1, -1) where /proc/stat is unavailable (non-Linux).
+
+    THE third sentinel dimension (round-9, verdict #3): this box is a VM
+    on a shared host, and host-side co-tenancy is invisible to loadavg
+    (counts only in-VM runnable tasks) and can dodge the point-in-time
+    cal/shuf probes (round 8's driver artifact ran ~1.2x inflated with
+    clean sentinels). Stolen time is the hypervisor's own account of
+    exactly that — CPU the VM wanted but a neighbor got — accumulated
+    over the whole suite window, so episodic mid-run contention cannot
+    hide between probe samples. The verdict's alternative (a flag on
+    the per-query spread/median distribution) was evaluated against the
+    committed artifacts and rejected: the inflated driver record's
+    spread distribution (median rel-spread 0.395, 2 rows > 2x) is
+    INDISTINGUISHABLE from the clean solo artifacts' (0.39-0.54,
+    3-6 rows > 2x — the big spreads are intrinsic amortized-build rows
+    like ext_knn_ivf_persisted's rep-1 index build), so that envelope
+    would either never fire or reject every valid artifact."""
+    try:
+        parts = open("/proc/stat").readline().split()
+        vals = [int(x) for x in parts[1:]]
+        return sum(vals), vals[7] if len(vals) > 7 else 0
+    except (OSError, ValueError, IndexError):
+        return -1, -1
+
+
+def _steal_pct(before: tuple[int, int], after: tuple[int, int]) -> float:
+    """Percent of CPU jiffies stolen by the hypervisor across a window;
+    -1.0 when /proc/stat was unavailable at either edge. Committed idle
+    envelope on this box: ~0.16%; README "Bench validity" rejects an
+    artifact above 5.0 (a 1.2x-inflating co-tenant episode is tens of
+    percent for its duration)."""
+    if before[0] < 0 or after[0] < 0 or after[0] <= before[0]:
+        return -1.0
+    return round(100.0 * (after[1] - before[1]) / (after[0] - before[0]), 2)
+
+
 def _calibration_sec(spark) -> float:
     """Wall time of a FIXED CPU-bound probe: 48M xxhash64 folds over 32
     partitions, executed through the same noop sink as the suite. The
@@ -189,20 +227,40 @@ def _shuffle_cal_sec(spark) -> float:
 
 
 def _round_tag() -> str:
-    """The CURRENT round number, inferred from the driver's committed
+    """The CURRENT round number, inferred from the driver's COMMITTED
     per-round artifacts (CORRECTNESS_r{NN}.json marks round NN as
     recorded; the round in progress is max+1). Used to give the full
     bench record a per-round versioned name — round 7's BENCH_FULL.json
     was uncommitted mutable workspace state that every run overwrote,
     so the driver artifact's "detail" pointer could dangle across runs
     (round-7 verdict #4). The line printed to stdout always names the
-    exact file THIS run wrote, atomically with the numbers."""
+    exact file THIS run wrote, atomically with the numbers.
+
+    COMMITTED-only (round-8 verdict #2): the round-8 spelling globbed
+    the worktree, so the driver's not-yet-committed CORRECTNESS_r08.json
+    pushed the tag to r09 and round 8's full record shipped under round
+    9's name. `git ls-files` sees only committed artifacts; the round in
+    flight cannot shift its own tag. SPARK_GRAFT_ROUND overrides both
+    (explicit beats inference when a record must be stamped for a
+    specific round); if git is unavailable, fall back to the worktree
+    glob rather than failing the bench."""
     import glob
     import re
+    import subprocess
 
+    explicit = os.environ.get("SPARK_GRAFT_ROUND")
+    if explicit:
+        return f"{int(explicit):02d}"
     here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        names = subprocess.run(
+            ["git", "ls-files", "CORRECTNESS_r*.json"],
+            capture_output=True, text=True, cwd=here, timeout=30, check=True,
+        ).stdout.splitlines()
+    except (OSError, subprocess.SubprocessError):
+        names = glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
     best = 0
-    for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+    for p in names:
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", p)
         if m:
             best = max(best, int(m.group(1)))
@@ -233,8 +291,11 @@ def main() -> None:
     ).save()
 
     # contention sentinel: load BEFORE the suite contributes its own,
-    # calibration AFTER the warmup (codegen-warm, like every timed row)
+    # calibration AFTER the warmup (codegen-warm, like every timed row),
+    # steal ticks accumulated across the whole timed window (round-9:
+    # catches episodic host co-tenancy the point-in-time probes miss)
     load_start = _loadavg1()
+    ticks_start = _cpu_ticks()
     cal_pre = _calibration_sec(spark)
     shuf_pre = _shuffle_cal_sec(spark)
 
@@ -283,10 +344,21 @@ def main() -> None:
     cal_post = _calibration_sec(spark)
     shuf_post = _shuffle_cal_sec(spark)
     load_end = _loadavg1()
+    steal = _steal_pct(ticks_start, _cpu_ticks())
 
     total = round(sum(timings.values()), 3)
     linear = round(
         sum(v for k, v in timings.items() if k not in OUTPUT_BOUND), 3
+    )
+    # informational (full record only): p90 of per-query relative spread
+    # over rows with median >= 0.5s — carried so future adjudications can
+    # study the distribution, NOT a rejection rule (see _cpu_ticks: it
+    # was measured non-discriminating on the round-8 artifacts).
+    rels = sorted(
+        spread[k] / timings[k] for k in timings if timings[k] >= 0.5
+    )
+    spread_p90 = (
+        round(rels[int(0.9 * (len(rels) - 1))], 3) if rels else -1.0
     )
     full = {
         "metric": "headline_suite_wall",
@@ -295,11 +367,13 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "spread": spread,
+        "spread_p90": spread_p90,
         "reps": reps,
         "sf": _sf_from_dir(sf_dir),
         "load": [load_start, load_end],
         "cal": [cal_pre, cal_post],
         "shuf": [shuf_pre, shuf_post],
+        "steal": steal,
         "cpus": os.cpu_count(),
     }
     # Full record (incl. per-query spread) goes to a FILE; stdout gets a
@@ -343,7 +417,10 @@ def main() -> None:
         shuf=[round(x, 2) for x in full["shuf"]],
         detail=os.path.basename(out_path),
     )
-    for k in ("spread", "reps", "cpus", "value_linear"):
+    # steal rides the compact line (a validity sentinel, like load/cal/
+    # shuf — decision threshold 5.0, so 2 decimals suffice); spread_p90
+    # is informational and stays file-only.
+    for k in ("spread", "spread_p90", "reps", "cpus", "value_linear"):
         del compact[k]
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) >= 1990:  # explicit raise: a bare assert vanishes under -O

@@ -25,14 +25,22 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _REQUIRED_FIELDS = {"mode", "ok", "rows", "oracle_rows", "err"}
 
 
+def _round_of(path: str) -> int:
+    import re
+
+    return int(re.search(r"_r(\d+)\.json$", path).group(1))
+
+
 def _latest_artifact() -> str:
-    paths = sorted(glob.glob(os.path.join(_REPO, "CORRECTNESS_FULL_r*.json")))
+    # newest by PARSED round number, not lexicographic (round-8 advice:
+    # at round >= 100 'r100' sorts before 'r99' and pins stale evidence)
+    paths = glob.glob(os.path.join(_REPO, "CORRECTNESS_FULL_r*.json"))
     if not paths:
         pytest.fail(
             "no CORRECTNESS_FULL_r*.json committed - run "
             "`python tools/diff_oracle.py --all --json CORRECTNESS_FULL_rNN.json`"
         )
-    return paths[-1]
+    return max(paths, key=_round_of)
 
 
 def test_full_correctness_artifact_shape_and_all_green():

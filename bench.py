@@ -60,6 +60,14 @@ from film_media_etl_spark.session import get_spark  # noqa: E402
 #   ext_span_corruption_varlen  (same single-fold map as ext_span_corruption)
 # All three remain registered, oracle-checked, and in the pytest parity
 # sweep — they just no longer carry a bench trend row.
+#
+# Round-9 swap (byte-NEUTRAL, same name length): ext_repetition_signals
+# (the 13-signal Gopher table-A1 vector — the only registered op whose
+# round-8 performance evidence lived in a commit message) replaces
+# ext_repetition_quality, whose binary TTR/top-bigram gate is a strict
+# subset of the signals family and ALSO still runs inside
+# ext_curation_pipeline every round. The retired row stays registered,
+# oracle-checked, and in the parity sweep.
 HEADLINE = [
     "flagship_revenue_by_year",
     "star_fact_sales",            # full star-ETL fact build (joins + windows)
@@ -86,7 +94,7 @@ HEADLINE = [
     "ext_salted_agg",
     "ext_tfidf_top_terms",
     "ext_chunk_documents",
-    "ext_repetition_quality",
+    "ext_repetition_signals",  # 13-signal Gopher vector, zero-shuffle map
     "ext_vocab_prune",
     "ext_merge_upsert",
     "ext_ewma",

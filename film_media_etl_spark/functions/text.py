@@ -314,6 +314,15 @@ def oracle_gopher_reason(text: str, toks: str) -> str:
 C4_TERMINAL_PUNCT = (".", "!", "?", '"')
 C4_MIN_LINE_WORDS = 5
 C4_MIN_SENTENCES = 3
+# The javascript rule is a deliberate SUBSTRING match ('...javascript...'
+# anywhere in the lowered line), not the paper's word match: the rule
+# targets boilerplate like "enable JavaScript to view this page", where
+# the token appears inside "JavaScript-enabled", "javascript:" hrefs,
+# and similar compounds a word-boundary match would miss. Prose merely
+# MENTIONING javascript is also dropped — an accepted false-positive
+# class (C4 itself is a blunt instrument here). Both engines use the
+# same containment predicate, so the oracle is unaffected either way
+# (round-8 advice: documented rather than changed).
 
 # The sentence floor the SHARED curation gate runs (batch pipeline +
 # streaming twin). The paper's floor of 3 is for line-structured web
@@ -433,6 +442,86 @@ def oracle_curation_c4_reason(text: str) -> str:
     return oracle_c4_reason(text, min_sentences=CURATION_C4_MIN_SENTENCES)
 
 
+# --- Blocklist page gate (C4 §2.2's remaining page rule, parameterized) ----
+# C4's last page rule drops any page containing a phrase from a blocklist
+# (the "List of Dirty, Naughty, Obscene or Otherwise Bad Words" — a lexicon
+# we deliberately do NOT ship, see the C4 section note). The OPERATOR SHAPE
+# is a real curation primitive independent of that list — brand-safety
+# phrase lists, compliance blocklists, domain filters — so it ships
+# parameterized with an EMPTY default: the shared curation gate runs the
+# tier structurally (so batch and stream cannot drift) but rejects nothing
+# until an operator supplies a lexicon.
+#
+# Match semantics: a page is blocklisted when ANY lexicon phrase appears as
+# a SPACE-DELIMITED token sequence in the lowered text (newlines count as
+# token boundaries). Deliberately token-boundary, not substring — "class"
+# must not trip a blocklist containing "ass" (the classic C4 false-positive
+# family) — and deliberately not punctuation-aware: the engine's
+# tokenization convention everywhere is the literal space split.
+CURATION_BLOCKLIST: tuple[str, ...] = ()
+
+
+def blocklist_hit(text: Column, lexicon: tuple[str, ...]) -> Column:
+    """TRUE when any lexicon phrase occurs as a space-delimited token
+    sequence in the lowered text. One length-bounded containment scan
+    per phrase, all JVM-side; NULL text yields NULL (callers gate nulls
+    earlier or coalesce). Empty lexicon: constant FALSE.
+
+    Scale note: at lexicon sizes beyond ~a few dozen phrases the literal
+    expression chain stops being the right plan (codegen method bloat,
+    one pass per phrase) — use queries/blocklist.py's broadcast
+    semi-join formulation, which carries the lexicon as data. The two
+    paths implement the SAME match semantics and are pinned equal by
+    tests/test_function_models.py."""
+    if not lexicon:
+        return F.lit(False)
+    padded = F.concat(
+        F.lit(" "),
+        F.replace(F.lower(text), F.lit("\n"), F.lit(" ")),
+        F.lit(" "),
+    )
+    hit = None
+    for p in lexicon:
+        c = F.contains(padded, F.lit(f" {p.lower()} "))
+        hit = c if hit is None else (hit | c)
+    return hit
+
+
+def blocklist_reason(text: Column, lexicon: tuple[str, ...]) -> Column:
+    """'blocklisted' / 'ok' verdict over blocklist_hit (the Gopher/C4
+    reason-builder pattern). NULL text maps to 'ok' — the shared gate's
+    too_short tier owns null text."""
+    if not lexicon:
+        return F.lit("ok")
+    return F.when(blocklist_hit(text, lexicon), F.lit("blocklisted")).otherwise(
+        F.lit("ok")
+    )
+
+
+def curation_blocklist_reason(text: Column) -> Column:
+    """The blocklist tier as the SHARED curation gate runs it — one
+    builder for the batch pipeline and the streaming twin (default
+    lexicon empty: structurally present, rejects nothing)."""
+    return blocklist_reason(text, CURATION_BLOCKLIST)
+
+
+def oracle_blocklist_reason(text: str, lexicon: tuple[str, ...]) -> str:
+    """DuckDB twin of blocklist_reason — same padding, same lowered
+    space-delimited containment, same phrase order."""
+    if not lexicon:
+        return "'ok'"
+    padded = f"(' ' || replace(lower({text}), chr(10), ' ') || ' ')"
+    hit = " OR ".join(
+        f"contains({padded}, ' {p.lower()} ')" for p in lexicon
+    )
+    return f"CASE WHEN {hit} THEN 'blocklisted' ELSE 'ok' END"
+
+
+def oracle_curation_blocklist_reason(text: str) -> str:
+    """DuckDB twin of curation_blocklist_reason (shared-gate tier)."""
+    return oracle_blocklist_reason(text, CURATION_BLOCKLIST)
+
+
 def curation_scalar_reason(
     text: Column,
     n_toks: Column,
@@ -441,16 +530,24 @@ def curation_scalar_reason(
     ttr_ok: Column,
     gopher: Column,
     c4: Column,
+    blocklist: Column,
+    rep_ok: Column,
 ) -> Column:
     """The FIXED scalar gate order every curation surface must apply:
     length -> language -> quality -> Gopher battery -> C4 battery ->
-    repetition. Returns the reject_reason through the scalar gates
-    ('ok' if all pass); callers append their own duplicate gate after
-    (batch: min-id join; stream: per-fingerprint state). One builder so
-    a threshold or gate-order change cannot drift between the batch and
-    streaming twins; ``gopher`` and ``c4`` are REQUIRED (build them
-    with gopher_reason / c4_reason) so a caller cannot silently ship a
-    pre-Gopher or pre-C4 rule set."""
+    blocklist -> repetition (TTR + top-bigram) -> Gopher 13-signal
+    repetition verdict. Returns the reject_reason through the scalar
+    gates ('ok' if all pass); callers append their own duplicate gate
+    after (batch: min-id join; stream: per-fingerprint state). One
+    builder so a threshold or gate-order change cannot drift between
+    the batch and streaming twins; ``gopher``, ``c4``, ``blocklist``
+    and ``rep_ok`` are REQUIRED (build them with gopher_reason /
+    curation_c4_reason / curation_blocklist_reason /
+    repetition_signals.with_repetition_verdict) so a caller cannot
+    silently ship a reduced rule set. The round-9 tiers append AFTER
+    the pre-existing gates (a document round 8 rejected keeps its
+    round-8 reason; the new tiers only catch what the old gates
+    passed)."""
     return (
         F.when(
             text.isNull() | (n_toks < CURATION_MIN_TOKENS), F.lit("too_short")
@@ -459,7 +556,9 @@ def curation_scalar_reason(
         .when(q < CURATION_MIN_QUALITY, F.lit("low_quality"))
         .when(gopher != "ok", gopher)
         .when(c4 != "ok", c4)
+        .when(blocklist != "ok", blocklist)
         .when(~ttr_ok, F.lit("repetitive"))
+        .when(~rep_ok, F.lit("gopher_repetition"))
         .otherwise(F.lit("ok"))
     )
 

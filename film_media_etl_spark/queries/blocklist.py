@@ -1,0 +1,140 @@
+"""Blocklist page gate — C4 §2.2's remaining page rule (Raffel et al.
+2020: drop any page containing a phrase from a blocklist), shipped as a
+PARAMETERIZED operator (round-8 verdict "What's missing #2" / "Next
+round #4"). The C4 paper's own lexicon (the "List of Dirty, Naughty,
+Obscene or Otherwise Bad Words") is deliberately NOT shipped
+(functions/text.py documents the decision); the operator shape is a
+general curation primitive — brand-safety phrase lists, compliance
+blocklists, domain filters — so the engine exposes it with:
+
+- an expression path (functions/text.blocklist_reason): one JVM-side
+  containment scan per phrase, zero shuffle — right for lexicons up to
+  a few dozen phrases (beyond that the literal chain bloats codegen);
+- a broadcast semi-join path (blocklist_join_verdict below): the
+  lexicon rides as DATA (a broadcast frame), each page emits its
+  distinct n-grams at exactly the lexicon's phrase lengths, and a
+  broadcast LEFT SEMI join marks the hits — the 100 TB shape for
+  thousand-phrase lexicons (per-page work is O(tokens x distinct
+  phrase lengths); only matched doc_ids ever shuffle).
+
+Both paths implement the SAME match semantics (a phrase hits when it
+appears as a space-delimited token sequence in the lowered text,
+newlines as boundaries) and are pinned equal by
+tests/test_function_models.py. The registered query runs the
+expression path over a 3-phrase DEMO lexicon (documented as demo —
+phrases chosen to fire on the synthetic fixture corpus) with an exact
+DuckDB twin; the shared curation gate runs the same builder with the
+default EMPTY lexicon (functions/text.CURATION_BLOCKLIST).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import blocklist_hit, blocklist_reason, oracle_blocklist_reason
+from ..sources import ensure_parallelism, load_table
+from .registry import register
+
+# Demo lexicon for the registered observability query — NOT a shipped
+# content policy (that stays a deployment parameter): three phrases the
+# synthetic fixture corpus actually contains, so every branch of the
+# gate is exercised at every scale factor.
+DEMO_BLOCKLIST: tuple[str, ...] = ("slow query", "big data", "spark window")
+
+
+def _oracle_hit(text: str, phrase: str) -> str:
+    padded = f"(' ' || replace(lower({text}), chr(10), ' ') || ' ')"
+    return f"contains({padded}, ' {phrase.lower()} ')"
+
+
+@register(
+    "ext_blocklist_filter",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, coalesce(text, '') AS tx FROM documents)
+    SELECT doc_id,
+           ({" + ".join(f"CASE WHEN {_oracle_hit('tx', p)} THEN 1 ELSE 0 END" for p in DEMO_BLOCKLIST)})
+             AS n_phrases_hit,
+           {oracle_blocklist_reason("tx", DEMO_BLOCKLIST)} AS reject_reason,
+           ({oracle_blocklist_reason("tx", DEMO_BLOCKLIST)}) = 'ok' AS keep
+    FROM t
+    """,
+)
+def ext_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist page gate over the documents table with the demo
+    lexicon: per-page phrase-hit count, verdict, and keep flag (see
+    module docstring). Pure map-side string expressions over one
+    pruned documents scan — no shuffle, no UDF (same plan class as
+    ext_c4_filters); NULL text is the empty page, which no phrase can
+    hit."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    n_hit: Column | None = None
+    for p in DEMO_BLOCKLIST:
+        c = blocklist_hit(txt, (p,)).cast("int")
+        n_hit = c if n_hit is None else n_hit + c
+    reason = blocklist_reason(txt, DEMO_BLOCKLIST)
+    return docs.select(
+        "doc_id",
+        n_hit.alias("n_phrases_hit"),
+        reason.alias("reject_reason"),
+        (reason == "ok").alias("keep"),
+    )
+
+
+def blocklist_join_verdict(docs: DataFrame, lexicon: tuple[str, ...]) -> DataFrame:
+    """(doc_id, blocked) via the broadcast semi-join path — the scale
+    formulation for lexicons too large to inline as expressions.
+
+    Shape: each page builds ONE distinct-gram array per phrase length
+    present in the lexicon (map-side HOFs over the space-split tokens,
+    newlines folded to spaces first — identical tokenization to the
+    expression path), explodes it, and LEFT SEMI joins the broadcast
+    lexicon. Only matching (doc_id, gram) rows survive the join, so the
+    distinct + verdict join that follows shuffles matched doc_ids only
+    — at 100 TB the corpus-sized work is the scan plus per-row gram
+    construction; the lexicon is a constant-size broadcast however
+    large the corpus. array_distinct before the explode bounds the
+    per-page emit at distinct grams (a page repeating one phrase 10^6
+    times emits it once)."""
+    if not lexicon:
+        return docs.select("doc_id", F.lit(False).alias("blocked"))
+    lengths = sorted({len(p.split(" ")) for p in lexicon})
+    spark = docs.sparkSession
+    lex = F.broadcast(
+        spark.createDataFrame([(p.lower(),) for p in lexicon], "g string")
+    )
+    txt = F.replace(
+        F.lower(F.coalesce(F.col("text"), F.lit(""))), F.lit("\n"), F.lit(" ")
+    )
+    base = docs.select("doc_id", F.split(txt, " ").alias("_bt"))
+    tk = F.col("_bt")
+
+    # NOTE a two-parameter lambda here is a silent trap: F.transform
+    # dispatches on Python ARITY, so `lambda i, L=L:` is called as
+    # (element, index) and the "default" L becomes the 0-based array
+    # index — grams of length 0,1,2,... instead of L. A named helper
+    # keeps the element lambda unary (the loop value binds eagerly:
+    # F.transform invokes the lambda once, at construction time).
+    def _grams(L: int) -> Column:
+        return F.when(
+            F.size(tk) - (L - 1) >= 1,
+            F.transform(
+                F.sequence(F.lit(1), F.size(tk) - (L - 1)),
+                lambda i: F.array_join(F.slice(tk, i, L), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    per_len = [_grams(L) for L in lengths]
+    grams = base.select(
+        "doc_id", F.explode(F.array_distinct(F.concat(*per_len))).alias("g")
+    )
+    hits = (
+        grams.join(lex, "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("_hit", F.lit(True))
+    )
+    return docs.select("doc_id").join(hits, "doc_id", "left").select(
+        "doc_id", F.coalesce("_hit", F.lit(False)).alias("blocked")
+    )

@@ -214,6 +214,53 @@ def dup_ngram_char_frac(srt: Column, toks: Column, total_chars: Column, n: int) 
     return _frac(cover, total_chars)
 
 
+def _rep_arrays(tk: Column) -> Column:
+    """The 9 sorted gram arrays as one struct — the value the Generate
+    barrier materializes ONCE per row (g2..g4: plain sorted gram
+    strings for the top-gram folds; s5..s10: sorted struct<g,p> for the
+    dup-coverage folds)."""
+    return F.struct(
+        *[
+            F.array_sort(
+                F.transform(_gram_structs(tk, n), lambda x: x["g"])
+            ).alias(f"g{n}")
+            for n in (2, 3, 4)
+        ],
+        *[F.array_sort(_gram_structs(tk, n)).alias(f"s{n}") for n in (5, 6, 7, 8, 9, 10)],
+    )
+
+
+def _signal_cols(toks: Column, lines: Column, paras: Column, ga: Column) -> dict[str, Column]:
+    """All 13 signal expressions over the barrier-materialized columns
+    (``ga`` is the _rep_arrays struct attribute produced by the
+    caller's Generate)."""
+    total = F.length(F.array_join(toks, " "))
+    dl, dlc = _dup_seg_fracs(lines)
+    dp, dpc = _dup_seg_fracs(paras)
+    cols = {
+        "dup_line_frac": dl,
+        "dup_line_char_frac": dlc,
+        "dup_para_frac": dp,
+        "dup_para_char_frac": dpc,
+    }
+    for n in (2, 3, 4):
+        cols[f"top_{n}gram_char_frac"] = top_ngram_char_frac(ga[f"g{n}"], total)
+    for n in (5, 6, 7, 8, 9, 10):
+        cols[f"dup_{n}gram_char_frac"] = dup_ngram_char_frac(
+            ga[f"s{n}"], toks, total, n
+        )
+    return cols
+
+
+def _passes(cols: dict[str, Column]) -> Column:
+    """The Gopher table-A1 verdict: every signal at or below its bound."""
+    passes = None
+    for name, bound in GOPHER_REP_THRESHOLDS.items():
+        c = cols[name] <= F.lit(bound)
+        passes = c if passes is None else (passes & c)
+    return passes
+
+
 def repetition_signals(docs: DataFrame) -> DataFrame:
     """The 13-signal vector + Gopher-threshold verdict per document."""
     txt = F.coalesce(F.col("text"), F.lit(""))
@@ -229,47 +276,50 @@ def repetition_signals(docs: DataFrame) -> DataFrame:
     # consumer), and HOF lambdas re-evaluate outer arrays per element —
     # the explode of a 1-element struct array is the one construct that
     # genuinely materializes these before the fold columns consume them.
-    tk = F.col("toks")
-    arrs = F.struct(
-        *[
-            F.array_sort(
-                F.transform(_gram_structs(tk, n), lambda x: x["g"])
-            ).alias(f"g{n}")
-            for n in (2, 3, 4)
-        ],
-        *[F.array_sort(_gram_structs(tk, n)).alias(f"s{n}") for n in (5, 6, 7, 8, 9, 10)],
-    )
-    b = base.withColumn("_ga", F.explode(F.array(arrs)))
-    total = F.length(F.array_join(F.col("toks"), " "))
-    dl, dlc = _dup_seg_fracs(F.col("lines"))
-    dp, dpc = _dup_seg_fracs(F.col("paras"))
-    cols = {
-        "dup_line_frac": dl,
-        "dup_line_char_frac": dlc,
-        "dup_para_frac": dp,
-        "dup_para_char_frac": dpc,
-    }
-    for n in (2, 3, 4):
-        cols[f"top_{n}gram_char_frac"] = top_ngram_char_frac(
-            F.col(f"_ga.g{n}"), total
-        )
-    for n in (5, 6, 7, 8, 9, 10):
-        cols[f"dup_{n}gram_char_frac"] = dup_ngram_char_frac(
-            F.col(f"_ga.s{n}"), F.col("toks"), total, n
-        )
-    passes = None
-    for name, bound in GOPHER_REP_THRESHOLDS.items():
-        c = cols[name] <= F.lit(bound)
-        passes = c if passes is None else (passes & c)
+    b = base.withColumn("_ga", F.explode(F.array(_rep_arrays(F.col("toks")))))
+    cols = _signal_cols(F.col("toks"), F.col("lines"), F.col("paras"), F.col("_ga"))
     return b.select(
         "doc_id",
         *[c.alias(name) for name, c in cols.items()],
-        passes.alias("passes_repetition"),
+        _passes(cols).alias("passes_repetition"),
+    )
+
+
+def with_repetition_verdict(
+    df: DataFrame, text_col: str = "text", out_col: str = "rep_ok"
+) -> DataFrame:
+    """Append the 13-threshold Gopher repetition VERDICT as one boolean
+    column (TRUE = passes every table-A1 bound) — the shared-builder
+    entry point the batch curation pipeline and the streaming curation
+    gate both call (round-8 verdict "Next round #1"), so the thresholds
+    and the signal definitions cannot drift from ext_repetition_signals:
+    all three surfaces read the same _signal_cols/_passes expressions.
+
+    Map-side and stateless (streaming-safe): one Project materializes
+    the token/line/paragraph splits as attributes, one Generate barrier
+    materializes the 9 sorted gram arrays, and the verdict is a single
+    fold chain over those attributes — zero shuffle, no lambda ever
+    indexes an outer array (the O(m^2) HOF trap this module's docstring
+    documents). NULL text verdicts TRUE ('' has no repetition): the
+    curation gate's too_short tier owns null text."""
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    pre = df.select(
+        "*",
+        F.split(F.lower(txt), " ").alias("_rtoks"),
+        F.split(txt, "\n").alias("_rlines"),
+        F.split(txt, "\n\n").alias("_rparas"),
+    )
+    b = pre.withColumn("_rga", F.explode(F.array(_rep_arrays(F.col("_rtoks")))))
+    cols = _signal_cols(
+        F.col("_rtoks"), F.col("_rlines"), F.col("_rparas"), F.col("_rga")
+    )
+    return b.withColumn(out_col, _passes(cols)).drop(
+        "_rtoks", "_rlines", "_rparas", "_rga"
     )
 
 
 _ORACLE = """
-WITH t AS MATERIALIZED (
+WITH rs_t AS MATERIALIZED (
   SELECT doc_id,
          coalesce(text, '') AS tx,
          string_split(lower(coalesce(text, '')), ' ') AS toks
@@ -280,7 +330,7 @@ base AS (
          string_split(tx, chr(10)) AS lines,
          string_split(tx, chr(10) || chr(10)) AS paras,
          length(array_to_string(toks, ' ')) AS total_chars
-  FROM t
+  FROM rs_t
 ),
 segstats AS (
   SELECT doc_id,
@@ -303,9 +353,9 @@ segstats AS (
   FROM base
 ),
 occ AS MATERIALIZED (
-  SELECT t.doc_id, u.n, r.i AS pos,
+  SELECT rs_t.doc_id, u.n, r.i AS pos,
          array_to_string(toks[r.i : r.i + u.n - 1], ' ') AS g
-  FROM t,
+  FROM rs_t,
        LATERAL UNNEST([2, 3, 4, 5, 6, 7, 8, 9, 10]) AS u(n),
        LATERAL UNNEST(range(1, len(toks) - u.n + 2)) AS r(i)
   WHERE len(toks) >= u.n
@@ -336,7 +386,7 @@ runs AS (
 ),
 tokpos AS (
   SELECT doc_id, r.i AS pos, length(toks[r.i]) AS tl
-  FROM t, LATERAL UNNEST(range(1, len(toks) + 1)) AS r(i)
+  FROM rs_t, LATERAL UNNEST(range(1, len(toks) + 1)) AS r(i)
 ),
 covchars AS (
   SELECT r.doc_id, r.n,
@@ -385,6 +435,15 @@ FROM segstats s JOIN pivoted p ON s.doc_id = p.doc_id
         for n in (5, 6, 7, 8, 9, 10)
     ),
 )
+
+
+def oracle_repetition_verdict_subquery() -> str:
+    """The 13-threshold verdict as a (doc_id, passes_repetition) derived
+    table — the DuckDB twin of with_repetition_verdict, for splicing
+    into composite oracles (the curation pipeline's gopher_repetition
+    tier). Reuses the FULL 13-signal oracle so the two formulations can
+    never diverge; DuckDB prunes the unread signal columns."""
+    return f"(SELECT doc_id, passes_repetition FROM ({_ORACLE}) AS _repsig)"
 
 
 @register("ext_repetition_signals", oracle=_ORACLE)

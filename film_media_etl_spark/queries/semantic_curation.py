@@ -29,11 +29,13 @@ from ..functions.text import (
     oracle_c4_kept_lines,
     oracle_c4_reason,
     oracle_c4_sentence_count,
+    oracle_curation_blocklist_reason,
     oracle_curation_c4_reason,
     oracle_gopher_reason,
     oracle_predicted_lang,
     oracle_quality_score,
 )
+from .repetition_signals import oracle_repetition_verdict_subquery
 from ..functions.vectors import dot, l2sq, oracle_dot, oracle_l2sq, to_double_vec
 from ..sources import ensure_parallelism, load_table
 from .registry import register
@@ -485,11 +487,13 @@ def ext_dedup_simhash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
              WHEN {{q}} < 0.5 THEN 'low_quality'
              WHEN ({{gor}}) <> 'ok' THEN ({{gor}})
              WHEN ({{c4r}}) <> 'ok' THEN ({{c4r}})
+             WHEN ({{blk}}) <> 'ok' THEN ({{blk}})
              WHEN NOT (CAST(len(list_distinct(t.toks)) AS DOUBLE)
                          / CAST(len(t.toks) AS DOUBLE) >= 0.3
                        AND CAST(top.topc AS DOUBLE)
                          / CAST(top.n_bigrams AS DOUBLE) <= 0.18)
                THEN 'repetitive'
+             WHEN NOT rep.passes_repetition THEN 'gopher_repetition'
              WHEN dup.keep_id < t.doc_id THEN 'duplicate'
              ELSE 'ok'
            END AS reject_reason,
@@ -499,22 +503,27 @@ def ext_dedup_simhash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
              WHEN {{q}} < 0.5 THEN FALSE
              WHEN ({{gor}}) <> 'ok' THEN FALSE
              WHEN ({{c4r}}) <> 'ok' THEN FALSE
+             WHEN ({{blk}}) <> 'ok' THEN FALSE
              WHEN NOT (CAST(len(list_distinct(t.toks)) AS DOUBLE)
                          / CAST(len(t.toks) AS DOUBLE) >= 0.3
                        AND CAST(top.topc AS DOUBLE)
                          / CAST(top.n_bigrams AS DOUBLE) <= 0.18)
                THEN FALSE
+             WHEN NOT rep.passes_repetition THEN FALSE
              WHEN dup.keep_id < t.doc_id THEN FALSE
              ELSE TRUE
            END AS keep
     FROM t
     LEFT JOIN top ON t.doc_id = top.doc_id
     LEFT JOIN dup ON t.text = dup.text
+    JOIN {{rep}} rep ON t.doc_id = rep.doc_id
     """.format(
         pred=oracle_predicted_lang("t.text"),
         q=oracle_quality_score("t.text"),
         gor=oracle_gopher_reason("t.text", "t.toks"),
         c4r=oracle_curation_c4_reason("t.text"),
+        blk=oracle_curation_blocklist_reason("t.text"),
+        rep=oracle_repetition_verdict_subquery(),
     ),
 )
 def ext_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -526,17 +535,23 @@ def ext_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     unique-stop-word floor — functions/text.gopher_reason), the C4 §2.2
     page battery (lorem-ipsum / curly-brace / retained-sentences floor —
     functions/text.c4_reason; the line-structural complement, round-8),
-    Gopher repetition gates (type-token ratio + top-bigram share), and
-    exact dedup (greedy min-id survivor), applied in a FIXED order so
-    every document gets one deterministic reject_reason (or 'ok'). All
-    gate expressions are the already-oracle-checked building blocks
-    (ext_quality / ext_langid / ext_repetition_quality /
-    ext_dedup_exact) fused into a single DataFrame pass: the scalar
-    gates are map-side; the repetition stats add one doc_id-keyed
-    aggregate and the dedup gate one text-keyed aggregate + broadcast-
-    able joins — so the whole pipeline is ~3 shuffles regardless of
-    corpus size, versus 4 separate jobs when run piecemeal."""
+    the parameterized blocklist page gate (empty default — round-9,
+    functions/text.curation_blocklist_reason), Gopher repetition gates
+    (type-token ratio + top-bigram share), the FULL 13-signal Gopher
+    table-A1 repetition verdict (queries/repetition_signals.
+    with_repetition_verdict — round-9), and exact dedup (greedy min-id
+    survivor), applied in a FIXED order so every document gets one
+    deterministic reject_reason (or 'ok'). All gate expressions are the
+    already-oracle-checked building blocks (ext_quality / ext_langid /
+    ext_repetition_quality / ext_repetition_signals / ext_dedup_exact)
+    fused into a single DataFrame pass: the scalar gates are map-side
+    (the 13-signal verdict adds one more Generate barrier, still zero
+    shuffle); the repetition stats add one doc_id-keyed aggregate and
+    the dedup gate one text-keyed aggregate + broadcast-able joins — so
+    the whole pipeline is ~3 shuffles regardless of corpus size, versus
+    5 separate jobs when run piecemeal."""
     from ..functions import text as TX
+    from .repetition_signals import with_repetition_verdict
 
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     # Generate barrier (explode of a 1-element struct array): the reason
@@ -546,9 +561,15 @@ def ext_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # JVM 64KB method limit that silently drops a stage out of codegen.
     # Materializing (lang, q) once behind the barrier keeps the downstream
     # CASE tiny, the stage codegen'd, and the lexicon scans single-pass.
-    t = TX.lang_quality_barrier(
-        docs.select("doc_id", "text", F.split(F.lower("text"), " ").alias("toks"))
-    ).select("doc_id", "text", "toks", "lang", "q")
+    # with_repetition_verdict adds its own barrier for the 9 gram arrays
+    # and leaves one boolean attribute (rep_ok) for the reason chain.
+    t = with_repetition_verdict(
+        TX.lang_quality_barrier(
+            docs.select(
+                "doc_id", "text", F.split(F.lower("text"), " ").alias("toks")
+            )
+        ).select("doc_id", "text", "toks", "lang", "q")
+    )
     n = F.size("toks")
     bg = F.explode(
         F.zip_with(
@@ -597,6 +618,8 @@ def ext_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ttr_ok,
         TX.gopher_reason(F.col("text"), F.col("toks")),
         TX.curation_c4_reason(F.col("text")),
+        TX.curation_blocklist_reason(F.col("text")),
+        F.col("rep_ok"),
     )
     reason = (
         F.when(scalar != "ok", scalar)

@@ -154,8 +154,10 @@ _GATE_STATE = T.StructType([T.StructField("seen", T.BooleanType(), True)])
 def stream_curation_gate(docs: DataFrame) -> DataFrame:
     """Ingest-time curation verdict stream — the online twin of batch
     ext_curation_pipeline, same gates in the same FIXED order (length,
-    langid=='en', quality floor, Gopher repetition, exact dedup), so
-    every arriving document gets one deterministic reject_reason.
+    langid=='en', quality floor, Gopher battery, C4 battery, blocklist,
+    TTR/top-bigram repetition, 13-signal Gopher repetition verdict,
+    exact dedup), so every arriving document gets one deterministic
+    reject_reason.
 
     The scalar gates are pure map-side expressions (behind the same
     Generate barrier — predicted_lang + quality_score materialize once).
@@ -176,6 +178,7 @@ def stream_curation_gate(docs: DataFrame) -> DataFrame:
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     from ..functions import text as TX
+    from ..queries.repetition_signals import with_repetition_verdict
 
     toks = F.split(F.lower("text"), " ")
     n = F.size("toks")
@@ -184,9 +187,14 @@ def stream_curation_gate(docs: DataFrame) -> DataFrame:
         F.slice(F.col("toks"), 2, n - 1),
         lambda a, b: F.concat(a, F.lit(" "), b),
     )
-    base = TX.lang_quality_barrier(
-        docs.select("doc_id", "text", toks.alias("toks"))
-    ).withColumn("bgs", bgs)
+    # with_repetition_verdict is stateless map-side work (Project +
+    # Generate barrier), so it composes onto the stream like any other
+    # scalar gate — same shared builder as the batch pipeline.
+    base = with_repetition_verdict(
+        TX.lang_quality_barrier(
+            docs.select("doc_id", "text", toks.alias("toks"))
+        ).withColumn("bgs", bgs)
+    )
     # top-bigram count == longest equal run in the SORTED bigram array —
     # O(n log n) per doc vs the O(distinct x n) distinct/filter spelling
     # (this runs per-row on the ingest hot path). "" is a safe run
@@ -213,8 +221,9 @@ def stream_curation_gate(docs: DataFrame) -> DataFrame:
         F.size(F.array_distinct("toks")).cast("double") / n.cast("double")
         >= F.lit(TX.CURATION_MIN_TTR)
     ) & (top_share <= F.lit(TX.CURATION_MAX_TOP_BIGRAM_SHARE))
-    # shared FIXED gate order (functions/text.py), Gopher + C4 batteries
-    # included (map-side, stateless on the stream); the dup gate is the
+    # shared FIXED gate order (functions/text.py), Gopher + C4 batteries,
+    # blocklist tier, and the 13-signal repetition verdict included
+    # (all map-side, stateless on the stream); the dup gate is the
     # per-fingerprint state below
     reason0 = TX.curation_scalar_reason(
         F.col("text"),
@@ -224,6 +233,8 @@ def stream_curation_gate(docs: DataFrame) -> DataFrame:
         ttr_ok,
         TX.gopher_reason(F.col("text"), F.col("toks")),
         TX.curation_c4_reason(F.col("text")),
+        TX.curation_blocklist_reason(F.col("text")),
+        F.col("rep_ok"),
     )
     scalar = base.select(
         "doc_id",

@@ -242,9 +242,15 @@ def test_curation_pipeline_every_gate_fires(spark, tmp_path):
     from film_media_etl_spark.queries import all_oracles, all_queries
     from film_media_etl_spark.sources import TABLES
 
+    # long enough that NO single n-gram's character mass trips the
+    # round-9 13-signal verdict (a ~24-word doc fails top_4gram_char_frac
+    # by construction: one distinct 4-gram covers > 16% of a short doc —
+    # the raw-signal behavior Gopher's upstream 50-word floor masks)
     good = (
         "the quick brown fox jumps over the lazy dog and then the small "
-        "bird sings while a friendly cat naps near the warm window today"
+        "bird sings while a friendly cat naps near the warm window today "
+        "as evening light settles across the quiet garden and distant "
+        "hills glow softly under a wide amber sky before night arrives"
     )
     texts = [
         good,                      # 0: ok
@@ -263,6 +269,13 @@ def test_curation_pipeline_every_gate_fires(spark, tmp_path):
         "the second line",  # 10: ellipsis_lines (symbol ratio under cap)
         "the zebra the quokka the wombat the numbat the dingo the koala",
         # 11: no_stopwords (only ONE unique stop word, repeated)
+        "the quick brown fox jumps over one lazy dog in a field\n"
+        "the quick brown fox jumps over one lazy dog in a field\n"
+        "another closing sentence with many unique tokens right here now",
+        # 12: gopher_repetition (round-9 13-signal tier): duplicate LINE
+        #    fraction 1/3 > 0.30 while the TTR/top-bigram gate passes
+        #    (distinct tokens ~2/3, top bigram share 2/35) — exactly the
+        #    repetition class the old binary gate could not see
     ]
     pq.write_table(
         pa.table(
@@ -299,12 +312,13 @@ def test_curation_pipeline_every_gate_fires(spark, tmp_path):
     assert reasons == {
         "ok", "too_short", "wrong_lang", "low_quality", "repetitive",
         "duplicate", "word_length", "too_symbolic", "bullet_lines",
-        "ellipsis_lines", "no_stopwords",
+        "ellipsis_lines", "no_stopwords", "gopher_repetition",
     }, reasons
     assert got[6] == ("duplicate", False) and got[0][0] == "ok"
     assert got[7][0] == "word_length" and got[8][0] == "too_symbolic"
     assert got[9][0] == "bullet_lines" and got[10][0] == "ellipsis_lines"
     assert got[11][0] == "no_stopwords" and got[5][0] == "repetitive"
+    assert got[12][0] == "gopher_repetition"
 
 
 def test_kneser_ney_is_proper_distribution_and_matches_reference(spark, tmp_path):
@@ -2124,3 +2138,102 @@ def test_repetition_signals_match_python_model(spark):
     assert got[5]["passes_repetition"]
     assert not got[6]["passes_repetition"] and got[6]["top_2gram_char_frac"] > 0.2
     assert got[7]["passes_repetition"]  # null text: all-zero signals
+
+
+def test_blocklist_each_phrase_fires_and_token_boundaries(spark):
+    """The blocklist page gate (round-9): every demo phrase fires, a
+    phrase inside a larger token does NOT (the 'class' vs 'ass'
+    false-positive family the token-boundary semantics exist to kill),
+    newlines count as token boundaries, null text is 'ok' (the shared
+    gate's too_short tier owns it), and the empty lexicon is a constant
+    'ok' — verified against the DuckDB twin on the same rows."""
+    import duckdb
+
+    from film_media_etl_spark.functions import text as TX
+    from film_media_etl_spark.queries.blocklist import DEMO_BLOCKLIST
+
+    rows = [
+        (0, "we saw a slow query in the log"),          # phrase 1
+        (1, "this is big data at work"),                 # phrase 2
+        (2, "one spark window per group"),               # phrase 3
+        (3, "a slow\nquery split across lines"),         # newline boundary hits
+        (4, "bigdata is one token here"),                # no boundary -> miss
+        (5, "the slow queryx suffix must not match"),    # suffix -> miss
+        (6, "a perfectly clean document"),               # miss
+        (7, None),                                       # null -> 'ok'
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["reason"]
+        for r in docs.select(
+            "doc_id",
+            TX.blocklist_reason(F.col("text"), DEMO_BLOCKLIST).alias("reason"),
+        ).collect()
+    }
+    want = {
+        0: "blocklisted", 1: "blocklisted", 2: "blocklisted",
+        3: "blocklisted", 4: "ok", 5: "ok", 6: "ok", 7: "ok",
+    }
+    assert got == want
+    # the 'ass'-in-'class' family explicitly
+    lex = ("ass",)
+    g2 = {
+        r["doc_id"]: r["reason"]
+        for r in spark.createDataFrame(
+            [(0, "the class is in session"), (1, "the ass is in the field")],
+            "doc_id long, text string",
+        ).select(
+            "doc_id", TX.blocklist_reason(F.col("text"), lex).alias("reason")
+        ).collect()
+    }
+    assert g2 == {0: "ok", 1: "blocklisted"}
+    # empty lexicon: constant 'ok' on every row (the shared-gate default)
+    g3 = {
+        r["doc_id"]: r["reason"]
+        for r in docs.select(
+            "doc_id", TX.curation_blocklist_reason(F.col("text")).alias("reason")
+        ).collect()
+    }
+    assert set(g3.values()) == {"ok"}
+    # DuckDB twin agrees cell-for-cell on the same rows
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    sql = TX.oracle_blocklist_reason("text", DEMO_BLOCKLIST)
+    assert got == {
+        r[0]: r[1]
+        for r in con.execute(f"SELECT doc_id, {sql} FROM t").fetchall()
+    }
+
+
+def test_blocklist_join_path_matches_expression_path(spark):
+    """The broadcast semi-join formulation (the large-lexicon scale
+    path) must produce the SAME verdict set as the literal expression
+    chain on the fixture corpus — same tokenization, same boundaries,
+    one implementation of the semantics carried as data, one as code."""
+    from film_media_etl_spark.functions import text as TX
+    from film_media_etl_spark.queries.blocklist import (
+        DEMO_BLOCKLIST,
+        blocklist_join_verdict,
+    )
+    from film_media_etl_spark.sources import load_table
+
+    docs = load_table(spark, PARITY_SF_DIR, "documents")
+    expr = {
+        r["doc_id"]: r["hit"]
+        for r in docs.select(
+            "doc_id",
+            F.coalesce(
+                TX.blocklist_hit(F.col("text"), DEMO_BLOCKLIST), F.lit(False)
+            ).alias("hit"),
+        ).collect()
+    }
+    join = {
+        r["doc_id"]: r["blocked"]
+        for r in blocklist_join_verdict(docs, DEMO_BLOCKLIST).collect()
+    }
+    assert expr == join
+    assert any(expr.values()) and not all(expr.values())  # both branches live
+    # empty lexicon: the join path degenerates to all-False, no join
+    empty = blocklist_join_verdict(docs, ())
+    assert not any(r["blocked"] for r in empty.collect())

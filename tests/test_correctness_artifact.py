@@ -63,6 +63,49 @@ def test_full_correctness_artifact_shape_and_all_green():
     assert art["n_bad"] == 0
 
 
+def test_sf01_sample_artifact_shape_and_rotation():
+    """Shape pin for the committed ROTATING sf0.1 correctness sample
+    (round-8 verdict "Next round #3"): the newest
+    CORRECTNESS_SF01_r*.json must parse, run at sf0.1, report zero
+    failures, and contain EXACTLY the deterministic slice its recorded
+    (sample, round) parameters imply — recomputed here from the live
+    registry via tools/diff_oracle.sample_slice, so a hand-edited or
+    stale slice fails. Queries the registry has since dropped also
+    fail (stale evidence, same rule as the FULL artifact)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(_REPO, "tools"))
+    from diff_oracle import sample_slice
+
+    from film_media_etl_spark.queries import all_queries
+
+    paths = glob.glob(os.path.join(_REPO, "CORRECTNESS_SF01_r*.json"))
+    if not paths:
+        pytest.fail(
+            "no CORRECTNESS_SF01_r*.json committed - run "
+            "`python tools/diff_oracle.py --sf /root/testdata/sf0.1 "
+            "--sample 25 --round NN --json CORRECTNESS_SF01_rNN.json`"
+        )
+    with open(max(paths, key=_round_of)) as f:
+        art = json.load(f)
+    assert art["kind"] == "scale_sample_correctness"
+    assert art["sf_dir"].rstrip("/").endswith("sf0.1")
+    assert art["n_bad"] == 0
+    registry = sorted(all_queries())
+    assert set(art["queries"]) <= set(registry), "stale evidence"
+    want = sample_slice(registry, art["sample"], art["round"])
+    assert sorted(art["slice"]) == sorted(art["queries"])
+    # strict recomputation: the committed slice must be exactly the
+    # rotation the live registry implies for the recorded round — a
+    # registry change after generation fails here, which is the same
+    # regenerate-after-last-registry-change workflow rule the FULL
+    # artifact already enforces
+    assert art["slice"] == want
+    for name, rec in art["queries"].items():
+        assert rec["ok"] is True, (name, rec["err"])
+        assert rec["mode"] in ("oracle", "rows_only"), name
+
+
 def test_full_correctness_artifact_covers_registry():
     """Artifact keys must name real registry queries (no stale evidence)
     and cover the driver's frozen window plus the whole oracle surface

@@ -7,6 +7,8 @@ differing cells so the root cause of a hash mismatch is visible.
 Usage: python tools/diff_oracle.py [--sf DIR] q1 q2 ...
        python tools/diff_oracle.py --all      # every query with an oracle
        python tools/diff_oracle.py --all --json CORRECTNESS_FULL_rNN.json
+       python tools/diff_oracle.py --sf /root/testdata/sf0.1 \
+           --sample 25 --round NN --json CORRECTNESS_SF01_rNN.json
 
 --json writes the FULL-REGISTRY correctness artifact (round-7 verdict
 "Next round #1"): one record per registered query — oracle queries get
@@ -16,6 +18,15 @@ the whole surface beyond the driver's frozen 50-query window is
 mechanically verified by a committed artifact instead of judge re-runs.
 With --json, --all sweeps rows-only queries too. The artifact's shape
 is pinned by tests/test_correctness_artifact.py.
+
+--sample N --round R runs the ROTATING SCALE SLICE (round-8 verdict
+"Next round #3"): N consecutive queries from the sorted registry,
+starting at ((R-1)*N) mod |registry|, so successive rounds cycle the
+whole registry through sf0.1 verification in ~|registry|/N rounds.
+This closes the one gap the sf0.01 FULL artifact leaves: correctness
+divergence that only appears at a larger scale factor (AQE plan
+changes, decimal overflow, threshold crossings). The slice is a pure
+function of (registry order, N, R) — the shape test recomputes it.
 """
 
 from __future__ import annotations
@@ -56,6 +67,17 @@ def rows_to_canon(cols, rows):
     return [cols[i] for i in order], out
 
 
+def sample_slice(names: list[str], n: int, round_no: int) -> list[str]:
+    """The deterministic rotating slice for --sample: N consecutive
+    names (wrapping) from the sorted registry, offset by round number
+    so the whole registry cycles through scale verification. Pure
+    function of its inputs — tests/test_correctness_artifact.py
+    recomputes it to validate a committed sample artifact."""
+    names = sorted(names)
+    start = ((round_no - 1) * n) % len(names)
+    return [names[(start + i) % len(names)] for i in range(min(n, len(names)))]
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
@@ -63,6 +85,10 @@ def main():
     ap.add_argument("--ncell", type=int, default=8)
     ap.add_argument("--json", default=None, metavar="OUT",
                     help="write the full correctness artifact here")
+    ap.add_argument("--sample", type=int, default=None, metavar="N",
+                    help="rotating N-query slice (requires --round)")
+    ap.add_argument("--round", type=int, default=None,
+                    help="round number seeding the --sample rotation")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -74,6 +100,10 @@ def main():
     oracles = ent.oracle_sql()
     if args.names:
         names = args.names
+    elif args.sample:
+        if not args.round:
+            raise SystemExit("--sample requires --round (the rotation seed)")
+        names = sample_slice(sorted(qs), args.sample, args.round)
     elif args.all and args.json:
         names = sorted(qs)  # the artifact covers rows-only queries too
     elif args.all:
@@ -167,7 +197,10 @@ def main():
         import json
 
         artifact = {
-            "kind": "full_registry_correctness",
+            "kind": (
+                "scale_sample_correctness" if args.sample
+                else "full_registry_correctness"
+            ),
             "sf_dir": args.sf,
             "n_queries": len(records),
             "n_oracle": sum(1 for r in records.values() if r["mode"] == "oracle"),
@@ -177,6 +210,10 @@ def main():
             "n_bad": n_bad,
             "queries": dict(sorted(records.items())),
         }
+        if args.sample:
+            artifact["sample"] = args.sample
+            artifact["round"] = args.round
+            artifact["slice"] = names  # rotation order, pre-sort
         with open(args.json, "w") as f:
             json.dump(artifact, f, indent=1)
         print(f"artifact -> {args.json}")

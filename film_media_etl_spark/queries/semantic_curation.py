@@ -561,15 +561,17 @@ def ext_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # JVM 64KB method limit that silently drops a stage out of codegen.
     # Materializing (lang, q) once behind the barrier keeps the downstream
     # CASE tiny, the stage codegen'd, and the lexicon scans single-pass.
+    t0 = TX.lang_quality_barrier(
+        docs.select("doc_id", "text", F.split(F.lower("text"), " ").alias("toks"))
+    ).select("doc_id", "text", "toks", "lang", "q")
     # with_repetition_verdict adds its own barrier for the 9 gram arrays
     # and leaves one boolean attribute (rep_ok) for the reason chain.
-    t = with_repetition_verdict(
-        TX.lang_quality_barrier(
-            docs.select(
-                "doc_id", "text", F.split(F.lower("text"), " ").alias("toks")
-            )
-        ).select("doc_id", "text", "toks", "lang", "q")
-    )
+    # Applied to the JOIN branch only — a Generate's generator is
+    # evaluated even when its output is pruned (the optimizer cannot
+    # drop an explode), so hanging the bigram-aggregate branch off the
+    # verdict frame would rebuild all 9 sorted gram arrays per row in a
+    # branch that reads nothing but (doc_id, toks).
+    t = with_repetition_verdict(t0)
     n = F.size("toks")
     bg = F.explode(
         F.zip_with(
@@ -580,7 +582,7 @@ def ext_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).alias("bg")
     from pyspark.sql import Window
 
-    c = t.select("doc_id", bg).groupBy("doc_id", "bg").agg(
+    c = t0.select("doc_id", bg).groupBy("doc_id", "bg").agg(
         F.count(F.lit(1)).alias("cnt")
     )
     w_rank = Window.partitionBy("doc_id").orderBy(F.col("cnt").desc(), F.col("bg").asc())

@@ -82,6 +82,27 @@ def ext_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ext_blocklist_scale_join",
+    oracle=f"""
+    SELECT doc_id,
+           {" OR ".join(_oracle_hit("coalesce(text, '')", p) for p in DEMO_BLOCKLIST)}
+             AS blocked
+    FROM documents
+    """,
+)
+def ext_blocklist_scale_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The blocklist gate's SCALE formulation as a first-class query:
+    blocklist_join_verdict (broadcast semi-join over per-page distinct
+    n-grams) on the demo lexicon. The DuckDB oracle is the DIRECT
+    containment predicate — i.e. the expression path's truth — so the
+    two formulations of the match semantics are hash-compared against
+    each other at every scale factor, not just in the unit test."""
+    return blocklist_join_verdict(
+        ensure_parallelism(load_table(spark, sf_dir, "documents")), DEMO_BLOCKLIST
+    )
+
+
 def blocklist_join_verdict(docs: DataFrame, lexicon: tuple[str, ...]) -> DataFrame:
     """(doc_id, blocked) via the broadcast semi-join path — the scale
     formulation for lexicons too large to inline as expressions.

@@ -1127,3 +1127,23 @@ def test_repetition_signals_is_map_only_single_scan(spark):
     assert s["window_nodes"] == 0
     assert_read_schema_pruned(df, "documents", 2)
     assert_no_cartesian(df)
+
+
+def test_blocklist_scale_join_broadcasts_lexicon(spark):
+    """ext_blocklist_scale_join (round-9): the lexicon must ride a
+    BROADCAST onto the exploded per-page grams — the corpus side never
+    shuffles to meet it (the whole point of the scale formulation);
+    only matched doc_ids reach the distinct. The expression-path twin
+    ext_blocklist_filter stays pure map-side."""
+    from film_media_etl_spark.plans import physical_plan
+
+    df = _q("ext_blocklist_scale_join", spark)
+    s = plan_summary(df)
+    assert s["broadcast_hash_joins"] >= 1  # semi join against the lexicon
+    assert s["cartesian_products"] == 0
+    assert "EvalPython" not in physical_plan(df)
+
+    s2 = plan_summary(_q("ext_blocklist_filter", spark))
+    assert s2["scans"] == 1
+    assert s2["sort_merge_joins"] == 0 and s2["broadcast_hash_joins"] == 0
+    assert s2["window_nodes"] == 0

@@ -6,7 +6,7 @@
 # first's decaying 1-minute load). Run with nothing else on the box.
 set -u
 cd "$(dirname "$0")/.."
-LOG=/tmp/scale_artifacts_r09.log
+LOG=/tmp/scale_artifacts.log
 : > "$LOG"
 
 wait_idle() {

@@ -535,19 +535,21 @@ def curation_scalar_reason(
 ) -> Column:
     """The FIXED scalar gate order every curation surface must apply:
     length -> language -> quality -> Gopher battery -> C4 battery ->
-    blocklist -> repetition (TTR + top-bigram) -> Gopher 13-signal
+    repetition (TTR + top-bigram) -> blocklist -> Gopher 13-signal
     repetition verdict. Returns the reject_reason through the scalar
     gates ('ok' if all pass); callers append their own duplicate gate
     after (batch: min-id join; stream: per-fingerprint state). One
     builder so a threshold or gate-order change cannot drift between
     the batch and streaming twins; ``gopher``, ``c4``, ``blocklist``
     and ``rep_ok`` are REQUIRED (build them with gopher_reason /
-    curation_c4_reason / curation_blocklist_reason /
+    curation_c4_reason / queries.blocklist.with_blocklist_reason /
     repetition_signals.with_repetition_verdict) so a caller cannot
     silently ship a reduced rule set. The round-9 tiers append AFTER
-    the pre-existing gates (a document round 8 rejected keeps its
-    round-8 reason; the new tiers only catch what the old gates
-    passed)."""
+    the pre-existing gates — a document round 8 rejected keeps its
+    round-8 reason; the new tiers only catch what the old gates passed
+    (round-10 fix: the blocklist tier originally sat BEFORE the
+    'repetitive' tier, contradicting this contract for any non-empty
+    lexicon — reordered to match the documented append-only rule)."""
     return (
         F.when(
             text.isNull() | (n_toks < CURATION_MIN_TOKENS), F.lit("too_short")
@@ -556,8 +558,8 @@ def curation_scalar_reason(
         .when(q < CURATION_MIN_QUALITY, F.lit("low_quality"))
         .when(gopher != "ok", gopher)
         .when(c4 != "ok", c4)
-        .when(blocklist != "ok", blocklist)
         .when(~ttr_ok, F.lit("repetitive"))
+        .when(blocklist != "ok", blocklist)
         .when(~rep_ok, F.lit("gopher_repetition"))
         .otherwise(F.lit("ok"))
     )

@@ -457,9 +457,15 @@ def ext_dedup_simhash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_survivors(load_table(spark, sf_dir, "documents"))
 
 
-@register(
-    "ext_curation_pipeline",
-    oracle=f"""
+def _curation_oracle(blk_sql: str) -> str:
+    """The shared-gate DuckDB oracle, parameterized on the blocklist
+    tier's SQL (the one knob the registered surfaces vary): the empty
+    default lexicon for ext_curation_pipeline, the demo lexicon for
+    ext_curation_gate_joinpath — every other tier is spliced from the
+    same oracle builders both queries share, so the two oracles cannot
+    drift from each other or from the engine's FIXED gate order
+    (functions/text.curation_scalar_reason)."""
+    return """
     WITH t AS MATERIALIZED (
       SELECT doc_id, text, string_split(lower(text), ' ') AS toks
       FROM documents
@@ -483,32 +489,32 @@ def ext_dedup_simhash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT t.doc_id,
            CASE
              WHEN t.text IS NULL OR len(t.toks) < 5 THEN 'too_short'
-             WHEN {{pred}} <> 'en' THEN 'wrong_lang'
-             WHEN {{q}} < 0.5 THEN 'low_quality'
-             WHEN ({{gor}}) <> 'ok' THEN ({{gor}})
-             WHEN ({{c4r}}) <> 'ok' THEN ({{c4r}})
-             WHEN ({{blk}}) <> 'ok' THEN ({{blk}})
+             WHEN {pred} <> 'en' THEN 'wrong_lang'
+             WHEN {q} < 0.5 THEN 'low_quality'
+             WHEN ({gor}) <> 'ok' THEN ({gor})
+             WHEN ({c4r}) <> 'ok' THEN ({c4r})
              WHEN NOT (CAST(len(list_distinct(t.toks)) AS DOUBLE)
                          / CAST(len(t.toks) AS DOUBLE) >= 0.3
                        AND CAST(top.topc AS DOUBLE)
                          / CAST(top.n_bigrams AS DOUBLE) <= 0.18)
                THEN 'repetitive'
+             WHEN ({blk}) <> 'ok' THEN ({blk})
              WHEN NOT rep.passes_repetition THEN 'gopher_repetition'
              WHEN dup.keep_id < t.doc_id THEN 'duplicate'
              ELSE 'ok'
            END AS reject_reason,
            CASE
              WHEN t.text IS NULL OR len(t.toks) < 5 THEN FALSE
-             WHEN {{pred}} <> 'en' THEN FALSE
-             WHEN {{q}} < 0.5 THEN FALSE
-             WHEN ({{gor}}) <> 'ok' THEN FALSE
-             WHEN ({{c4r}}) <> 'ok' THEN FALSE
-             WHEN ({{blk}}) <> 'ok' THEN FALSE
+             WHEN {pred} <> 'en' THEN FALSE
+             WHEN {q} < 0.5 THEN FALSE
+             WHEN ({gor}) <> 'ok' THEN FALSE
+             WHEN ({c4r}) <> 'ok' THEN FALSE
              WHEN NOT (CAST(len(list_distinct(t.toks)) AS DOUBLE)
                          / CAST(len(t.toks) AS DOUBLE) >= 0.3
                        AND CAST(top.topc AS DOUBLE)
                          / CAST(top.n_bigrams AS DOUBLE) <= 0.18)
                THEN FALSE
+             WHEN ({blk}) <> 'ok' THEN FALSE
              WHEN NOT rep.passes_repetition THEN FALSE
              WHEN dup.keep_id < t.doc_id THEN FALSE
              ELSE TRUE
@@ -516,44 +522,50 @@ def ext_dedup_simhash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM t
     LEFT JOIN top ON t.doc_id = top.doc_id
     LEFT JOIN dup ON t.text = dup.text
-    JOIN {{rep}} rep ON t.doc_id = rep.doc_id
+    JOIN {rep} rep ON t.doc_id = rep.doc_id
     """.format(
         pred=oracle_predicted_lang("t.text"),
         q=oracle_quality_score("t.text"),
         gor=oracle_gopher_reason("t.text", "t.toks"),
         c4r=oracle_curation_c4_reason("t.text"),
-        blk=oracle_curation_blocklist_reason("t.text"),
+        blk=blk_sql,
         rep=oracle_repetition_verdict_subquery(),
-    ),
-)
-def ext_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end corpus curation verdict — the composition a real
-    training-data pipeline runs as ONE pass: minimum length, language
-    gate (marker-lexicon langid == 'en'), heuristic quality floor, the
-    FULL Gopher table-A1 battery (mean-word-length bounds,
-    symbol-to-word ratio, bullet-start / ellipsis-end line shares,
-    unique-stop-word floor — functions/text.gopher_reason), the C4 §2.2
-    page battery (lorem-ipsum / curly-brace / retained-sentences floor —
-    functions/text.c4_reason; the line-structural complement, round-8),
-    the parameterized blocklist page gate (empty default — round-9,
-    functions/text.curation_blocklist_reason), Gopher repetition gates
-    (type-token ratio + top-bigram share), the FULL 13-signal Gopher
-    table-A1 repetition verdict (queries/repetition_signals.
-    with_repetition_verdict — round-9), and exact dedup (greedy min-id
-    survivor), applied in a FIXED order so every document gets one
-    deterministic reject_reason (or 'ok'). All gate expressions are the
-    already-oracle-checked building blocks (ext_quality / ext_langid /
-    ext_repetition_quality / ext_repetition_signals / ext_dedup_exact)
-    fused into a single DataFrame pass: the scalar gates are map-side
-    (the 13-signal verdict adds one more Generate barrier, still zero
-    shuffle); the repetition stats add one doc_id-keyed aggregate and
-    the dedup gate one text-keyed aggregate + broadcast-able joins — so
-    the whole pipeline is ~3 shuffles regardless of corpus size, versus
-    5 separate jobs when run piecemeal."""
+    )
+
+
+def curation_verdict(
+    docs: DataFrame,
+    *,
+    lexicon: tuple[str, ...] | None = None,
+    blocklist_max_expr: int | None = None,
+) -> DataFrame:
+    """The batch curation gate as ONE reusable builder (round-10): the
+    full FIXED-order verdict over a (doc_id, text) frame, parameterized
+    on the blocklist lexicon. ``lexicon`` defaults to the shipped empty
+    CURATION_BLOCKLIST; ``blocklist_max_expr`` is the expression-path
+    phrase cap (default queries/blocklist.BLOCKLIST_EXPR_MAX_PHRASES —
+    pass 0 to force the broadcast semi-join path, as the oracle-checked
+    ext_curation_gate_joinpath and the plan tests do). See
+    ext_curation_pipeline for the full gate inventory and the shuffle
+    accounting."""
     from ..functions import text as TX
+    from .blocklist import BLOCKLIST_EXPR_MAX_PHRASES, with_blocklist_reason
     from .repetition_signals import with_repetition_verdict
 
-    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    lex = TX.CURATION_BLOCKLIST if lexicon is None else tuple(lexicon)
+    cap = (
+        BLOCKLIST_EXPR_MAX_PHRASES
+        if blocklist_max_expr is None
+        else blocklist_max_expr
+    )
+    # Blocklist tier FIRST, on the raw (doc_id, text) frame: when the
+    # lexicon is over the expression cap this is a broadcast hash join
+    # whose build side re-reads the pruned (doc_id, text) scan — built
+    # BEFORE the Generate barriers below so the broadcast subtree never
+    # re-evaluates them (a Generate's generator runs even when pruned).
+    d0 = with_blocklist_reason(
+        docs.select("doc_id", "text"), lex, max_expr_phrases=cap
+    )
     # Generate barrier (explode of a 1-element struct array): the reason
     # expression consumes predicted_lang (15 marker counts) plus
     # quality_score (8 more) TWICE (reject_reason + keep), and after
@@ -562,8 +574,13 @@ def ext_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Materializing (lang, q) once behind the barrier keeps the downstream
     # CASE tiny, the stage codegen'd, and the lexicon scans single-pass.
     t0 = TX.lang_quality_barrier(
-        docs.select("doc_id", "text", F.split(F.lower("text"), " ").alias("toks"))
-    ).select("doc_id", "text", "toks", "lang", "q")
+        d0.select(
+            "doc_id",
+            "text",
+            "blk_reason",
+            F.split(F.lower("text"), " ").alias("toks"),
+        )
+    ).select("doc_id", "text", "toks", "blk_reason", "lang", "q")
     # with_repetition_verdict adds its own barrier for the 9 gram arrays
     # and leaves one boolean attribute (rep_ok) for the reason chain.
     # Applied to the JOIN branch only — a Generate's generator is
@@ -611,7 +628,9 @@ def ext_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # shared FIXED gate order (functions/text.py) + the batch dup gate;
     # the Gopher battery (word length / symbols / bullet / ellipsis /
-    # stop-word floor) is pure map-side expression work over (text, toks)
+    # stop-word floor) is pure map-side expression work over (text, toks);
+    # the blocklist tier is the pre-computed blk_reason attribute (the
+    # path-switched builder above), not an inline expression
     scalar = TX.curation_scalar_reason(
         F.col("text"),
         n,
@@ -620,7 +639,7 @@ def ext_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ttr_ok,
         TX.gopher_reason(F.col("text"), F.col("toks")),
         TX.curation_c4_reason(F.col("text")),
-        TX.curation_blocklist_reason(F.col("text")),
+        F.col("blk_reason"),
         F.col("rep_ok"),
     )
     reason = (
@@ -630,6 +649,72 @@ def ext_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return j.select(
         "doc_id", reason.alias("reject_reason"), (reason == "ok").alias("keep")
+    )
+
+
+@register("ext_curation_pipeline", oracle=_curation_oracle(
+    oracle_curation_blocklist_reason("t.text")
+))
+def ext_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation verdict — the composition a real
+    training-data pipeline runs as ONE pass: minimum length, language
+    gate (marker-lexicon langid == 'en'), heuristic quality floor, the
+    FULL Gopher table-A1 battery (mean-word-length bounds,
+    symbol-to-word ratio, bullet-start / ellipsis-end line shares,
+    unique-stop-word floor — functions/text.gopher_reason), the C4 §2.2
+    page battery (lorem-ipsum / curly-brace / retained-sentences floor —
+    functions/text.c4_reason; the line-structural complement, round-8),
+    Gopher repetition gates (type-token ratio + top-bigram share), the
+    parameterized blocklist page gate (empty default; round-10: the
+    path-switching builder queries/blocklist.with_blocklist_reason, so
+    a production-sized lexicon automatically takes the broadcast
+    semi-join — ext_curation_gate_joinpath is the oracle-checked
+    composition on that path), the FULL 13-signal Gopher table-A1
+    repetition verdict behind the paper's 50-token length precondition
+    (queries/repetition_signals.with_repetition_verdict — round-9;
+    floor round-10), and exact dedup (greedy min-id survivor), applied
+    in a FIXED order so every document gets one deterministic
+    reject_reason (or 'ok'). All gate expressions are the
+    already-oracle-checked building blocks (ext_quality / ext_langid /
+    ext_repetition_quality / ext_repetition_signals / ext_dedup_exact)
+    fused into a single DataFrame pass: the scalar gates are map-side
+    (the 13-signal verdict adds one more Generate barrier, still zero
+    shuffle); the repetition stats add one doc_id-keyed aggregate and
+    the dedup gate one text-keyed aggregate + broadcast-able joins — so
+    the whole pipeline is ~3 shuffles regardless of corpus size, versus
+    5 separate jobs when run piecemeal."""
+    return curation_verdict(
+        ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    )
+
+
+def _joinpath_oracle() -> str:
+    from .blocklist import DEMO_BLOCKLIST
+    from ..functions.text import oracle_blocklist_reason
+
+    return _curation_oracle(oracle_blocklist_reason("t.text", DEMO_BLOCKLIST))
+
+
+@register("ext_curation_gate_joinpath", oracle=_joinpath_oracle())
+def ext_curation_gate_joinpath(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation gate with the blocklist tier FORCED onto
+    its scale path (round-10 verdict task #1): the same curation_verdict
+    builder as ext_curation_pipeline, run with the 3-phrase demo lexicon
+    and blocklist_max_expr=0 so the lexicon rides the broadcast
+    semi-join (queries/blocklist.with_blocklist_reason's join path)
+    INSIDE the full pipeline composition. The DuckDB oracle splices the
+    expression path's truth (direct containment CASE) into the shared
+    gate oracle, so the join-path composition is hash-checked against
+    the independent formulation at every scale factor — the composed
+    analogue of ext_blocklist_scale_join's pin. Plan pins (no corpus
+    shuffle, lexicon + hit set on BroadcastExchange) live in
+    tests/test_plans.py."""
+    from .blocklist import DEMO_BLOCKLIST
+
+    return curation_verdict(
+        ensure_parallelism(load_table(spark, sf_dir, "documents")),
+        lexicon=DEMO_BLOCKLIST,
+        blocklist_max_expr=0,
     )
 
 

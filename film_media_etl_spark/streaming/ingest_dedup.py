@@ -151,13 +151,26 @@ _GATE_OUT = T.StructType(
 _GATE_STATE = T.StructType([T.StructField("seen", T.BooleanType(), True)])
 
 
-def stream_curation_gate(docs: DataFrame) -> DataFrame:
+def stream_curation_gate(
+    docs: DataFrame,
+    *,
+    lexicon: tuple[str, ...] | None = None,
+    blocklist_max_expr: int | None = None,
+) -> DataFrame:
     """Ingest-time curation verdict stream — the online twin of batch
-    ext_curation_pipeline, same gates in the same FIXED order (length,
-    langid=='en', quality floor, Gopher battery, C4 battery, blocklist,
-    TTR/top-bigram repetition, 13-signal Gopher repetition verdict,
-    exact dedup), so every arriving document gets one deterministic
-    reject_reason.
+    ext_curation_pipeline / curation_verdict, same gates in the same
+    FIXED order (length, langid=='en', quality floor, Gopher battery,
+    C4 battery, TTR/top-bigram repetition, blocklist, 13-signal Gopher
+    repetition verdict, exact dedup), so every arriving document gets
+    one deterministic reject_reason. ``lexicon`` /
+    ``blocklist_max_expr`` parameterize the blocklist tier exactly as
+    on the batch side (defaults: the shipped empty CURATION_BLOCKLIST
+    and BLOCKLIST_EXPR_MAX_PHRASES); the shared
+    queries/blocklist.with_blocklist_reason builder selects the path —
+    on a STREAMING frame the over-cap path is the map-side
+    arrays_overlap membership probe (the hit-set join-back the batch
+    join path uses is a stream-stream self-join), same match semantics,
+    parity-pinned against the batch gate by test.
 
     The scalar gates are pure map-side expressions (behind the same
     Generate barrier — predicted_lang + quality_score materialize once).
@@ -178,8 +191,18 @@ def stream_curation_gate(docs: DataFrame) -> DataFrame:
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     from ..functions import text as TX
+    from ..queries.blocklist import (
+        BLOCKLIST_EXPR_MAX_PHRASES,
+        with_blocklist_reason,
+    )
     from ..queries.repetition_signals import with_repetition_verdict
 
+    lex = TX.CURATION_BLOCKLIST if lexicon is None else tuple(lexicon)
+    cap = (
+        BLOCKLIST_EXPR_MAX_PHRASES
+        if blocklist_max_expr is None
+        else blocklist_max_expr
+    )
     toks = F.split(F.lower("text"), " ")
     n = F.size("toks")
     bgs = F.zip_with(
@@ -187,12 +210,17 @@ def stream_curation_gate(docs: DataFrame) -> DataFrame:
         F.slice(F.col("toks"), 2, n - 1),
         lambda a, b: F.concat(a, F.lit(" "), b),
     )
-    # with_repetition_verdict is stateless map-side work (Project +
-    # Generate barrier), so it composes onto the stream like any other
-    # scalar gate — same shared builder as the batch pipeline.
+    # with_blocklist_reason and with_repetition_verdict are stateless
+    # map-side work on a stream (Project + Generate barriers), so they
+    # compose onto it like any other scalar gate — the same shared
+    # builders as the batch pipeline.
     base = with_repetition_verdict(
         TX.lang_quality_barrier(
-            docs.select("doc_id", "text", toks.alias("toks"))
+            with_blocklist_reason(
+                docs.select("doc_id", "text", toks.alias("toks")),
+                lex,
+                max_expr_phrases=cap,
+            )
         ).withColumn("bgs", bgs)
     )
     # top-bigram count == longest equal run in the SORTED bigram array —
@@ -222,8 +250,9 @@ def stream_curation_gate(docs: DataFrame) -> DataFrame:
         >= F.lit(TX.CURATION_MIN_TTR)
     ) & (top_share <= F.lit(TX.CURATION_MAX_TOP_BIGRAM_SHARE))
     # shared FIXED gate order (functions/text.py), Gopher + C4 batteries,
-    # blocklist tier, and the 13-signal repetition verdict included
-    # (all map-side, stateless on the stream); the dup gate is the
+    # the path-switched blocklist tier (the blk_reason attribute built
+    # above), and the 13-signal repetition verdict included (all
+    # map-side, stateless on the stream); the dup gate is the
     # per-fingerprint state below
     reason0 = TX.curation_scalar_reason(
         F.col("text"),
@@ -233,7 +262,7 @@ def stream_curation_gate(docs: DataFrame) -> DataFrame:
         ttr_ok,
         TX.gopher_reason(F.col("text"), F.col("toks")),
         TX.curation_c4_reason(F.col("text")),
-        TX.curation_blocklist_reason(F.col("text")),
+        F.col("blk_reason"),
         F.col("rep_ok"),
     )
     scalar = base.select(

@@ -242,10 +242,10 @@ def test_curation_pipeline_every_gate_fires(spark, tmp_path):
     from film_media_etl_spark.queries import all_oracles, all_queries
     from film_media_etl_spark.sources import TABLES
 
-    # long enough that NO single n-gram's character mass trips the
-    # round-9 13-signal verdict (a ~24-word doc fails top_4gram_char_frac
-    # by construction: one distinct 4-gram covers > 16% of a short doc —
-    # the raw-signal behavior Gopher's upstream 50-word floor masks)
+    # Below the round-10 GOPHER_REP_MIN_TOKENS floor the 13-signal tier
+    # passes vacuously (Gopher's own length precondition — on a ~24-word
+    # doc one distinct 4-gram mechanically covers > 16% of the chars);
+    # this doc stays comfortably clean either way.
     good = (
         "the quick brown fox jumps over the lazy dog and then the small "
         "bird sings while a friendly cat naps near the warm window today "
@@ -269,13 +269,19 @@ def test_curation_pipeline_every_gate_fires(spark, tmp_path):
         "the second line",  # 10: ellipsis_lines (symbol ratio under cap)
         "the zebra the quokka the wombat the numbat the dingo the koala",
         # 11: no_stopwords (only ONE unique stop word, repeated)
-        "the quick brown fox jumps over one lazy dog in a field\n"
-        "the quick brown fox jumps over one lazy dog in a field\n"
-        "another closing sentence with many unique tokens right here now",
-        # 12: gopher_repetition (round-9 13-signal tier): duplicate LINE
-        #    fraction 1/3 > 0.30 while the TTR/top-bigram gate passes
-        #    (distinct tokens ~2/3, top bigram share 2/35) — exactly the
-        #    repetition class the old binary gate could not see
+        "the quick brown fox jumps over one lazy dog in a field while "
+        "the sun shines on the hill\n"
+        "the quick brown fox jumps over one lazy dog in a field while "
+        "the sun shines on the hill\n"
+        "another closing sentence with many unique tokens right here "
+        "now to keep the total count of words above fifty overall",
+        # 12: gopher_repetition (round-9 13-signal tier): ~56 tokens —
+        #    ABOVE the round-10 GOPHER_REP_MIN_TOKENS=50 length
+        #    precondition, so the battery actually applies — with
+        #    duplicate LINE fraction 1/3 > 0.30 while the TTR/top-bigram
+        #    gate passes (distinct tokens ~0.6, top bigram share 2/55) —
+        #    exactly the repetition class the old binary gate could not
+        #    see
     ]
     pq.write_table(
         pa.table(
@@ -2237,3 +2243,88 @@ def test_blocklist_join_path_matches_expression_path(spark):
     # empty lexicon: the join path degenerates to all-False, no join
     empty = blocklist_join_verdict(docs, ())
     assert not any(r["blocked"] for r in empty.collect())
+
+
+def test_with_blocklist_reason_paths_agree_and_switch(spark):
+    """The round-10 path-switching gate builder: the expression path and
+    the broadcast semi-join path must yield the SAME reason column on an
+    over-cap lexicon, the switch must key on max_expr_phrases, and the
+    composed gate (ext_curation_gate_joinpath, forced join path, demo
+    lexicon) must equal curation_verdict on the expression path with the
+    same lexicon — the in-test twin of the registered query's DuckDB
+    oracle pin."""
+    from film_media_etl_spark.queries.blocklist import (
+        BLOCKLIST_EXPR_MAX_PHRASES,
+        DEMO_BLOCKLIST,
+        with_blocklist_reason,
+    )
+    from film_media_etl_spark.queries.semantic_curation import curation_verdict
+    from film_media_etl_spark.sources import load_table
+
+    docs = load_table(spark, PARITY_SF_DIR, "documents").select("doc_id", "text")
+    # over-cap lexicon: the demo phrases (which fire on the fixture) plus
+    # filler phrases of assorted lengths that never match
+    big_lex = DEMO_BLOCKLIST + tuple(
+        f"zqx{i} filler phrase {'pad ' * (i % 3)}".strip()
+        for i in range(BLOCKLIST_EXPR_MAX_PHRASES)
+    )
+    assert len(big_lex) > BLOCKLIST_EXPR_MAX_PHRASES
+    expr = {
+        r["doc_id"]: r["blk_reason"]
+        for r in with_blocklist_reason(
+            docs, big_lex, max_expr_phrases=10**6
+        ).collect()
+    }
+    join = {
+        r["doc_id"]: r["blk_reason"]
+        for r in with_blocklist_reason(docs, big_lex).collect()  # auto: > cap
+    }
+    assert expr == join
+    assert "blocklisted" in set(expr.values()) and "ok" in set(expr.values())
+    # the composed gate: forced join path == expression path, same lexicon
+    full = load_table(spark, PARITY_SF_DIR, "documents")
+    jp = {
+        r["doc_id"]: (r["reject_reason"], r["keep"])
+        for r in curation_verdict(
+            full, lexicon=DEMO_BLOCKLIST, blocklist_max_expr=0
+        ).collect()
+    }
+    ep = {
+        r["doc_id"]: (r["reject_reason"], r["keep"])
+        for r in curation_verdict(
+            full, lexicon=DEMO_BLOCKLIST, blocklist_max_expr=10**6
+        ).collect()
+    }
+    assert jp == ep
+    assert "blocklisted" in {v[0] for v in jp.values()}
+
+
+def test_repetition_verdict_token_floor(spark):
+    """GOPHER_REP_MIN_TOKENS (round-10, advice): the shared verdict
+    builder applies the 13-signal battery only at or above Gopher's
+    50-word length precondition — a wildly repetitive SHORT document
+    passes the tier vacuously (the gate's too_short/quality tiers own
+    short docs), the same pattern above the floor fails, and
+    min_tokens=0 recovers the raw published-threshold verdict (what
+    ext_repetition_signals reports)."""
+    from film_media_etl_spark.queries.repetition_signals import (
+        GOPHER_REP_MIN_TOKENS,
+        with_repetition_verdict,
+    )
+
+    short_rep = ("the dog " * 12).strip()  # 24 tokens, top-2gram ~0.9
+    long_rep = ("the dog " * 40).strip()   # 80 tokens, same pattern
+    assert len(short_rep.split(" ")) < GOPHER_REP_MIN_TOKENS
+    assert len(long_rep.split(" ")) >= GOPHER_REP_MIN_TOKENS
+    docs = spark.createDataFrame(
+        [(1, short_rep), (2, long_rep), (3, None)], "doc_id long, text string"
+    )
+    floored = {
+        r["doc_id"]: r["rep_ok"] for r in with_repetition_verdict(docs).collect()
+    }
+    assert floored == {1: True, 2: False, 3: True}
+    raw = {
+        r["doc_id"]: r["rep_ok"]
+        for r in with_repetition_verdict(docs, min_tokens=0).collect()
+    }
+    assert raw == {1: False, 2: False, 3: True}

@@ -1147,3 +1147,59 @@ def test_blocklist_scale_join_broadcasts_lexicon(spark):
     assert s2["scans"] == 1
     assert s2["sort_merge_joins"] == 0 and s2["broadcast_hash_joins"] == 0
     assert s2["window_nodes"] == 0
+
+
+def test_blocklist_gate_builder_path_switch_plans(spark):
+    """with_blocklist_reason (round-10): at or under the phrase cap the
+    tier is pure map-side expression work (one scan, zero joins, zero
+    exchanges); over the cap it flips to the scale formulation — the
+    lexicon AND the matched-id hit set both ride BroadcastExchange, the
+    only exchange is the matched-id distinct, and the corpus frame
+    never sort-merges (no corpus-sized shuffle, the round-9 verdict's
+    plan pin for the composed gate)."""
+    from film_media_etl_spark.plans import physical_plan
+    from film_media_etl_spark.queries.blocklist import (
+        BLOCKLIST_EXPR_MAX_PHRASES,
+        DEMO_BLOCKLIST,
+        with_blocklist_reason,
+    )
+    from film_media_etl_spark.sources import load_table
+
+    docs = load_table(spark, PARITY_SF_DIR, "documents").select("doc_id", "text")
+    small = with_blocklist_reason(docs, DEMO_BLOCKLIST)  # <= cap: expression
+    s = plan_summary(small)
+    assert s["scans"] == 1 and s["exchanges"] == 0
+    assert s["broadcast_hash_joins"] == 0 and s["sort_merge_joins"] == 0
+
+    big_lex = DEMO_BLOCKLIST + tuple(
+        f"zqx{i} filler phrase" for i in range(BLOCKLIST_EXPR_MAX_PHRASES)
+    )
+    big = with_blocklist_reason(docs, big_lex)  # > cap: broadcast semi-join
+    b = plan_summary(big)
+    p = physical_plan(big)
+    assert b["broadcast_hash_joins"] == 2  # lexicon semi + hit-set join-back
+    assert b["sort_merge_joins"] == 0 and b["cartesian_products"] == 0
+    assert b["exchanges"] == 1  # matched-id distinct only
+    assert p.count("BroadcastExchange") >= 2
+    assert "EvalPython" not in p
+
+
+def test_curation_gate_joinpath_composed_plan(spark):
+    """ext_curation_gate_joinpath (round-10 verdict task #1): forcing
+    the composed gate onto the blocklist scale path must add EXACTLY
+    the scale formulation to the baseline pipeline's plan — +2
+    broadcast hash joins (lexicon semi-join, hit-set join-back), +1
+    pruned (doc_id, text) scan in the broadcast subtree, the matched-id
+    distinct's exchanges, and NO new sort-merge join (the corpus never
+    shuffles to meet the lexicon)."""
+    from film_media_etl_spark.plans import physical_plan
+
+    base = plan_summary(_q("ext_curation_pipeline", spark))
+    jp_df = _q("ext_curation_gate_joinpath", spark)
+    jp = plan_summary(jp_df)
+    assert jp["broadcast_hash_joins"] == base["broadcast_hash_joins"] + 2
+    assert jp["scans"] == base["scans"] + 1
+    assert jp["sort_merge_joins"] == base["sort_merge_joins"] == 0
+    assert jp["cartesian_products"] == 0
+    assert jp["exchanges"] <= base["exchanges"] + 2
+    assert "EvalPython" not in physical_plan(jp_df)

@@ -815,6 +815,46 @@ def test_stream_curation_gate_matches_batch_pipeline(spark):
     assert "ok" in reasons and len(reasons) >= 2
 
 
+def test_stream_curation_gate_blocklist_scale_path_parity(spark):
+    """Round-10 (verdict task #1, streaming leg): with an over-cap
+    lexicon the shared gate builder auto-selects the scale path on BOTH
+    twins — the batch side's broadcast semi-join and the stream side's
+    map-side membership probe (the join-back is a stream-stream
+    self-join, so the stream keeps rows intact; see
+    with_blocklist_reason) — and the drained stream must issue EXACTLY
+    the batch verdicts, 'blocklisted' rows included."""
+    from film_media_etl_spark.queries.blocklist import (
+        BLOCKLIST_EXPR_MAX_PHRASES,
+        DEMO_BLOCKLIST,
+    )
+    from film_media_etl_spark.queries.semantic_curation import curation_verdict
+    from film_media_etl_spark.sources import load_table
+    from film_media_etl_spark.streaming import (
+        read_documents_stream,
+        stream_curation_gate,
+    )
+
+    big_lex = DEMO_BLOCKLIST + tuple(
+        f"zqx{i} filler phrase" for i in range(BLOCKLIST_EXPR_MAX_PHRASES)
+    )
+    s = stream_curation_gate(
+        read_documents_stream(spark, PARITY_SF_DIR), lexicon=big_lex
+    )
+    _run_to_memory(s, "t_curgate_blk", output_mode="update")
+    got = {
+        r["doc_id"]: (r["reject_reason"], r["keep"])
+        for r in spark.table("t_curgate_blk").collect()
+    }
+    want = {
+        r["doc_id"]: (r["reject_reason"], r["keep"])
+        for r in curation_verdict(
+            load_table(spark, PARITY_SF_DIR, "documents"), lexicon=big_lex
+        ).collect()
+    }
+    assert got == want
+    assert "blocklisted" in {v[0] for v in want.values()}
+
+
 def test_stream_curation_gate_duplicate_reason(spark, tmp_path):
     """Duplicate gate end-to-end: a corpus with an exact repeat of an
     otherwise-passing document must mark the higher doc_id 'duplicate'

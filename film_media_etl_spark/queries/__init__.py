@@ -56,5 +56,6 @@ from . import substring_dedup  # noqa: E402,F401  ExactSubstr span removal
 from . import corpus_signals  # noqa: E402,F401  compression ratio + n-gram diversity
 from . import repetition_signals  # noqa: E402,F401  Gopher repetition-signal vector
 from . import blocklist  # noqa: E402,F401  parameterized blocklist page gate
+from . import shard_layout  # noqa: E402,F401  deterministic training-shard layout
 
 __all__ = ["EngineQuery", "register", "get", "all_queries", "all_oracles"]

@@ -2328,3 +2328,54 @@ def test_repetition_verdict_token_floor(spark):
         for r in with_repetition_verdict(docs, min_tokens=0).collect()
     }
     assert raw == {1: False, 2: False, 3: True}
+
+
+def test_shard_layout_reconciles_deterministic_and_balanced(spark):
+    """ext_shard_layout / ext_shard_manifest (round-10): the manifest
+    must reconcile EXACTLY with the layout (per-shard doc/token totals,
+    boundary keys == the layout's first/last order keys), positions
+    must be a contiguous 1..n_docs sequence per shard, the layout must
+    be a pure function of the data (re-run identical), the seed must
+    actually reseed placement, and the md5 assignment should spread 500
+    docs over 64 shards without gross skew."""
+    from film_media_etl_spark.queries import all_queries
+
+    qs = all_queries()
+    layout = qs["ext_shard_layout"](spark, PARITY_SF_DIR).collect()
+    manifest = {
+        r["shard"]: r
+        for r in qs["ext_shard_manifest"](spark, PARITY_SF_DIR).collect()
+    }
+    by_shard: dict[int, list] = {}
+    for r in layout:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert set(by_shard) == set(manifest)
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r["pos"])
+        m = manifest[shard]
+        assert [r["pos"] for r in rows] == list(range(1, len(rows) + 1))
+        assert m["n_docs"] == len(rows)
+        assert m["n_tokens"] == sum(r["n_tokens"] for r in rows)
+    # every doc placed exactly once; totals reconcile corpus-wide
+    assert sum(m["n_docs"] for m in manifest.values()) == len(layout)
+    assert len({r["doc_id"] for r in layout}) == len(layout)
+    # deterministic: a second run is row-identical
+    again = qs["ext_shard_layout"](spark, PARITY_SF_DIR).collect()
+    assert sorted(map(tuple, layout)) == sorted(map(tuple, again))
+    # the seed reseeds: placements move (not all docs keep their shard)
+    from film_media_etl_spark.queries.shard_layout import shard_layout
+    from film_media_etl_spark.sources import load_table
+
+    docs = load_table(spark, PARITY_SF_DIR, "documents")
+    reseeded = {
+        r["doc_id"]: r["shard"]
+        for r in shard_layout(docs, seed="s1").collect()
+    }
+    base = {r["doc_id"]: r["shard"] for r in layout}
+    assert base != reseeded
+    # no gross skew: with 500 docs over 64 shards (mean ~7.8), no shard
+    # should hold more than ~4x the mean (md5 uniformity, loose bound)
+    assert max(m["n_docs"] for m in manifest.values()) <= 32
+    # boundary keys frame the shard's internal order and are md5 hex
+    for m in manifest.values():
+        assert len(m["first_key"]) == 32 and m["first_key"] <= m["last_key"]

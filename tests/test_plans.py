@@ -1184,6 +1184,32 @@ def test_blocklist_gate_builder_path_switch_plans(spark):
     assert "EvalPython" not in p
 
 
+def test_shard_layout_no_global_sort(spark):
+    """ext_shard_layout (round-10): the within-shard order must come
+    from ONE hash exchange on the shard id + a within-partition sort —
+    never a rangepartitioning exchange (a global sort would serialize
+    the corpus through a single range at 100 TB). The manifest twin is
+    a plain partial-aggregated groupBy — one hash exchange, no window,
+    no join."""
+    from film_media_etl_spark.plans import physical_plan
+
+    df = _q("ext_shard_layout", spark)
+    p = physical_plan(df)
+    s = plan_summary(df)
+    assert "rangepartitioning" not in p.lower()
+    assert s["window_nodes"] == 1 and s["scans"] == 1
+    assert s["exchanges"] <= 2  # shard hash + ensure_parallelism round-robin
+    assert s["sort_merge_joins"] == 0 and s["broadcast_hash_joins"] == 0
+    assert_no_cartesian(df)
+    assert_read_schema_pruned(df, "documents", 2)
+
+    m = _q("ext_shard_manifest", spark)
+    sm = plan_summary(m)
+    assert "rangepartitioning" not in physical_plan(m).lower()
+    assert sm["window_nodes"] == 0 and sm["sort_merge_joins"] == 0
+    assert_no_cartesian(m)
+
+
 def test_curation_gate_joinpath_composed_plan(spark):
     """ext_curation_gate_joinpath (round-10 verdict task #1): forcing
     the composed gate onto the blocklist scale path must add EXACTLY

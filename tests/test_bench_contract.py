@@ -111,9 +111,12 @@ def test_round_tag_committed_only_and_override():
     """The round tag must come from COMMITTED CORRECTNESS_r*.json only
     (round-8 verdict #2: the driver drops the round's correctness file
     into the worktree before benching, and the old worktree glob let it
-    push the full record to next round's name), with SPARK_GRAFT_ROUND
-    as the explicit override. Pin: the tag equals max committed round
-    + 1 regardless of any uncommitted CORRECTNESS_r*.json on disk."""
+    push the full record to next round's name; round-10 advice: the
+    ls-files spelling read the INDEX, so a STAGED-but-uncommitted
+    artifact could still shift the tag — now git ls-tree HEAD, actual
+    commits only), with SPARK_GRAFT_ROUND as the explicit override.
+    Pins: the tag equals max committed round + 1 regardless of any
+    uncommitted OR STAGED CORRECTNESS_r*.json on disk."""
     import glob
     import re
     import subprocess as sp
@@ -122,19 +125,34 @@ def test_round_tag_committed_only_and_override():
     import bench
 
     committed = sp.run(
-        ["git", "ls-files", "CORRECTNESS_r*.json"],
+        ["git", "ls-tree", "--name-only", "HEAD"],
         capture_output=True, text=True, cwd=REPO, check=True,
     ).stdout.splitlines()
     want = 1 + max(
-        (int(re.search(r"_r(\d+)\.json$", p).group(1)) for p in committed),
+        (
+            int(m.group(1))
+            for p in committed
+            for m in [re.search(r"^CORRECTNESS_r(\d+)\.json$", p)]
+            if m
+        ),
         default=0,
     )
     old = os.environ.pop("SPARK_GRAFT_ROUND", None)
+    staged = os.path.join(REPO, f"CORRECTNESS_r{want + 89:02d}.json")
     try:
+        assert bench._round_tag() == f"{want:02d}"
+        # a staged (git add) but uncommitted artifact must NOT shift the
+        # tag — the exact index-vs-HEAD gap the round-10 fix closes
+        with open(staged, "w") as f:
+            f.write("{}")
+        sp.run(["git", "add", "--", staged], cwd=REPO, check=True)
         assert bench._round_tag() == f"{want:02d}"
         os.environ["SPARK_GRAFT_ROUND"] = "7"
         assert bench._round_tag() == "07"
     finally:
+        sp.run(["git", "reset", "-q", "--", staged], cwd=REPO, check=False)
+        if os.path.exists(staged):
+            os.remove(staged)
         if old is None:
             os.environ.pop("SPARK_GRAFT_ROUND", None)
         else:

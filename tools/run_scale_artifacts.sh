@@ -43,9 +43,17 @@ bench_run() {  # $1=sf_dir $2=out
     echo "RETRY $2 after sentinel reject" >> "$LOG"
     wait_idle
     SPARK_GRAFT_SF_DIR="$1" SPARK_GRAFT_BENCH_OUT="$2" python bench.py >> "$LOG" 2>&1
-    check "$2" >> "$LOG" 2>&1 || echo "FATAL: $2 rejected twice" >> "$LOG"
+    check "$2" >> "$LOG" 2>&1 || {
+      # round-10 advice: a twice-rejected record must never sit at the
+      # committed artifact path looking valid — quarantine it under a
+      # .rejected name and make the failure visible at the shell
+      echo "FATAL: $2 rejected twice -> $2.rejected" >> "$LOG"
+      mv "$2" "$2.rejected"
+      FAILED=1
+    }
   }
 }
+FAILED=0
 
 spill_run() {  # $1=sf_dir $2=out
   wait_idle
@@ -55,10 +63,12 @@ spill_run() {  # $1=sf_dir $2=out
   python3 -c "import json,sys; r=json.load(open('$2')); print('$2: completed', r['completed'], 'failed', r['failed'])" >> "$LOG"
 }
 
-bench_run /root/testdata/sf0.1 BENCH_1x_r09.json
+bench_run /root/testdata/sf0.1 BENCH_1x_r10.json
 bench_run /tmp/scale_sf0.1_4x BENCH_4x.json
 bench_run /tmp/scale_sf0.1_16x BENCH_16x.json
 bench_run /tmp/scale_sf0.1_16x BENCH_16x_b.json
+bench_run /tmp/scale_sf0.1_16x BENCH_16x_c.json
 spill_run /tmp/scale_sf0.1_4x SPILL_4x.json
 spill_run /tmp/scale_sf0.1_16x SPILL_16x.json
-echo "ALL DONE $(date +%T)" >> "$LOG"
+echo "ALL DONE failed=$FAILED $(date +%T)" >> "$LOG"
+exit "$FAILED"

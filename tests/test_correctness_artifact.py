@@ -84,7 +84,7 @@ def test_sf01_sample_artifact_shape_and_rotation():
         pytest.fail(
             "no CORRECTNESS_SF01_r*.json committed - run "
             "`python tools/diff_oracle.py --sf /root/testdata/sf0.1 "
-            "--sample 25 --round NN --json CORRECTNESS_SF01_rNN.json`"
+            "--sample 50 --round NN --json CORRECTNESS_SF01_rNN.json`"
         )
     with open(max(paths, key=_round_of)) as f:
         art = json.load(f)

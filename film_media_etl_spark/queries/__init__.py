@@ -57,5 +57,7 @@ from . import corpus_signals  # noqa: E402,F401  compression ratio + n-gram dive
 from . import repetition_signals  # noqa: E402,F401  Gopher repetition-signal vector
 from . import blocklist  # noqa: E402,F401  parameterized blocklist page gate
 from . import shard_layout  # noqa: E402,F401  deterministic training-shard layout
+from . import corpus_chunking  # noqa: E402,F401  boilerplate lines + CDC chunk dedup
+from . import source_overlap  # noqa: E402,F401  cross-source shingle-overlap matrix
 
 __all__ = ["EngineQuery", "register", "get", "all_queries", "all_oracles"]

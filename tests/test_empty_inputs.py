@@ -39,6 +39,8 @@ QUERIES = [
     "op27_window_to_date",
     "ext_dedup_minhash",
     "ext_dedup_paragraphs",
+    "ext_cdc_chunk_dedup",  # round-10 chunk-op family rep
+    "ext_source_overlap",  # round-10 cross-source family rep
     "ext_knn_bruteforce",
     "ext_knn_ivf_persisted",
     "ext_knn_pq",

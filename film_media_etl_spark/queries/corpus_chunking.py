@@ -79,6 +79,14 @@ _GEAR_MOD = 65536
 _CDC_WINDOW = 16
 _CDC_THRESHOLD = 1024
 
+# Near-dup pairing: chunks in more than _CDC_DF_CAP documents are
+# boilerplate, not identity evidence — excluded from pairing (the
+# df-capped inverted-index discipline of ext_dedup_winnowing), which
+# caps the self-join fanout at CAP^2/2 pairs per chunk at ANY corpus
+# size. Pairs emitted at containment >= _CDC_NEARDUP_MIN.
+_CDC_DF_CAP = 64
+_CDC_NEARDUP_MIN = 0.5
+
 
 # ---------------------------------------------------------------------------
 # Boilerplate line removal
@@ -251,10 +259,11 @@ def cdc_chunks(
              F.col("_c.chunk_text").alias("chunk_text"))
 
 
-@register(
-    "ext_cdc_chunk_dedup",
-    oracle=f"""
-    WITH t AS (
+# shared oracle fragment: the exploded (doc_id, chunk_idx, chunk_text)
+# CDC chunk stream — both registered CDC queries splice it so the
+# boundary definition cannot drift between them
+_CDC_CTE = f"""
+    t AS (
       SELECT doc_id, text, len(text) AS n,
              list_transform(range(1, len(text)+1),
                             i -> ((ascii(text[i]) * {_GEAR_MULT}) % {_GEAR_MOD}))
@@ -275,7 +284,14 @@ def cdc_chunks(
                     bpos[k] - (CASE WHEN k = 1 THEN 0 ELSE bpos[k-1] END))
                AS chunk_text
       FROM b, LATERAL unnest(generate_series(1, len(bpos))) AS u(k)
-    ), f AS (
+    )
+"""
+
+
+@register(
+    "ext_cdc_chunk_dedup",
+    oracle=f"""
+    WITH {_CDC_CTE}, f AS (
       SELECT chunk_text, MIN(doc_id * 100000 + chunk_idx) AS first_key
       FROM c GROUP BY chunk_text
     )
@@ -331,5 +347,99 @@ def ext_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_chunk_len"),
             "dup_chunks",
             "dup_bytes",
+        )
+    )
+
+
+@register(
+    "ext_cdc_near_dup",
+    oracle=f"""
+    WITH {_CDC_CTE}, d AS (
+      SELECT DISTINCT doc_id, chunk_text FROM c
+    ), fdf AS (
+      SELECT chunk_text, COUNT(*) AS df FROM d GROUP BY chunk_text
+    ), tot AS (
+      SELECT doc_id, SUM(len(chunk_text)) AS tbytes FROM d GROUP BY doc_id
+    ), ev AS (
+      SELECT d.doc_id, d.chunk_text
+      FROM d JOIN fdf USING (chunk_text)
+      WHERE fdf.df BETWEEN 2 AND {_CDC_DF_CAP}
+    ), sh AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             SUM(len(a.chunk_text)) AS shared_bytes
+      FROM ev a JOIN ev b
+        ON a.chunk_text = b.chunk_text AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT sh.doc_a, sh.doc_b,
+           CAST(sh.shared_bytes AS INT) AS shared_bytes,
+           CAST(sh.shared_bytes AS DOUBLE)
+             / LEAST(ta.tbytes, tb.tbytes) AS containment
+    FROM sh
+    JOIN tot ta ON ta.doc_id = sh.doc_a
+    JOIN tot tb ON tb.doc_id = sh.doc_b
+    WHERE CAST(sh.shared_bytes AS DOUBLE)
+            / LEAST(ta.tbytes, tb.tbytes) >= {_CDC_NEARDUP_MIN}
+    """,
+)
+def ext_cdc_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC near-duplicate pairs — the ACTION on top of the
+    ext_cdc_chunk_dedup report: two documents sharing >= 50% of the
+    smaller one's distinct chunk bytes are near-duplicates, found via
+    a df-capped inverted index over chunk text (see _CDC_DF_CAP note —
+    boilerplate chunks are excluded from pairing, so the fanout of the
+    chunk self-join is bounded by CAP, never corpus-quadratic, and the
+    reported containment is a LOWER bound with zero boilerplate-driven
+    false positives). Because boundaries are content-defined, an
+    insertion near the top of a copy shifts every offset yet leaves
+    downstream chunk identities intact — this catches the shifted
+    near-dups that fixed-offset passage hashing misses. Totals join
+    back doc-keyed (one row per doc — never broadcast at corpus
+    scale)."""
+    return cdc_near_dup(
+        ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    )
+
+
+def cdc_near_dup(
+    docs: DataFrame,
+    *,
+    df_cap: int = _CDC_DF_CAP,
+    min_containment: float = _CDC_NEARDUP_MIN,
+) -> DataFrame:
+    """(doc_a, doc_b, shared_bytes, containment) over a documents
+    frame — the library builder behind ext_cdc_near_dup (see its
+    docstring for semantics and the scale argument)."""
+    chunks = cdc_chunks(docs)
+    d = chunks.select("doc_id", "chunk_text").distinct()
+    fdf = d.groupBy("chunk_text").agg(F.count(F.lit(1)).alias("df"))
+    tot = d.groupBy("doc_id").agg(
+        F.sum(F.length("chunk_text")).alias("tbytes")
+    )
+    ev = d.join(
+        fdf.filter(F.col("df").between(2, df_cap)), "chunk_text"
+    ).select("doc_id", "chunk_text")
+    a = ev.select(F.col("doc_id").alias("doc_a"), "chunk_text")
+    b = ev.select(F.col("doc_id").alias("doc_b"), "chunk_text")
+    sh = (
+        a.join(b, "chunk_text")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.length("chunk_text")).alias("_shared"))
+    )
+    ta = tot.withColumnsRenamed({"doc_id": "doc_a", "tbytes": "_ta"})
+    tb = tot.withColumnsRenamed({"doc_id": "doc_b", "tbytes": "_tb"})
+    cont = F.col("_shared").cast("double") / F.least("_ta", "_tb").cast(
+        "double"
+    )
+    return (
+        sh.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .filter(cont >= min_containment)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("_shared").cast("int").alias("shared_bytes"),
+            cont.alias("containment"),
         )
     )

@@ -213,3 +213,58 @@ def test_registered_chunk_queries_plans(spark):
         plan = physical_plan(res)
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
         assert res.count() > 0
+
+
+def test_cdc_near_dup_pairs_shifted_copies_and_caps_boilerplate(spark):
+    """A shifted copy (different-length prefix, shared 900-char body)
+    must pair at containment >= 0.5 (THE CDC win: fixed-offset hashing
+    shares nothing here); unrelated docs must not pair; and a chunk
+    present in more than df_cap documents is boilerplate — excluded
+    from evidence, so docs related ONLY through it never pair."""
+    from film_media_etl_spark.queries.corpus_chunking import cdc_near_dup
+
+    rng = random.Random(SEED + 2)
+    body = _soup(rng, 150)
+    chrome = _soup(rng, 30)  # shared "boilerplate" block
+    docs = [
+        (0, _soup(rng, 10) + " " + body),
+        (1, _soup(rng, 23) + " " + body),  # shifted copy of 0
+        (2, chrome + " " + _soup(rng, 100)),
+        (3, chrome + " " + _soup(rng, 100)),
+        (4, chrome + " " + _soup(rng, 100)),
+        (5, _soup(rng, 120)),  # unrelated
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    # df_cap=2: the chrome block's chunks appear in docs 2,3,4 (df=3),
+    # so they are excluded and the chrome trio must NOT pair
+    got = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in cdc_near_dup(df, df_cap=2, min_containment=0.5).collect()
+    }
+    assert (0, 1) in got, "shifted copy not detected"
+    assert got[(0, 1)] >= 0.5
+    assert all(k == (0, 1) for k in got), (
+        f"boilerplate-only relations leaked through the df cap: {got}"
+    )
+    # with the cap lifted the chrome trio pairs (containment of the
+    # smaller doc's bytes; chrome is ~180 chars of ~780) but below 0.5
+    lifted = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in cdc_near_dup(df, df_cap=64, min_containment=0.05).collect()
+    }
+    for pair in [(2, 3), (2, 4), (3, 4)]:
+        assert pair in lifted and lifted[pair] < 0.5
+
+
+def test_cdc_near_dup_registered_query_plan(spark):
+    """Registered query at fixture scale: equi-joins only (no
+    cartesian), no Python eval, emitted pairs respect the threshold
+    and ordering convention."""
+    qs = all_queries()
+    df = qs["ext_cdc_near_dup"](spark, PARITY_SF_DIR)
+    assert_no_cartesian(df)
+    plan = physical_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    for r in df.collect():
+        assert r["doc_a"] < r["doc_b"]
+        assert r["containment"] >= 0.5

@@ -565,20 +565,31 @@ def curation_scalar_reason(
     )
 
 
+def generate_barrier(df, **exprs: Column):
+    """Materialize the given expressions ONCE per row behind a Generate
+    barrier (explode of a one-element struct array), adding each as a
+    column named by its keyword. Higher-order functions are excluded
+    from codegen subexpression elimination AND CollapseProject inlines
+    plain Project-defined columns into downstream lambdas, so any
+    expensive array/HOF expression consumed per-element downstream must
+    cross a Generate to be computed once (the defect class fixed in
+    commit c9c5eb7; README "HOF CSE"). This is the one shared home of
+    that workaround — callers across queries/ and operators/ use it
+    instead of hand-rolling the explode(array(struct(...))) shape."""
+    named = [e.alias(k) for k, e in exprs.items()]
+    out = df.withColumn("_gb", F.explode(F.array(F.struct(*named))))
+    return out.withColumns(
+        {k: F.col(f"_gb.{k}") for k in exprs}
+    ).drop("_gb")
+
+
 def lang_quality_barrier(df, text_col: str = "text"):
     """Materialize (predicted_lang, quality_score) ONCE behind a
-    Generate barrier — higher-order functions are excluded from codegen
-    subexpression elimination, so without the barrier every consumer of
-    the reason chain re-evaluates the lexicon scans (~16 marker counts)
-    per reference. Adds columns `lang` and `q`."""
-    return df.withColumn(
-        "_lq",
-        F.explode(
-            F.array(
-                F.struct(
-                    predicted_lang(F.col(text_col)).alias("lang"),
-                    quality_score(F.col(text_col)).alias("q"),
-                )
-            )
-        ),
-    ).withColumns({"lang": F.col("_lq.lang"), "q": F.col("_lq.q")}).drop("_lq")
+    Generate barrier (see generate_barrier) — without it every consumer
+    of the reason chain re-evaluates the lexicon scans (~16 marker
+    counts) per reference. Adds columns `lang` and `q`."""
+    return generate_barrier(
+        df,
+        lang=predicted_lang(F.col(text_col)),
+        q=quality_score(F.col(text_col)),
+    )

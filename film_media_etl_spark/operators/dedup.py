@@ -40,13 +40,14 @@ def _token_set(text: Column) -> Column:
     return F.array_distinct(F.split(F.lower(text), " "))
 
 
-def _shingle_set(text: Column, n: int) -> Column:
-    """Distinct word n-gram shingles, as space-joined strings. Pure
-    higher-order-function expression (F.get is 0-indexed, column-valued
-    indices allowed). Documents shorter than n tokens yield an empty set
-    — the explicit guard matters because F.sequence(1, 0) would generate
-    a DESCENDING sequence, not an empty one."""
-    toks = F.split(F.lower(text), " ")
+def _shingle_set_from_toks(toks: Column, n: int) -> Column:
+    """Distinct word n-gram shingles from a token-array column, as
+    space-joined strings. Documents shorter than n tokens yield an
+    empty set — the explicit guard matters because F.sequence(1, 0)
+    would generate a DESCENDING sequence, not an empty one. Callers
+    that consume the result per-element downstream should pass a
+    BARRIER-materialized token column (functions.text.generate_barrier)
+    so the split isn't re-evaluated per shingle."""
     starts = F.sequence(F.lit(0), F.size(toks) - F.lit(n))
     # slice+array_join, NOT n separate F.get()+concat_ws: one bounds-checked
     # array copy per shingle instead of n element lookups — measured 5.8x
@@ -55,6 +56,12 @@ def _shingle_set(text: Column, n: int) -> Column:
     return F.when(F.size(toks) >= n, F.array_distinct(F.transform(starts, mk))).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def _shingle_set(text: Column, n: int) -> Column:
+    """Distinct word n-gram shingles of a text column (lowercased,
+    space-split) — see _shingle_set_from_toks."""
+    return _shingle_set_from_toks(F.split(F.lower(text), " "), n)
 
 
 def token_jaccard_pairs(

@@ -20,7 +20,10 @@ beyond first-occurrence passage dedup (ext_dedup_paragraphs):
    ext_dedup_paragraphs' token windows) cannot do. The registered
    query reports, per document, how much of it is chunk-level
    duplicate against the whole corpus — the storage/transfer dedup
-   ratio a CDC-backed corpus store would realize.
+   ratio a CDC-backed corpus store would realize. A quiet-window rule
+   (see _CDC_MIN_CHUNK) supplies FastCDC's minimum-chunk floor in
+   per-position form, so degenerate content (digit runs, binary
+   contamination) cannot explode into one-char chunks.
 
 Reference parity note: the reference deduplicates only whole rows on
 load (INSERT IGNORE, ` loadAnalyticsDB...R`:106-134 — op 03); these are
@@ -37,13 +40,15 @@ just the summary statistics.
 Spark-first shape and the 100 TB audit:
 - All per-document work is JVM-side array higher-order functions
   (transform/filter/aggregate) — O(n·W) per doc, no Python.
-- The char-code and boundary-position arrays are materialized behind
-  Generate barriers (the lang_quality_barrier pattern,
-  functions/text.py): HOF lambdas get no common-subexpression
-  elimination against outer expressions, and CollapseProject would
-  otherwise inline the O(n) array build into every element_at,
-  turning O(n·W) into O(n²·W) (the class of defect fixed in commit
-  c9c5eb7 / documented in README "HOF CSE").
+- The char, rolling-hash, and boundary-position arrays are each
+  materialized behind a Generate barrier
+  (functions.text.generate_barrier): HOF lambdas get no
+  common-subexpression elimination against outer expressions, and
+  CollapseProject would otherwise inline the O(n) array build into
+  every element_at, turning O(n·W) into O(n²·W) (the class of defect
+  fixed in commit c9c5eb7 / documented in README "HOF CSE"). Each
+  stage reads only the previous stage's materialized column, so every
+  expression is evaluated exactly once per row.
 - Chunk text is sliced from the char ARRAY (slice + array_join,
   O(chunk) with O(1) offset), not via substring(text, pos) whose
   position scan would make chunk extraction O(n²/avg_chunk) per doc.
@@ -62,6 +67,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.text import generate_barrier
 from ..sources import ensure_parallelism, load_table
 from .registry import register
 
@@ -73,11 +79,23 @@ _LINE_TOKS = 4
 _MIN_DF = 3
 
 # CDC gear-hash parameters: 16-bit hash, W=16 trailing chars,
-# boundary iff h < 2^10 (p = 1/64 -> expected 64-char chunks).
+# boundary iff h < 2^10 (p = 1/64 -> expected 64-char chunks) AND the
+# preceding _CDC_MIN_CHUNK-1 positions are quiet (hash >= threshold).
+# The quiet-window rule is the per-position variant of FastCDC's
+# minimum-chunk floor: certain characters' steady-state rolling hash
+# sits permanently below the threshold (e.g. NUL, '7' — computable
+# from the gear table), so a digit run or binary contamination would
+# otherwise chunk at EVERY position (~n one-char chunks per doc).
+# Requiring a quiet preceding window suppresses boundaries inside such
+# runs (the run becomes one chunk) and enforces a 16-char minimum gap
+# between boundaries, while keeping the predicate per-position — no
+# sequential fold, which is the Spark-right (embarrassingly parallel)
+# shape FastCDC's skip-ahead loop is not.
 _GEAR_MULT = 40503
 _GEAR_MOD = 65536
 _CDC_WINDOW = 16
 _CDC_THRESHOLD = 1024
+_CDC_MIN_CHUNK = 16
 
 # Near-dup pairing: chunks in more than _CDC_DF_CAP documents are
 # boilerplate, not identity evidence — excluded from pairing (the
@@ -193,49 +211,58 @@ def ext_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _barrier(df: DataFrame, **exprs) -> DataFrame:
-    """Materialize expressions ONCE per row behind a Generate barrier
-    (lang_quality_barrier pattern — see module doc for why CollapseProject
-    makes a plain withColumn insufficient here)."""
-    named = [e.alias(k) for k, e in exprs.items()]
-    out = df.withColumn("_b", F.explode(F.array(F.struct(*named))))
-    return out.withColumns(
-        {k: F.col(f"_b.{k}") for k in exprs}
-    ).drop("_b")
-
-
 def cdc_chunks(
     docs: DataFrame,
     *,
     window: int = _CDC_WINDOW,
     threshold: int = _CDC_THRESHOLD,
+    min_chunk: int = _CDC_MIN_CHUNK,
 ) -> DataFrame:
     """Exploded CDC chunks: (doc_id, chunk_idx, chunk_text). Boundary
     after char i iff the gear hash of the trailing `window` chars is
-    below `threshold` (always one at end-of-doc); chunk k spans
-    (bpos[k-1], bpos[k]]."""
+    below `threshold` AND the preceding min_chunk-1 positions are all
+    quiet (hash >= threshold) — the per-position variant of FastCDC's
+    minimum-chunk floor (see _CDC_MIN_CHUNK note); always one boundary
+    at end-of-doc. Chunk k spans (bpos[k-1], bpos[k]]."""
     docs = docs.filter(F.col("text").isNotNull() & (F.length("text") > 0))
-    # char-code gear values, materialized once (split('') keeps a
-    # trailing '' under Java's limit=-1 split; the length filter drops it)
+    # char array materialized once (split('') keeps a trailing '' under
+    # Java's limit=-1 split; the length filter drops it)
     chars = F.filter(F.split(F.col("text"), ""), lambda c: F.length(c) == 1)
-    g = F.transform(chars, lambda c: (F.ascii(c) * _GEAR_MULT) % _GEAR_MOD)
-    step = _barrier(docs.select("doc_id", "text"), chars=chars, g=g)
-    # boundary positions: the rolling hash is a windowed weighted sum —
-    # h_i = sum_{j<min(i,W)} G[c_(i-j)] * 2^j mod 2^16 — expressed as a
-    # fold over the window so char j affects exactly W positions (the
-    # sliding property gear chunking relies on). SQL-string expr: the
-    # DataFrame shiftleft() wrapper only takes a literal bit count.
-    bpos = F.expr(
+    step = generate_barrier(docs.select("doc_id", "text"), chars=chars)
+    # the rolling-hash vector: h_i = sum_{j<min(i,W)} G[c_(i-j)] * 2^j
+    # mod 2^16 — a windowed weighted sum, so char j affects exactly W
+    # positions (the sliding property gear chunking relies on).
+    # SQL-string expr: the DataFrame shiftleft() wrapper only takes a
+    # literal bit count. Materialized behind its own barrier because
+    # the boundary predicate below reads it ~min_chunk times per
+    # position.
+    hs = F.expr(
         f"""
-        filter(sequence(1, size(g)), i ->
+        transform(sequence(1, size(chars)), i ->
           aggregate(sequence(0, least(i, {window}) - 1), 0L,
-                    (acc, j) -> acc + element_at(g, CAST(i - j AS INT))
-                                      * shiftleft(1L, j))
-            % {_GEAR_MOD} < {threshold}
-          OR i = size(g))
+                    (acc, j) -> acc
+                      + ((ascii(element_at(chars, CAST(i - j AS INT)))
+                          * {_GEAR_MULT}) % {_GEAR_MOD})
+                        * shiftleft(1L, j))
+            % {_GEAR_MOD})
         """
     )
-    step = _barrier(step, bpos=bpos)
+    step = generate_barrier(step, hs=hs)
+    # boundary iff below threshold with a QUIET preceding window (no
+    # below-threshold hash in the previous min_chunk-1 positions), or
+    # end-of-doc. The i = 1 guard matters: Spark's sequence() DESCENDS
+    # on an empty span instead of returning [].
+    bpos = F.expr(
+        f"""
+        filter(sequence(1, size(hs)), i ->
+          i = size(hs) OR (
+            element_at(hs, CAST(i AS INT)) < {threshold}
+            AND (i = 1 OR size(filter(
+                  sequence(greatest(1, i - {min_chunk - 1}), i - 1),
+                  j -> element_at(hs, CAST(j AS INT)) < {threshold})) = 0)))
+        """
+    )
+    step = generate_barrier(step, bpos=bpos)
     # chunk text is sliced from the CHAR ARRAY (O(1) offset), never via
     # substring(text, pos) (position scan -> O(n^2) per doc at scale)
     chunks = F.expr(
@@ -264,19 +291,24 @@ def cdc_chunks(
 # boundary definition cannot drift between them
 _CDC_CTE = f"""
     t AS (
-      SELECT doc_id, text, len(text) AS n,
-             list_transform(range(1, len(text)+1),
-                            i -> ((ascii(text[i]) * {_GEAR_MULT}) % {_GEAR_MOD}))
-               AS g
+      SELECT doc_id, text, len(text) AS n
       FROM documents WHERE text IS NOT NULL AND len(text) > 0
+    ), h AS (
+      SELECT doc_id, text, n,
+             list_transform(range(1, n+1), i ->
+               list_sum(list_transform(range(0, LEAST(i, {_CDC_WINDOW})), j ->
+                 ((ascii(text[i - j]) * {_GEAR_MULT}) % {_GEAR_MOD})
+                   * (CAST(1 AS BIGINT) << j))) % {_GEAR_MOD}) AS hs
+      FROM t
     ), b AS (
       SELECT doc_id, text, n,
              list_filter(range(1, n+1), i ->
-               (list_sum(list_transform(range(0, LEAST(i, {_CDC_WINDOW})), j ->
-                  g[i - j] * (CAST(1 AS BIGINT) << j))) % {_GEAR_MOD})
-                 < {_CDC_THRESHOLD}
-               OR i = n) AS bpos
-      FROM t
+               i = n OR (
+                 hs[i] < {_CDC_THRESHOLD}
+                 AND (i = 1 OR len(list_filter(
+                       range(GREATEST(1, i - {_CDC_MIN_CHUNK - 1}), i),
+                       j -> hs[j] < {_CDC_THRESHOLD})) = 0))) AS bpos
+      FROM h
     ), c AS (
       SELECT doc_id, k - 1 AS chunk_idx,
              substr(text,
@@ -292,17 +324,20 @@ _CDC_CTE = f"""
     "ext_cdc_chunk_dedup",
     oracle=f"""
     WITH {_CDC_CTE}, f AS (
-      SELECT chunk_text, MIN(doc_id * 100000 + chunk_idx) AS first_key
+      SELECT chunk_text,
+             MIN(struct_pack(d := doc_id, i := chunk_idx)) AS first_key
       FROM c GROUP BY chunk_text
     )
     SELECT doc_id,
            CAST(COUNT(*) AS INT) AS n_chunks,
            CAST(SUM(len(chunk_text)) AS BIGINT) AS total_bytes,
            CAST(SUM(len(chunk_text)) AS DOUBLE) / COUNT(*) AS avg_chunk_len,
-           CAST(COUNT(*) FILTER (WHERE doc_id*100000 + chunk_idx <> first_key)
+           CAST(COUNT(*) FILTER (
+                  WHERE struct_pack(d := doc_id, i := chunk_idx) <> first_key)
                 AS INT) AS dup_chunks,
-           CAST(COALESCE(SUM(len(chunk_text))
-                  FILTER (WHERE doc_id*100000 + chunk_idx <> first_key), 0)
+           CAST(COALESCE(SUM(len(chunk_text)) FILTER (
+                  WHERE struct_pack(d := doc_id, i := chunk_idx) <> first_key),
+                  0)
                 AS BIGINT) AS dup_bytes
     FROM c JOIN f USING (chunk_text)
     GROUP BY doc_id
@@ -312,14 +347,18 @@ def ext_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking dedup report over the documents table
     (see module doc): per document, its gear-hash chunk count, byte
     total, and how many chunks/bytes are corpus-wide duplicates (first
-    occurrence by min(doc_id, chunk_idx) — same collapsed-long
-    convention as ext_dedup_paragraphs). The DuckDB twin recomputes the
-    rolling hash and boundaries exactly, so a single misplaced boundary
+    occurrence by lexicographic MIN over the (doc_id, chunk_idx)
+    STRUCT — collision-free at any document size, unlike a collapsed
+    doc_id*K+idx long, which silently cross-wires attribution once a
+    document exceeds K chunks). The DuckDB twin recomputes the rolling
+    hash and boundaries exactly, so a single misplaced boundary
     anywhere in the corpus fails the hash check."""
     chunks = cdc_chunks(
         ensure_parallelism(load_table(spark, sf_dir, "documents"))
     )
-    okey = F.col("doc_id") * 100000 + F.col("chunk_idx")
+    okey = F.struct(
+        F.col("doc_id").alias("d"), F.col("chunk_idx").alias("i")
+    )
     # groupBy + join back, not a window: hot chunks (shared boilerplate)
     # get map-side combine + AQE skew-splitting (module doc)
     firsts = chunks.groupBy("chunk_text").agg(F.min(okey).alias("_first_key"))

@@ -314,8 +314,9 @@ _PARA = 16  # tokens per paragraph-proxy chunk (the corpus has no line breaks)
       FROM n, LATERAL unnest(generate_series(0, nc - 1)) AS u(i)
     ), k AS (
       SELECT doc_id, chunk_idx, chunk_text,
-             (doc_id * 100000 + chunk_idx) =
-               MIN(doc_id * 100000 + chunk_idx) OVER (PARTITION BY chunk_text)
+             struct_pack(d := doc_id, i := chunk_idx) =
+               MIN(struct_pack(d := doc_id, i := chunk_idx))
+                 OVER (PARTITION BY chunk_text)
                AS kept
       FROM c
     )
@@ -331,9 +332,12 @@ _PARA = 16  # tokens per paragraph-proxy chunk (the corpus has no line breaks)
 def ext_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style passage-level dedup: documents split into {_PARA}-token
     paragraph proxies (the fixture corpus has no line breaks), each
-    distinct passage kept only at its FIRST corpus occurrence (min
-    (doc_id, chunk_idx), collapsed to one sortable long), documents
-    reassembled from surviving passages with a retained fraction for
+    distinct passage kept only at its FIRST corpus occurrence
+    (lexicographic MIN over the (doc_id, chunk_idx) STRUCT —
+    collision-free at any document size, round-10 fix of the collapsed
+    doc_id*100000+idx long that cross-wired attribution past 100k
+    chunks), documents reassembled from surviving passages with a
+    retained fraction for
     downstream quality filtering. The dedup decision is one shuffle on
     passage text (hash-aggregatable window, no sort); reassembly is a
     per-document sort of a bounded chunk list. This is the sub-document
@@ -354,7 +358,7 @@ def ext_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chunk_text"
         ),
     )
-    okey = F.col("doc_id") * 100000 + F.col("chunk_idx")
+    okey = F.struct(F.col("doc_id").alias("d"), F.col("chunk_idx").alias("i"))
     # groupBy+join, NOT a window over chunk_text: a boilerplate passage
     # repeated millions of times is one hot key — a window partition is
     # unsplittable, while the aggregate gets map-side combine (min) and

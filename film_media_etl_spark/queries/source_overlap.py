@@ -36,6 +36,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.text import generate_barrier
+from ..operators.dedup import _shingle_set_from_toks
 from ..sources import ensure_parallelism, load_table
 from .registry import register
 
@@ -44,26 +46,17 @@ _SHINGLE = 4  # tokens per shingle — matches the blocklist/line-proxy grain
 
 def source_shingles(docs: DataFrame, *, n: int = _SHINGLE) -> DataFrame:
     """DISTINCT (source, shingle) pairs: every token n-gram each source
-    contains, deduplicated with a map-side-combined aggregate. The
-    token array is materialized ONCE behind a Generate barrier before
-    the per-position slice lambda references it (HOF lambdas get no
-    CSE against outer expressions — without the barrier the split()
-    re-evaluates per shingle position, O(n^2) per doc)."""
-    step = docs.filter(F.col("text").isNotNull()).withColumn(
-        "_t",
-        F.explode(
-            F.array(F.struct(F.split(F.lower("text"), " ").alias("toks")))
-        ),
-    ).select("source", F.col("_t.toks").alias("toks"))
-    grams = F.when(
-        F.size("toks") >= n,
-        F.expr(
-            f"""
-            transform(sequence(1, size(toks) - {n - 1}),
-                      i -> array_join(slice(toks, i, {n}), ' '))
-            """
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    contains, deduplicated with a map-side-combined aggregate. Shingle
+    construction is operators.dedup._shingle_set_from_toks (ONE home
+    for the slice+array_join shingle shape and its short-doc guard);
+    the token array is materialized behind a Generate barrier first
+    (functions.text.generate_barrier) so the split isn't re-evaluated
+    per shingle position."""
+    step = generate_barrier(
+        docs.filter(F.col("text").isNotNull()).select("source", "text"),
+        toks=F.split(F.lower("text"), " "),
+    )
+    grams = _shingle_set_from_toks(F.col("toks"), n)
     return step.select("source", F.explode(grams).alias("shingle")).distinct()
 
 

@@ -24,6 +24,7 @@ from film_media_etl_spark.plans import (
 )
 from film_media_etl_spark.queries import all_queries
 from film_media_etl_spark.queries.corpus_chunking import (
+    _CDC_MIN_CHUNK,
     _CDC_THRESHOLD,
     _CDC_WINDOW,
     _GEAR_MOD,
@@ -68,13 +69,18 @@ def _model_boilerplate(docs: dict[int, str], min_df: int = _MIN_DF):
 def _model_cdc(text: str) -> list[str]:
     n = len(text)
     g = [(ord(c) * _GEAR_MULT) % _GEAR_MOD for c in text]
+    hs = [
+        sum(g[i - 1 - j] * (1 << j) for j in range(min(i, _CDC_WINDOW)))
+        % _GEAR_MOD
+        for i in range(1, n + 1)
+    ]
     bpos = []
     for i in range(1, n + 1):
-        h = (
-            sum(g[i - 1 - j] * (1 << j) for j in range(min(i, _CDC_WINDOW)))
-            % _GEAR_MOD
+        quiet = all(
+            hs[j - 1] >= _CDC_THRESHOLD
+            for j in range(max(1, i - (_CDC_MIN_CHUNK - 1)), i)
         )
-        if h < _CDC_THRESHOLD or i == n:
+        if i == n or (hs[i - 1] < _CDC_THRESHOLD and quiet):
             bpos.append(i)
     chunks, prev = [], 0
     for b in bpos:
@@ -152,10 +158,15 @@ def test_cdc_chunks_match_python_model(spark):
     texts = {
         0: _soup(rng, 120),
         1: _soup(rng, 40),
-        2: "ab",  # shorter than the 16-char window
+        2: "ab",  # shorter than the hash window
         3: "x",  # single char -> one 1-char chunk
         4: "",  # filtered
         5: None,  # filtered
+        # degenerate content: '7' has a steady-state gear hash below the
+        # boundary threshold, so without the quiet-window minimum-chunk
+        # rule this would chunk at EVERY position (~300 one-char chunks)
+        6: "7" * 300,
+        7: _soup(rng, 30) + " 7777777777777777777777777777 " + _soup(rng, 30),
     }
     df = spark.createDataFrame(
         [(d, t) for d, t in texts.items()], "doc_id long, text string"
@@ -173,6 +184,17 @@ def test_cdc_chunks_match_python_model(spark):
     # reassembly is lossless and multi-chunk on the long doc
     assert "".join(got[0]) == texts[0] and len(got[0]) > 3
     assert got[3] == ["x"]
+    # the quiet-window floor holds: the digit run stays a handful of
+    # chunks (not ~n one-char rows), and consecutive boundaries are
+    # never closer than the minimum gap (the final tail chunk excepted)
+    assert len(got[6]) <= 1 + 300 // _CDC_MIN_CHUNK
+    for d, chs in got.items():
+        for c in chs[:-1]:
+            assert len(c) >= 1  # chunks are non-empty
+        assert all(len(c) >= _CDC_MIN_CHUNK for c in chs[1:-1]) or len(chs) <= 2, (
+            d,
+            [len(c) for c in chs],
+        )
 
 
 def test_cdc_boundaries_are_shift_invariant(spark):
@@ -259,12 +281,16 @@ def test_cdc_near_dup_pairs_shifted_copies_and_caps_boilerplate(spark):
 def test_cdc_near_dup_registered_query_plan(spark):
     """Registered query at fixture scale: equi-joins only (no
     cartesian), no Python eval, emitted pairs respect the threshold
-    and ordering convention."""
+    and ordering convention. Values are checked at sf0.01, where the
+    fixture's near-dup docs guarantee a NON-EMPTY result — at sf0.001
+    the loop could pass vacuously."""
     qs = all_queries()
     df = qs["ext_cdc_near_dup"](spark, PARITY_SF_DIR)
     assert_no_cartesian(df)
     plan = physical_plan(df)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    for r in df.collect():
+    rows = qs["ext_cdc_near_dup"](spark, "/root/testdata/sf0.01").collect()
+    assert rows, "sf0.01 fixture must yield near-dup pairs"
+    for r in rows:
         assert r["doc_a"] < r["doc_b"]
         assert r["containment"] >= 0.5

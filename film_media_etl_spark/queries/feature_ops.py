@@ -382,55 +382,88 @@ def ext_dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines, so the window MIN and every downstream count are exact —
     no probabilistic tier, full oracle.
 
-    Scale shape: the k-gram explode is ~tokens-per-doc rows, the
-    winnowing MIN is a window partitioned BY DOCUMENT (bounded by doc
-    length — never an unsplittable corpus-wide sort), and the pair
-    generator is an equi-join on fingerprint, i.e. an inverted index:
-    candidates only where evidence exists. The document-frequency cap
-    ({_WIN_DF_CAP}) drops boilerplate stop-phrases exactly like df
-    pruning in MinHash banding, bounding any fingerprint's fan-out to
-    df^2/2; selected-fingerprint density is ~2/(w+1) of grams, so the
+    Scale shape (optimization round 10 — guide §2.4 "remove shuffles
+    outright"): fingerprint SELECTION is entirely map-side. The k-gram
+    hashes and the sliding window MIN are per-document array folds
+    (two Generate barriers so no HOF lambda ever re-evaluates an outer
+    expression — README "HOF CSE"), and per-doc distinctness is
+    array_distinct — so the corpus-sized gram stream never crosses an
+    exchange, where the previous spelling exploded it, shuffled it by
+    doc_id, sorted it under a Window, and shuffled again for DISTINCT
+    (x4: the self-join + df-filter branches each recomputed the
+    subtree — 10 exchanges / 4 windows / 4 scans before, 2-3 exchanges
+    / 0 windows / 1-2 scans after). Pairs come from the df-capped
+    postings lists (sort_array + collect_list after the cap join keeps
+    every group <= {_WIN_DF_CAP} ids, so the quadratic explode is
+    bounded at C({_WIN_DF_CAP},2) per fingerprint) instead of a
+    shared x shared self-join; the explicit repartition(fp) is the
+    one exchange both the df filter and the postings join consume
+    (ReuseExchange). The document-frequency cap ({_WIN_DF_CAP}) drops
+    boilerplate stop-phrases exactly like df pruning in MinHash
+    banding; selected-fingerprint density is ~2/(w+1) of grams, so the
     index is ~{2 * 100 // (_WIN_W + 1)}% the size of a full k-gram
     postings list."""
+    from ..functions.text import generate_barrier
+
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    t = docs.select(
-        "doc_id", F.split(F.lower("text"), " ").alias("toks")
+    # barrier 1: the token array (split is re-evaluated per element by
+    # any HOF lambda that closes over it as an inline expression)
+    t = generate_barrier(
+        docs.select("doc_id", "text"), toks=F.split(F.lower("text"), " ")
     ).where(F.size("toks") >= _WIN_K)
-    g = t.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(1), F.size("toks") - (_WIN_K - 1))).alias("pos"),
-        "toks",
-    ).select(
-        "doc_id",
-        "pos",
-        F.md5(
-            F.array_join(F.slice(F.col("toks"), F.col("pos"), _WIN_K), " ")
-        ).alias("h"),
+    # barrier 2: the gram-hash array — the sliding-min gets below read
+    # it per element, so it must be an attribute, not an expression
+    hs = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - (_WIN_K - 1)),
+        lambda i: F.md5(F.array_join(F.slice(F.col("toks"), i, _WIN_K), " ")),
     )
-    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-(_WIN_W - 1), 0)
-    fps = (
-        g.select("doc_id", "pos", F.min("h").over(w).alias("fp"))
-        .where(F.col("pos") >= _WIN_W)
-        .select("doc_id", "fp")
-        .distinct()
-    )
+    h = generate_barrier(t.select("doc_id", "toks"), hs=hs).select("doc_id", "hs")
+    # fp[j] = min(hs[j-W+1 .. j]) for 0-indexed window ends j >= W-1 —
+    # identical to the former Window MIN over (PARTITION BY doc ORDER BY
+    # pos ROWS {_WIN_W - 1} PRECEDING..CURRENT) filtered to pos >= W;
+    # array_distinct == the former per-(doc, fp) DISTINCT. The when()
+    # guards the descending-sequence pitfall for docs with < W grams.
+    fp_arr = F.when(
+        F.size("hs") >= _WIN_W,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(_WIN_W - 1), F.size("hs") - 1),
+                lambda j: F.least(
+                    *[F.get(F.col("hs"), j - d) for d in range(_WIN_W)]
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    fps = h.select("doc_id", F.explode(fp_arr).alias("fp")).repartition("fp")
+    # df cap BEFORE collecting postings: a boilerplate fingerprint in
+    # millions of documents must be dropped by a count, never collected
+    # into one aggregation buffer. Both consumers sit on the fps
+    # exchange above, so the fingerprint stream shuffles once.
     kept = (
         fps.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("df"))
         .where((F.col("df") >= 2) & (F.col("df") <= _WIN_DF_CAP))
         .select("fp")
     )
-    shared = fps.join(kept, "fp")
-    a, b = shared.alias("a"), shared.alias("b")
+    postings = (
+        fps.join(kept, "fp")
+        .groupBy("fp")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+    )
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                "ds",
+                lambda x, i: F.transform(
+                    F.slice(F.col("ds"), i + F.lit(2), F.size("ds")),
+                    lambda y: F.struct(x.alias("a"), y.alias("b")),
+                ),
+            )
+        )
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.fp") == F.col("b.fp"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        postings.select(pair.alias("p"))
+        .groupBy(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared_fp"))
         .where(F.col("n_shared_fp") >= _WIN_SHARED_MIN)
     )

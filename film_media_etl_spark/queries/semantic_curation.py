@@ -583,32 +583,49 @@ def curation_verdict(
     ).select("doc_id", "text", "toks", "blk_reason", "lang", "q")
     # with_repetition_verdict adds its own barrier for the 9 gram arrays
     # and leaves one boolean attribute (rep_ok) for the reason chain.
-    # Applied to the JOIN branch only — a Generate's generator is
-    # evaluated even when its output is pruned (the optimizer cannot
-    # drop an explode), so hanging the bigram-aggregate branch off the
-    # verdict frame would rebuild all 9 sorted gram arrays per row in a
-    # branch that reads nothing but (doc_id, toks).
     t = with_repetition_verdict(t0)
+    # Top-bigram stats MAP-SIDE (optimization round 10, guide §2.4): the
+    # former spelling exploded every bigram, aggregated by (doc_id, bg)
+    # and ran two doc_id windows (rank + total) — two corpus exchanges
+    # plus a sort, and the branch re-derived the t0 subtree (scan,
+    # blocklist, split, lang/quality barrier) a second time because a
+    # Generate is not a reuse boundary. Both quantities are per-document
+    # facts: n_bigrams is the bigram count and topc the maximum
+    # multiplicity, i.e. the longest equal-run in the SORTED bigram
+    # array — one sort_array + one linear fold per row (the
+    # repetition_signals zip-with-tail idiom; the sorted array sits
+    # behind a Generate barrier so no lambda re-evaluates it). NULL
+    # semantics match the old left join exactly: docs with no bigrams
+    # (short or NULL text) carry NULL topc/n_bigrams.
     n = F.size("toks")
-    bg = F.explode(
-        F.zip_with(
-            F.slice(F.col("toks"), 1, n - 1),
-            F.slice(F.col("toks"), 2, n - 1),
-            lambda a, b: F.concat(a, F.lit(" "), b),
-        )
-    ).alias("bg")
-    from pyspark.sql import Window
-
-    c = t0.select("doc_id", bg).groupBy("doc_id", "bg").agg(
-        F.count(F.lit(1)).alias("cnt")
+    bgs = F.zip_with(
+        F.slice(F.col("toks"), 1, n - 1),
+        F.slice(F.col("toks"), 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
     )
-    w_rank = Window.partitionBy("doc_id").orderBy(F.col("cnt").desc(), F.col("bg").asc())
-    w_all = Window.partitionBy("doc_id")
-    top = (
-        c.withColumn("rn", F.row_number().over(w_rank))
-        .withColumn("n_bigrams", F.sum("cnt").over(w_all))
-        .where(F.col("rn") == 1)
-        .select("doc_id", F.col("cnt").alias("topc"), "n_bigrams")
+    tb = TX.generate_barrier(t, sbg=F.sort_array(bgs))
+    nbg = F.size("sbg")
+    eq = F.zip_with(
+        F.col("sbg"),
+        F.slice(F.col("sbg"), 2, F.greatest(nbg - 1, F.lit(0))),
+        lambda a, b: a.eqNullSafe(b),
+    )
+    run_max = F.aggregate(
+        eq,
+        F.struct(F.lit(1).alias("cur"), F.lit(1).alias("mx")),
+        lambda acc, e: F.struct(
+            F.when(e, acc["cur"] + 1).otherwise(F.lit(1)).alias("cur"),
+            F.greatest(
+                acc["mx"], F.when(e, acc["cur"] + 1).otherwise(F.lit(1))
+            ).alias("mx"),
+        ),
+        lambda acc: acc["mx"],
+    )
+    t = tb.withColumns(
+        {
+            "topc": F.when(nbg > 0, run_max).cast("long"),
+            "n_bigrams": F.when(nbg > 0, nbg).cast("long"),
+        }
     )
     dup = (
         docs.where(F.col("text").isNotNull())
@@ -616,9 +633,7 @@ def curation_verdict(
         .agg(F.min("doc_id").alias("keep_id"))
         .withColumnRenamed("text", "dtext")
     )
-    j = t.join(top, "doc_id", "left").join(
-        dup, t["text"] == F.col("dtext"), "left"
-    )
+    j = t.join(dup, t["text"] == F.col("dtext"), "left")
     ttr_ok = (
         F.size(F.array_distinct("toks")).cast("double") / n.cast("double")
         >= TX.CURATION_MIN_TTR

@@ -77,55 +77,88 @@ def ext_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline filters on (Rae et al. 2021, 'Scaling Language Models',
     table A1 uses exactly these duplicate-n-gram fractions). Bigrams come
     from zip_with over adjacent array slices — pure JVM higher-order
-    functions, zero Python. The per-doc aggregate shuffles on doc_id
-    only after explode, and at 100 TB the explode never leaves the map
-    side: Spark fuses explode -> partial count into one stage."""
+    functions, zero Python.
+
+    Optimization round 10 (guide §2.4): every output here is a
+    per-document fact, so the whole query is now ONE map pass — the
+    former spelling exploded bigrams, aggregated by (doc_id, bigram),
+    ran two doc_id windows (rank-1 + total) and joined back to the
+    stats branch (3 exchanges + a sort + 2 scans). The top bigram and
+    its multiplicity are the longest equal-run (earliest on ties —
+    lexicographically smallest, matching the cnt DESC, bg ASC rank) in
+    the SORTED per-doc bigram array, found by one linear fold; the
+    sorted array sits behind a Generate barrier so no lambda
+    re-evaluates it. Docs with zero bigrams are dropped, matching the
+    former inner join against the exploded counts."""
+    from ..functions.text import generate_barrier
+
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    t = docs.select(
-        "doc_id", F.split(F.lower("text"), " ").alias("toks")
+    t = generate_barrier(
+        docs.select("doc_id", "text"), toks=F.split(F.lower("text"), " ")
     )
     n = F.size("toks")
-    bg = F.explode(
-        F.zip_with(
-            F.slice(F.col("toks"), 1, n - 1),
-            F.slice(F.col("toks"), 2, n - 1),
-            lambda a, b: F.concat(a, F.lit(" "), b),
-        )
-    ).alias("bg")
-    c = t.select("doc_id", bg).groupBy("doc_id", "bg").agg(
-        F.count(F.lit(1)).alias("cnt")
+    bgs = F.zip_with(
+        F.slice(F.col("toks"), 1, n - 1),
+        F.slice(F.col("toks"), 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
     )
-    w_rank = Window.partitionBy("doc_id").orderBy(
-        F.col("cnt").desc(), F.col("bg").asc()
-    )
-    w_all = Window.partitionBy("doc_id")
-    top = (
-        c.withColumn("rn", F.row_number().over(w_rank))
-        .withColumn("n_bigrams", F.sum("cnt").over(w_all))
-        .where(F.col("rn") == 1)
-        .select(
-            "doc_id",
-            F.col("bg").alias("top_bigram"),
-            F.col("cnt").alias("top_bigram_count"),
-            "n_bigrams",
-        )
-    )
-    stats = t.select(
-        "doc_id",
-        n.cast("long").alias("n_tokens"),
-        F.size(F.array_distinct("toks")).cast("long").alias("n_unique"),
+    tb = generate_barrier(
+        t.select("doc_id", "toks"), sbg=F.sort_array(bgs)
+    ).where(F.size("sbg") > 0)
+    nbg = F.size("sbg")
+    # fold over positions: cur = current run length, best/bb = longest
+    # run so far and its bigram (strict > keeps the EARLIEST max, i.e.
+    # the lexicographically smallest bigram on count ties)
+    best = F.aggregate(
+        F.sequence(F.lit(0), nbg - 1),
+        F.struct(
+            F.lit(0).alias("cur"),
+            F.lit(0).alias("best"),
+            F.lit(None).cast("string").alias("bb"),
+        ),
+        lambda acc, i: F.struct(
+            F.when(
+                (i > 0) & (F.get(F.col("sbg"), i) == F.get(F.col("sbg"), i - 1)),
+                acc["cur"] + 1,
+            )
+            .otherwise(F.lit(1))
+            .alias("cur"),
+            F.greatest(
+                acc["best"],
+                F.when(
+                    (i > 0)
+                    & (F.get(F.col("sbg"), i) == F.get(F.col("sbg"), i - 1)),
+                    acc["cur"] + 1,
+                ).otherwise(F.lit(1)),
+            ).alias("best"),
+            F.when(
+                F.when(
+                    (i > 0)
+                    & (F.get(F.col("sbg"), i) == F.get(F.col("sbg"), i - 1)),
+                    acc["cur"] + 1,
+                ).otherwise(F.lit(1))
+                > acc["best"],
+                F.get(F.col("sbg"), i),
+            )
+            .otherwise(acc["bb"])
+            .alias("bb"),
+        ),
     )
     ttr = F.col("n_unique").cast("double") / F.col("n_tokens").cast("double")
-    top_frac = F.col("top_bigram_count").cast("double") / F.col(
-        "n_bigrams"
-    ).cast("double")
-    return stats.join(top, "doc_id").select(
+    top_frac = F.col("_b.best").cast("double") / F.col("n_bigrams").cast("double")
+    return tb.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_unique"),
+        best.alias("_b"),
+        nbg.cast("long").alias("n_bigrams"),
+    ).select(
         "doc_id",
         "n_tokens",
         "n_unique",
         ttr.alias("type_token_ratio"),
-        "top_bigram",
-        "top_bigram_count",
+        F.col("_b.bb").alias("top_bigram"),
+        F.col("_b.best").cast("long").alias("top_bigram_count"),
         top_frac.alias("top_bigram_frac"),
         ((ttr >= 0.3) & (top_frac <= 0.18)).alias("passes_quality"),
     )

@@ -93,12 +93,17 @@ def build_dim_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     attribute set incl. smart key and NON-ISO week (createStarSchema...R:
     59-71; ` loadAnalyticsDB...R`:56-137)."""
     o = load_table(spark, sf_dir, "orders")
-    b = o.agg(F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi")).first()
-    spine = spark.range(1).select(
+    # LAZY spine (optimization round 10): the date range used to be
+    # collected with .first() — a driver-blocking job before the spine
+    # could even be planned. Exploding the sequence directly over the
+    # 1-row min/max aggregate keeps the whole dim one Spark job.
+    spine = o.agg(
+        F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi")
+    ).select(
         F.explode(
             F.sequence(
-                F.date_sub(F.lit(b["lo"]).cast("date"), 30),
-                F.date_add(F.lit(b["hi"]).cast("date"), 30),
+                F.date_sub(F.col("lo").cast("date"), 30),
+                F.date_add(F.col("hi").cast("date"), 30),
                 F.expr("interval 1 day"),
             )
         ).alias("date")
@@ -161,30 +166,32 @@ def build_dim_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(offset_music_id(F.col("s_suppkey")).alias("_sort_id"))
     )
-    # Each prepare is two small driver-blocking jobs; the film and music
-    # stats are independent, so submit them concurrently (same pattern as
-    # build_star's dim pool) — dim_customer is the dim-phase critical path.
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=2) as _pool:
-        _f = _pool.submit(prepare_global_index, film_ids, "_sort_id")
-        _m = _pool.submit(prepare_global_index, music_ids, "_sort_id")
-        prep_film, prep_music = _f.result(), _m.result()
-    n_film = prep_film[3]
+    # LAZY indexes (optimization round 10): the former spelling collected
+    # each source's key stats with two driver-blocking jobs (hidden
+    # behind a thread pool that this change deletes); the lazy
+    # _global_index rides the stats as broadcast aggregates inside the
+    # one dim job. The music block's offset — the film row count — rides
+    # a broadcast 1-row count the same way instead of a collected int.
     film_keyed = _global_index(
         both.where(F.col("customer_type") == "film"),
         ["customer_id"],
         "customer_id",
         out_col="customer_key",
-        prepared=prep_film,
+        stats_df=film_ids.withColumnRenamed("_sort_id", "customer_id"),
     )
-    music_keyed = _global_index(
-        both.where(F.col("customer_type") == "music"),
-        ["customer_id"],
-        "customer_id",
-        out_col="customer_key",
-        prepared=prep_music,
-    ).withColumn("customer_key", F.col("customer_key") + F.lit(n_film))
+    n_film = film_ids.agg(F.count(F.lit(1)).alias("_n_film"))
+    music_keyed = (
+        _global_index(
+            both.where(F.col("customer_type") == "music"),
+            ["customer_id"],
+            "customer_id",
+            out_col="customer_key",
+            stats_df=music_ids.withColumnRenamed("_sort_id", "customer_id"),
+        )
+        .crossJoin(F.broadcast(n_film))
+        .withColumn("customer_key", F.col("customer_key") + F.col("_n_film"))
+        .drop("_n_film")
+    )
     return film_keyed.unionByName(music_keyed).select(
         F.col("customer_key").cast("int").alias("customer_key"),
         "customer_id",
@@ -266,32 +273,85 @@ def _global_index(
     to ~2-3x total cores.
 
     ``stats_df``, when given, supplies the leading-key DISTRIBUTION for
-    the two auxiliary jobs through a cheaper plan (e.g. a key-only
+    the two auxiliary aggregates through a cheaper plan (e.g. a key-only
     semi-join instead of a full-width join). It must contain exactly one
     row per row of ``df`` with the same ``leading_key`` values — the
     range may be a superset (empty buckets cost nothing) but the counts
     must be exact, or the concatenated offsets would drift.
 
-    ``prepared`` short-circuits the two auxiliary jobs with stats from
-    ``prepare_global_index`` — lets a caller run them CONCURRENTLY with
-    other jobs (see build_star) or reuse them across builds."""
-    if prepared is None:
-        prepared = prepare_global_index(
-            stats_df if stats_df is not None else df, leading_key, nbuckets=nbuckets
+    LAZY by default (optimization round 10, guide §5 "the driver should
+    do almost no data work"): the key range rides a broadcast 1-row
+    aggregate and the per-bucket offsets a broadcast <=nbuckets-row
+    cumulative frame, so the whole index is ONE Spark job at action
+    time — the former spelling ran two driver-BLOCKING collect jobs per
+    index (x4 indexes per warehouse build) and needed a thread pool to
+    hide them. The bucket arithmetic uses exact integral `div` on the
+    key-minus-min (valid for any numeric key; the quotient is
+    non-negative), and the result is bucket-mapping-invariant — pinned
+    by tests/test_function_models.py::test_global_index_invariant_to_nbuckets.
+
+    ``prepared`` short-circuits the auxiliary aggregates with collected
+    stats from ``prepare_global_index`` — the literal path is kept for
+    callers that reuse stats across several builds."""
+    if prepared is not None:
+        lo, span, offsets = prepared[0], prepared[1], prepared[2]
+        if not offsets:  # empty input: emit the schema, no rows to index
+            return df.withColumn(out_col, F.lit(None).cast("long"))
+
+        def bucket(c):
+            return F.floor((c - F.lit(lo)) / F.lit(span)).cast("int")
+
+        dfb = df.withColumn("_bucket", bucket(F.col(leading_key)))
+        omap = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+        w = Window.partitionBy("_bucket").orderBy(*order_cols)
+        return dfb.withColumn(
+            out_col, (omap[F.col("_bucket")] + F.row_number().over(w)).cast("long")
+        ).drop("_bucket")
+
+    # Keys are floored to BIGINT before the integral div: monotone in the
+    # key (ties stay together), exact for any numeric key type (double /
+    # decimal / integral), and consistent between the offsets branch and
+    # the indexed branch — the only properties the bucket mapping needs
+    # (the index itself is bucket-mapping-invariant).
+    keys = (stats_df if stats_df is not None else df).select(
+        F.floor(F.col(leading_key)).cast("bigint").alias("_gi_k")
+    )
+    bounds = keys.agg(
+        F.min("_gi_k").alias("_gi_lo"), F.max("_gi_k").alias("_gi_hi")
+    ).select(
+        "_gi_lo",
+        (F.expr(f"(_gi_hi - _gi_lo) div {nbuckets}") + F.lit(1)).alias("_gi_span"),
+    )
+    offs = (
+        keys.crossJoin(F.broadcast(bounds))
+        .groupBy(
+            F.expr("(_gi_k - _gi_lo) div _gi_span").cast("int").alias("_gi_bucket")
         )
-    lo, span, offsets = prepared[0], prepared[1], prepared[2]
-    if not offsets:  # empty input: emit the schema, no rows to index
-        return df.withColumn(out_col, F.lit(None).cast("long"))
-
-    def bucket(c):
-        return F.floor((c - F.lit(lo)) / F.lit(span)).cast("int")
-
-    dfb = df.withColumn("_bucket", bucket(F.col(leading_key)))
-    omap = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
-    w = Window.partitionBy("_bucket").orderBy(*order_cols)
-    return dfb.withColumn(
-        out_col, (omap[F.col("_bucket")] + F.row_number().over(w)).cast("long")
-    ).drop("_bucket")
+        .agg(F.count(F.lit(1)).alias("_gi_cnt"))
+        .withColumn(
+            "_gi_off",
+            F.coalesce(
+                F.sum("_gi_cnt").over(
+                    # bounded frame: <= nbuckets rows by construction
+                    Window.orderBy("_gi_bucket").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_gi_bucket", "_gi_off")
+    )
+    dfb = df.crossJoin(F.broadcast(bounds)).withColumn(
+        "_gi_bucket",
+        F.expr(f"(floor(`{leading_key}`) - _gi_lo) div _gi_span").cast("int"),
+    )
+    w = Window.partitionBy("_gi_bucket").orderBy(*order_cols)
+    return (
+        dfb.join(F.broadcast(offs), "_gi_bucket")
+        .withColumn(out_col, (F.col("_gi_off") + F.row_number().over(w)).cast("long"))
+        .drop("_gi_bucket", "_gi_lo", "_gi_span", "_gi_off")
+    )
 
 
 def prepare_global_index(
@@ -662,25 +722,21 @@ def build_star(
             from concurrent.futures import ThreadPoolExecutor
 
             dim_names = ("dim_date", "dim_customer", "dim_location", "dim_product")
-            with ThreadPoolExecutor(max_workers=len(dim_names) + 1) as pool:
-                # the fact's surrogate-key stats depend on no dim — run
-                # their two jobs concurrently with the dim loads too
-                stats_fut = pool.submit(
-                    prepare_global_index, fact_index_stats(spark, sf_dir), "l_orderkey"
-                )
+            with ThreadPoolExecutor(max_workers=len(dim_names)) as pool:
                 futures = {
                     name: pool.submit(_write, name, tables[name]) for name in dim_names
                 }
                 for name, fut in futures.items():
                     tables[name] = fut.result()
-                index_stats = stats_fut.result()
+            # the fact's surrogate-key stats ride the lazy _global_index
+            # path as broadcast aggregates inside the fact job itself —
+            # no driver-side prepare to schedule around anymore
             fact = build_fact_sales(
                 spark,
                 sf_dir,
                 dim_customer=tables["dim_customer"],
                 dim_location=tables["dim_location"],
                 dim_product=tables["dim_product"],
-                index_stats=index_stats,
             )
             # NO repartition before the partitioned write: the MTD window
             # already leaves the fact hash-partitioned by (year, month),

@@ -391,8 +391,11 @@ def ext_dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange, where the previous spelling exploded it, shuffled it by
     doc_id, sorted it under a Window, and shuffled again for DISTINCT
     (x4: the self-join + df-filter branches each recomputed the
-    subtree — 10 exchanges / 4 windows / 4 scans before, 2-3 exchanges
-    / 0 windows / 1-2 scans after). Pairs come from the df-capped
+    subtree — 10 exchanges / 4 windows / 4 scans before; 5 exchanges
+    (two parallelism repartitions, the fp exchange in each of the two
+    branches, the final pair aggregate) / 0 windows / 2 scans after,
+    and AQE reuses the identical fps shuffle at runtime). Pairs come
+    from the df-capped
     postings lists (sort_array + collect_list after the cap join keeps
     every group <= {_WIN_DF_CAP} ids, so the quadratic explode is
     bounded at C({_WIN_DF_CAP},2) per fingerprint) instead of a

@@ -56,9 +56,15 @@ def test_fact_build_is_parallel_and_broadcast(spark):
     assert s["broadcast_hash_joins"] >= 5
     assert s["cartesian_products"] == 0
     # the fact's own lineage must never collapse to a single partition;
-    # the only SinglePartition exchanges allowed are the tiny dimension
-    # surrogate-key windows (3 dims)
-    assert s["single_partition_exchanges"] <= 3
+    # every SinglePartition exchange allowed here carries a BOUNDED
+    # frame: the location dim's surrogate window, the date-range 1-row
+    # aggregate, the film-count 1-row aggregate, and — since the lazy
+    # _global_index (optimization round 10) — each index's 1-row
+    # key-bounds aggregate and <=nbuckets-row offsets window (4 indexes
+    # inline: fact, film, music, product). None of them grows with the
+    # corpus; the corpus-sized fact rows themselves stay on nbuckets
+    # partitions (the bucketed window).
+    assert s["single_partition_exchanges"] <= 14
 
 
 def test_topk_is_takeordered_not_full_sort(spark):

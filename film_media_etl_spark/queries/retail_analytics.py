@@ -178,29 +178,44 @@ def ext_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     grain is one row per transaction line (readme:129) — this is the
     classic analysis layered on that grain.
 
-    Shape for scale: distinct (order, part) first bounds the self-join
-    input to basket size; the pair self-join shuffles ONCE on l_orderkey
-    and each order contributes C(basket,2) pairs — linear in orders for
-    bounded baskets, never quadratic in line items. Item counts are
-    vocabulary-sized and broadcast back; support/confidence/lift are
-    single IEEE divisions of exact counts, bit-identical across engines."""
-    b = (
+    Shape for scale (optimization round 10, guide §2.4): ONE
+    order-keyed aggregate builds each basket as a sorted distinct item
+    array (collect_set fuses the old separate DISTINCT pass), and pairs
+    explode from each array — C(basket,2) per order, the same volume
+    the old self-join emitted, but with no join and no second corpus
+    exchange, and every downstream branch (pair counts, item counts,
+    order count) reuses the one basket shuffle (AQE exchange reuse)
+    where the old spelling re-derived the distinct frame four times
+    (9 exchanges before, 5 after). Item counts are vocabulary-sized and
+    broadcast back; support/confidence/lift are single IEEE divisions
+    of exact counts, bit-identical across engines."""
+    baskets = (
         load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
     )
-    n_frame = b.agg(F.countDistinct("l_orderkey").cast("long").alias("n_orders"))
-    item = b.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
-    a, c = b.alias("a"), b.alias("c")
-    pair = (
-        a.join(
-            c,
-            (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("c.l_partkey")),
+    n_frame = baskets.agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    item = (
+        baskets.select(F.explode("parts").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    pair_structs = F.explode(
+        F.flatten(
+            F.transform(
+                "parts",
+                lambda x, i: F.transform(
+                    F.slice(F.col("parts"), i + F.lit(2), F.size("parts")),
+                    lambda y: F.struct(x.alias("a"), y.alias("b")),
+                ),
+            )
         )
+    )
+    pair = (
+        baskets.select(pair_structs.alias("p"))
         .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("c.l_partkey").alias("part_b"),
+            F.col("p.a").alias("part_a"),
+            F.col("p.b").alias("part_b"),
         )
         .agg(F.count(F.lit(1)).alias("pair_cnt"))
         .where(F.col("pair_cnt") >= 2)

@@ -270,26 +270,32 @@ def ext_also_bought(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Item-to-item 'customers also bought': top-3 co-purchased partners
     per part by co-occurrence count (parts 1..200 keep the oracle frame
     compact), ties broken on partner key. The ranking window partitions
-    by part — per-key sized, parallel, no global sort. The part <= 200
-    predicate is applied on the LEFT side of the self-join before
-    grouping (partition-key filter, pushed to the scan), so the join
-    output shrinks 10x before it ever shuffles."""
-    b = (
+    by part — per-key sized, parallel, no global sort. Optimization
+    round 10 (guide §2.4, the ext_market_basket rewrite's sibling): the
+    distinct + self-join becomes ONE order-keyed collect_set building
+    each basket as a distinct item array, and (part, other) pairs
+    explode from the array — the part <= 200 head filter applies inside
+    the per-basket transform, so the pair stream shrinks 10x before the
+    one (part, other) aggregate exchange, and no corpus join remains."""
+    baskets = (
         load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("parts"))
     )
-    a = b.where(F.col("l_partkey") <= 200).alias("a")
-    c = b.alias("c")
+    pair_structs = F.explode(
+        F.flatten(
+            F.transform(
+                F.filter("parts", lambda x: x <= F.lit(200)),
+                lambda x: F.transform(
+                    F.filter("parts", lambda y: y != x),
+                    lambda y: F.struct(x.alias("part"), y.alias("other")),
+                ),
+            )
+        )
+    )
     sym = (
-        a.join(
-            c,
-            (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("c.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("part"), F.col("c.l_partkey").alias("other")
-        )
+        baskets.select(pair_structs.alias("p"))
+        .groupBy(F.col("p.part").alias("part"), F.col("p.other").alias("other"))
         .agg(F.count(F.lit(1)).alias("n_both"))
     )
     w = Window.partitionBy("part").orderBy(F.desc("n_both"), F.asc("other"))

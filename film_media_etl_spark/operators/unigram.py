@@ -215,17 +215,15 @@ def viterbi_word_segments(words: DataFrame, pieces: DataFrame) -> DataFrame:
     )
 
 
-def unigram_tokenize_docs(
-    docs: DataFrame, pieces: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+def word_counts_per_doc(
+    docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Per-document unigram-LM token counts: Viterbi once per DISTINCT
-    word (the vocabulary trick), then a (doc, word) aggregate joined
-    against the tiny (w -> n_pieces, word_logp) table. Words the piece
-    table cannot segment are counted in n_oov_words (and excluded from
-    the token/logp totals) — never silently scored as zero-token
-    perfection. Docs with null/empty text keep zeros via the left
-    join, never NULL."""
-    wpd = (
+    """(id, w, cnt): per-document word counts — the one corpus-sized
+    tokenization of the unigram pipeline. Callers that also need the
+    corpus vocabulary derive it with a narrow second aggregate
+    (groupBy(w).sum(cnt)) instead of re-exploding the corpus — see
+    ext_unigram_tokenize (optimization round 10)."""
+    return (
         docs.select(
             F.col(id_col),
             F.explode(F.split(F.lower(text_col), " ")).alias("w"),
@@ -234,6 +232,26 @@ def unigram_tokenize_docs(
         .groupBy(id_col, "w")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def unigram_tokenize_docs(
+    docs: DataFrame,
+    pieces: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    wpd: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document unigram-LM token counts: Viterbi once per DISTINCT
+    word (the vocabulary trick), then a (doc, word) aggregate joined
+    against the tiny (w -> n_pieces, word_logp) table. Words the piece
+    table cannot segment are counted in n_oov_words (and excluded from
+    the token/logp totals) — never silently scored as zero-token
+    perfection. Docs with null/empty text keep zeros via the left
+    join, never NULL. Pass a precomputed ``wpd`` (word_counts_per_doc
+    frame) to share the corpus tokenization with the vocab builder."""
+    if wpd is None:
+        wpd = word_counts_per_doc(docs, text_col=text_col, id_col=id_col)
     segs = viterbi_word_segments(wpd.select("w").distinct(), pieces)
     # LEFT join: a word with NO piece match at all (every char OOV) is
     # absent from the segmenter's output and must still count as OOV.

@@ -358,11 +358,22 @@ def ext_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pinned token-for-token against an independent plain-Python Viterbi
     in tests/test_function_models.py; rows-only driver check (the DP
     is iterative, not SQL-expressible in one query)."""
-    from ..operators.unigram import build_unigram_vocab, unigram_tokenize_docs
+    from ..operators.unigram import (
+        build_unigram_vocab,
+        unigram_tokenize_docs,
+        word_counts_per_doc,
+    )
 
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    pieces = build_unigram_vocab(docs)
-    return unigram_tokenize_docs(docs, pieces)
+    # ONE corpus tokenization (optimization round 10): the per-doc word
+    # counts feed the tokenizer, and the vocab's (w, n) frame derives
+    # from them with a narrow groupBy(w) aggregate — the former
+    # spelling exploded and aggregated the corpus a second time inside
+    # build_unigram_vocab's word_counts.
+    wpd = word_counts_per_doc(docs)
+    wc = wpd.groupBy("w").agg(F.sum("cnt").cast("long").alias("n"))
+    pieces = build_unigram_vocab(docs, words=wc)
+    return unigram_tokenize_docs(docs, pieces, wpd=wpd)
 
 
 @register("ext_unigram_em")  # iterative Viterbi EM round -> rows-only check

@@ -655,7 +655,24 @@ def minhash_lsh_survivors(
     needed because EXISTS is idempotent across a pair's bands. Cost
     note: token-hash arrays ride the banded shuffle (bands x corpus),
     the price of verifying inside the join; rows-only correctness
-    (hash-seeded)."""
+    (hash-seeded).
+
+    TWO-PHASE probe (optimization round 10): the semi join's "stops at
+    the first confirmed duplicate" story depends on the hash relation's
+    CHAIN ORDER — Spark's build-side map prepends entries, so on a
+    duplicate-saturated bucket a probe for doc k can scan O(bucket)
+    higher-id entries before reaching a lower id, and the whole op was
+    measured quadratic on a 100%-duplicate corpus (3000/6000/12000/
+    24000 docs: 1.08/1.26/2.48/7.46s). Phase 1 verifies each doc
+    against its bucket's MIN-id representative — one candidate per
+    (doc, band), O(N) verifications, which settles every doc whose
+    bucket representative is a true duplicate (ALL of them on a
+    saturated corpus). Only unsettled docs fall through to the full
+    EXISTS semi join, whose buckets are then evidence-sized. Same
+    measured corpus after: 1.10/1.25/1.11/1.25s — flat in N, fixed
+    overhead dominates. The decision set is unchanged: phase 1
+    confirms a subset of the EXISTS, phase 2 computes the EXISTS for
+    the rest."""
     docs = ensure_parallelism(docs)
     rows = num_hashes // bands
     _max_long = (1 << 63) - 1
@@ -682,25 +699,48 @@ def minhash_lsh_survivors(
     banded = sig.select(
         "doc_id", "toks", "nt", F.explode(band_structs).alias("bb")
     ).select("doc_id", "toks", "nt", F.col("bb.band").alias("band"), F.col("bb.bhash").alias("bhash"))
-    b, a = banded.alias("b"), banded.alias("a")
     inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
     jac = inter.cast("double") / (F.col("a.nt") + F.col("b.nt") - inter).cast("double")
-    pruned = (
-        b.join(
-            a,
+    verify = (
+        (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (
+            F.least(F.col("a.nt"), F.col("b.nt")).cast("double")
+            >= F.lit(threshold) * F.greatest(F.col("a.nt"), F.col("b.nt")).cast("double")
+        )
+        & (jac >= F.lit(threshold))
+    )
+    # phase 1: each bucket's min-id row is the one candidate every other
+    # bucket member verifies against — O(1) verifications per (doc, band)
+    # (an explicit repartition(band, bhash) to share one exchange was
+    # tried and measured SLOWER — the round-robin-to-hash exchange of
+    # token arrays costs more than AQE's runtime reuse saves)
+    reps = (
+        banded.groupBy("band", "bhash")
+        .agg(F.min(F.struct("doc_id", "toks", "nt")).alias("a"))
+        .select("band", "bhash", F.col("a").alias("a"))
+    )
+    p1 = (
+        banded.alias("b")
+        .join(reps, ["band", "bhash"])
+        .where(verify)
+        .select(F.col("b.doc_id").alias("pid"))
+        .distinct()
+    )
+    # phase 2: the full EXISTS, but only for docs phase 1 did not settle
+    rest = banded.join(p1, banded["doc_id"] == p1["pid"], "left_anti")
+    p2 = (
+        rest.alias("b")
+        .join(
+            banded.alias("a"),
             (F.col("b.band") == F.col("a.band"))
             & (F.col("b.bhash") == F.col("a.bhash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (
-                F.least(F.col("a.nt"), F.col("b.nt")).cast("double")
-                >= F.lit(threshold) * F.greatest(F.col("a.nt"), F.col("b.nt")).cast("double")
-            )
-            & (jac >= F.lit(threshold)),
+            & verify,
             "left_semi",
         )
         .select(F.col("doc_id").alias("pid"))
         .distinct()
     )
+    pruned = p1.unionByName(p2)
     base = docs.select(F.col(id_col).alias("doc_id"))
     return base.join(pruned, base["doc_id"] == F.col("pid"), "left").select(
         "doc_id", F.col("pid").isNotNull().alias("pruned")

@@ -81,8 +81,14 @@ def test_salted_aggregate_hot_key_correct_and_near_uniform_wall(spark):
         return time.perf_counter() - t0, {r["key"]: (r["total"], r["n"], r["hi"]) for r in rows}
 
     run(uniform.limit(50_000))  # JIT warmup
-    t_u, _ = run(uniform)
-    t_h, got = run(hot)
+    # min-of-2 per side: wall-clock noise on this host is one-sided and
+    # EPISODIC (hypervisor neighbors / late-suite JVM state; see README
+    # "Bench validity" and the minhash saturated-corpus test's identical
+    # rationale) — a single 30s+ stall on one sample flunked the 2x
+    # budget in a full-suite run while the same test passed solo
+    # seconds later. The min is the stable estimator of true cost.
+    t_u, _ = min(run(uniform), run(uniform), key=lambda r: r[0])
+    t_h, got = min(run(hot), run(hot), key=lambda r: r[0])
     want = {
         r["key"]: (r["total"], r["n"], r["hi"])
         for r in hot.groupBy("key")

@@ -558,7 +558,26 @@ def ext_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     a window over 1/256th of a source, 256-way-parallel and shrinking
     with corpus growth. Ordering by (prefix, full hash) equals ordering
     by full hash, so the result is identical to the oracle's plain
-    per-source window."""
+    per-source window.
+
+    Optimization round 10 (guide §2.4 "shuffle/scan less"): the original
+    spelling split docs into decided (no window) and boundary (window)
+    branches and unioned them — but each branch re-derived the tokenized
+    corpus, and column pruning specializes the duplicated subtrees so
+    AQE cannot reuse them: the corpus was scanned + split(text) THREE
+    times (runtime plan confirmed; the round-robin exchange deduped but
+    the tokenize projections did not). Since bin is a PREFIX of the
+    hash order, per-source prior = bin_prior + within-bin prior exactly,
+    so ONE window over (source, bin) computes kept for every row —
+    below-budget bins are provably all-kept and above-budget bins
+    all-dropped under the same formula, so the union and its duplicate
+    subtrees vanish. The trade is explicit: the 255/256 non-boundary
+    bins now pay a within-partition sort of ~40-byte rows, and the
+    engine saves one full corpus tokenization pass (split of every
+    text byte) — narrow-row sorting is orders cheaper than re-reading
+    and re-splitting text at any scale. 3 tokenize passes -> 2 (the
+    bin-stats aggregate is the irreducible second pass: the budget is
+    a global total, so it must be known before any per-doc decision)."""
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     tok = docs.select(
         "source",
@@ -568,9 +587,20 @@ def ext_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("bin", F.substring("h", 1, 2))
 
     binagg = tok.groupBy("source", "bin").agg(F.sum("nt").alias("bin_sum"))
-    tot = binagg.agg(
-        F.sum("bin_sum").cast("long").alias("total"),
-        F.count_distinct("source").cast("long").alias("ns"),
+    # ns via per-source re-aggregate, NOT count_distinct: a distinct
+    # aggregate makes Spark plan a different partial-agg tree under tot
+    # than under binmeta, so the two (source, bin) exchanges stop being
+    # canonically equal and AQE cannot reuse the stage — count_distinct
+    # here cost a whole extra corpus tokenization (runtime-plan-verified).
+    # binagg has exactly one row per present (source, bin), so counting
+    # its per-source groups IS count_distinct(source) over the corpus.
+    tot = (
+        binagg.groupBy("source")
+        .agg(F.sum("bin_sum").alias("src_sum"))
+        .agg(
+            F.sum("src_sum").cast("long").alias("total"),
+            F.count(F.lit(1)).cast("long").alias("ns"),
+        )
     )
     wbin = (
         Window.partitionBy("source")
@@ -581,24 +611,21 @@ def ext_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         binagg.withColumn("bin_prior", F.coalesce(F.sum("bin_sum").over(wbin), F.lit(0)))
         .crossJoin(F.broadcast(tot))
         .withColumn("budget", F.expr("total div (2 * ns)"))
+        .select("source", "bin", "bin_prior", "budget")
     )
     t = tok.join(F.broadcast(binmeta), ["source", "bin"])
 
-    below = F.col("bin_prior") + F.col("bin_sum") <= F.col("budget")
-    above = F.col("bin_prior") >= F.col("budget")
     wdoc = (
         Window.partitionBy("source", "bin")
         .orderBy("h", "doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    boundary = t.where(~below & ~above).withColumn(
-        "kept",
-        (F.col("bin_prior") + F.coalesce(F.sum("nt").over(wdoc), F.lit(0)))
-        < F.col("budget"),
-    )
-    decided = t.where(below | above).withColumn("kept", below)
     return (
-        decided.unionByName(boundary)
+        t.withColumn(
+            "kept",
+            (F.col("bin_prior") + F.coalesce(F.sum("nt").over(wdoc), F.lit(0)))
+            < F.col("budget"),
+        )
         .groupBy("source", "budget")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),

@@ -69,7 +69,24 @@ def ext_charlm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     the explode + broadcast-join spelling, which is unicode-safe and
     produces identical decimals (pinned by tests/test_function_models
     on both an ascii and a unicode corpus). The length >= 2 guard
-    also dodges Spark's sequence(1, 0) descending-sequence trap."""
+    also dodges Spark's sequence(1, 0) descending-sequence trap.
+
+    Optimization round 10 (guide §1.3/§5.1 — no driver actions in a
+    query path): the ascii-vs-unicode choice used to be a Python-level
+    `if` on a driver-blocking max-code-point probe — a THIRD full
+    corpus pass (scan + split + max) that ran eagerly inside the query
+    builder before any real work. Both paths now live in ONE plan: a
+    single aggregate over the bigram counts builds the dense 128x128
+    ascii array AND a fallback map of only the non-ascii bigrams
+    (collect_list drops the NULL arm of each CASE, so one pass fills
+    both), and the per-bigram fold picks dense-array vs map per
+    element. For an all-ascii corpus the map is empty and never
+    consulted; for a unicode corpus only the rare non-ascii bigrams
+    pay the map lookup, so the linear-map-scan trap stays confined to
+    the tail that needs it. 3 corpus passes -> 2 (count + score), no
+    driver round-trip, one code path to test."""
+    from ..functions.text import generate_barrier
+
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     d = docs.select("doc_id", F.lower(F.col("text")).alias("t")).where(
         F.length("t") >= 2
@@ -91,49 +108,59 @@ def ext_charlm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     logp = F.round(
         F.log10(F.col("c").cast("double") / F.col("n")), 6
     ).cast("decimal(12,6)")
-    # path probe: one narrow scan for the corpus's max code point
-    max_cp = d.agg(
-        F.max(F.expr("array_max(transform(split(t, ''), c -> ascii(c)))"))
-    ).first()[0]
-    if max_cp is None or max_cp >= 128:
-        # unicode corpus: score by exploding bigrams against the
-        # broadcast model (alphabet^2-bounded; on a cluster where that
-        # outgrows a broadcast, drop the hint and let it shuffle)
-        model = cnt.crossJoin(F.broadcast(tot)).select("bg", logp.alias("logp"))
-        return (
-            d.select("doc_id", F.explode(bgs).alias("bg"))
-            .join(F.broadcast(model), "bg")
-            .groupBy("doc_id")
-            .agg(
-                F.count(F.lit(1)).alias("n_bigrams"),
-                (F.sum("logp").cast("double") / F.count(F.lit(1))).alias("avg_logp"),
-            )
-        )
-    code = F.ascii(F.substring("bg", 1, 1)) * 128 + F.ascii(F.substring("bg", 2, 1))
-    model_map = (
+    a1 = F.ascii(F.substring("bg", 1, 1))
+    a2 = F.ascii(F.substring("bg", 2, 1))
+    both_ascii = (a1 < 128) & (a2 < 128)
+    # one aggregate fills both model structures from one cnt evaluation
+    # (two filtered aggregates would duplicate the corpus-count subtree)
+    model_row = (
         cnt.crossJoin(F.broadcast(tot))
         .agg(
             F.map_from_entries(
-                F.collect_list(F.struct(code.alias("k"), logp.alias("logp")))
-            ).alias("m")
+                F.collect_list(
+                    F.when(
+                        both_ascii,
+                        F.struct((a1 * 128 + a2).alias("k"), logp.alias("logp")),
+                    )
+                )
+            ).alias("m"),
+            F.map_from_entries(
+                F.collect_list(
+                    F.when(
+                        ~both_ascii,
+                        F.struct(F.col("bg").alias("k"), logp.alias("logp")),
+                    )
+                )
+            ).alias("nmap"),
+        )
+        .select(
+            F.expr("transform(sequence(0, 16383), i -> m[i])").alias("dense"),
+            "nmap",
         )
     )
-    dense = model_map.select(
-        F.expr("transform(sequence(0, 16383), i -> m[i])").alias("dense")
+    # Same O(len) spelling for scoring: chars then codes materialized
+    # ONCE each behind Generate barriers (HOF CSE — README), pairwise
+    # O(1) dense lookups with the map fallback only on non-ascii pairs.
+    b1 = generate_barrier(d, chars=F.expr("split(t, '')"))
+    b2 = generate_barrier(
+        b1.select("doc_id", "chars"),
+        codes=F.expr("transform(chars, c -> ascii(c))"),
     )
-    # Same O(len) spelling for scoring: char codes once, then pairwise
-    # O(1) lookups (the substr-by-position variant re-seeks per index).
     doc_sum = F.aggregate(
         F.expr(
-            "zip_with(slice(transform(split(t, ''), c -> ascii(c)), 1, length(t) - 1),"
-            "         slice(transform(split(t, ''), c -> ascii(c)), 2, length(t) - 1),"
-            " (a, b) -> element_at(dense, a * 128 + b + 1))"
+            "transform(sequence(1, size(chars) - 1), i ->"
+            " CASE WHEN element_at(codes, i) < 128"
+            "       AND element_at(codes, i + 1) < 128"
+            "      THEN element_at(dense,"
+            "           element_at(codes, i) * 128 + element_at(codes, i + 1) + 1)"
+            "      ELSE nmap[concat(element_at(chars, i),"
+            "                       element_at(chars, i + 1))] END)"
         ),
         F.lit(0).cast("decimal(38,6)"),
         lambda acc, v: acc + v,
     )
-    n_bigrams = (F.length("t") - 1).cast("long")
-    return d.crossJoin(F.broadcast(dense)).select(
+    n_bigrams = (F.size("chars") - 1).cast("long")
+    return b2.crossJoin(F.broadcast(model_row)).select(
         "doc_id",
         n_bigrams.alias("n_bigrams"),
         (doc_sum.cast("double") / n_bigrams).alias("avg_logp"),

@@ -388,13 +388,20 @@ def test_market_basket_distinct_before_selfjoin(spark):
     assert s["cartesian_products"] == 0
 
 
-def test_also_bought_pushes_part_filter(spark):
-    """The part <= 200 restriction must reach the left scan (row-group
-    skipping), and the per-part ranking window must not collapse to a
-    single partition."""
+def test_also_bought_single_scan_join_free(spark):
+    """Round-10 basket-array shape: ONE pruned lineitem scan (the old
+    filtered seed-scan branch is gone, so there is no longer a
+    LessThanOrEqual(l_partkey,200) pushdown to pin — the head filter
+    runs inside the per-basket transform, shrinking the pair stream
+    before the aggregate exchange), NO self-join on the corpus, and the
+    per-part ranking window must not collapse to a single partition."""
     df = _q("ext_also_bought", spark)
-    assert_pushed_filters(df, "LessThanOrEqual(l_partkey,200)")
     s = plan_summary(df)
+    assert s["scans"] == 1, f"expected one lineitem scan, got {s['scans']}"
+    assert s["sort_merge_joins"] == 0 and s["broadcast_hash_joins"] == 0, (
+        "basket-array shape must not join the corpus"
+    )
+    assert_read_schema_pruned(df, "lineitem", 2)
     assert s["single_partition_exchanges"] == 0
     assert s["cartesian_products"] == 0
 

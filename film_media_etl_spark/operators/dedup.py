@@ -22,7 +22,7 @@ All pure DataFrame ops — signatures via xxhash64 (JVM), no Python UDFs.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..sources import ensure_parallelism
@@ -657,22 +657,36 @@ def minhash_lsh_survivors(
     the price of verifying inside the join; rows-only correctness
     (hash-seeded).
 
-    TWO-PHASE probe (optimization round 10): the semi join's "stops at
-    the first confirmed duplicate" story depends on the hash relation's
-    CHAIN ORDER — Spark's build-side map prepends entries, so on a
-    duplicate-saturated bucket a probe for doc k can scan O(bucket)
-    higher-id entries before reaching a lower id, and the whole op was
-    measured quadratic on a 100%-duplicate corpus (3000/6000/12000/
-    24000 docs: 1.08/1.26/2.48/7.46s). Phase 1 verifies each doc
-    against its bucket's MIN-id representative — one candidate per
-    (doc, band), O(N) verifications, which settles every doc whose
-    bucket representative is a true duplicate (ALL of them on a
-    saturated corpus). Only unsettled docs fall through to the full
-    EXISTS semi join, whose buckets are then evidence-sized. Same
-    measured corpus after: 1.10/1.25/1.11/1.25s — flat in N, fixed
-    overhead dominates. The decision set is unchanged: phase 1
-    confirms a subset of the EXISTS, phase 2 computes the EXISTS for
-    the rest."""
+    ORDERED MERGE-SEMI probe (optimization round 11; replaces round
+    10's two-phase probe). The scale hazard both rounds target: the
+    semi join's "stop at the first confirmed duplicate" story is only
+    linear if a probe row MEETS a verifying lower-id partner early.
+    With a shuffled-HASH build the bucket's entries are scanned in
+    hash-chain order (Spark prepends — effectively reverse insertion
+    order), so on a duplicate-saturated bucket a probe can scan
+    O(bucket) higher-id entries first: measured quadratic in round 10
+    (3000/6000/12000/24000 docs: 1.08/1.26/2.48/7.46s). Round 10 fixed
+    that with a representative phase 1 + EXISTS phase 2 — correct, but
+    it cost TWO extra signature passes and two token-array exchanges
+    on every corpus (+0.6-0.9s on the sf0.1 bench row).
+
+    This round keeps the single EXISTS join and fixes the SCAN ORDER
+    instead: the build side is explicitly repartitioned on the join
+    key and sorted (band, bhash, doc_id) within partitions, and the
+    join is pinned to SORT-MERGE. The merge scans each key group in
+    that sort order — ascending doc_id — and LeftSemi emits on the
+    first row satisfying the residual verify, so every probe in a
+    saturated bucket confirms against the bucket's minimum-id member
+    in O(1) buffered rows BY CONSTRUCTION (the sort is part of the
+    plan, not hash luck; the build-side ordering satisfies the SMJ's
+    required (band, bhash) prefix, so no second sort is inserted).
+    Same guarantee round 10's phase 1 gave, strictly stronger settling
+    (first verifying partner in id order, not only the min-id
+    representative), at the r9 cost shape: 2 signature passes, 2
+    exchanges, no census/anti-join machinery. A bucket whose members
+    collide in every band yet never verify still scans the full group
+    — true of the two-phase spelling and of any exact-verify LSH.
+    Decision set unchanged: the join computes the identical EXISTS."""
     docs = ensure_parallelism(docs)
     rows = num_hashes // bands
     _max_long = (1 << 63) - 1
@@ -709,38 +723,37 @@ def minhash_lsh_survivors(
         )
         & (jac >= F.lit(threshold))
     )
-    # phase 1: each bucket's min-id row is the one candidate every other
-    # bucket member verifies against — O(1) verifications per (doc, band)
-    # (an explicit repartition(band, bhash) to share one exchange was
-    # tried and measured SLOWER — the round-robin-to-hash exchange of
-    # token arrays costs more than AQE's runtime reuse saves)
-    reps = (
-        banded.groupBy("band", "bhash")
-        .agg(F.min(F.struct("doc_id", "toks", "nt")).alias("a"))
-        .select("band", "bhash", F.col("a").alias("a"))
-    )
-    p1 = (
+    # Build side carries a bucket-local row_number ordered by doc_id.
+    # The rank value itself is inert (see the verify conjunct below) —
+    # what matters is the WindowExec it forces: its required sort is
+    # (band, bhash, doc_id), the window preserves that ordering and the
+    # hash(band, bhash) partitioning, and the SMJ's required (band,
+    # bhash) ordering is a satisfied PREFIX, so no re-sort is inserted
+    # and every merge group is scanned ascending by doc_id. (A plain
+    # sortWithinPartitions is NOT enough: Catalyst's EliminateSorts
+    # removes explicit sorts under order-agnostic operators like joins
+    # — verified on the actual plan — while a window's sort is
+    # load-bearing and survives.) The merge hint pins SORT-MERGE: a
+    # broadcast or shuffled-hash build would scan buckets in hash-chain
+    # order again.
+    wb = Window.partitionBy("band", "bhash").orderBy("doc_id")
+    build = banded.withColumn("_rk", F.row_number().over(wb)).hint("merge").alias("a")
+    pruned = (
         banded.alias("b")
-        .join(reps, ["band", "bhash"])
-        .where(verify)
-        .select(F.col("b.doc_id").alias("pid"))
-        .distinct()
-    )
-    # phase 2: the full EXISTS, but only for docs phase 1 did not settle
-    rest = banded.join(p1, banded["doc_id"] == p1["pid"], "left_anti")
-    p2 = (
-        rest.alias("b")
         .join(
-            banded.alias("a"),
+            build,
             (F.col("b.band") == F.col("a.band"))
             & (F.col("b.bhash") == F.col("a.bhash"))
+            # inert conjunct: keeps _rk (and with it the ordering
+            # window) alive through column pruning; always true, so the
+            # EXISTS decision set is untouched
+            & (F.col("a._rk") >= 1)
             & verify,
             "left_semi",
         )
         .select(F.col("doc_id").alias("pid"))
         .distinct()
     )
-    pruned = p1.unionByName(p2)
     base = docs.select(F.col(id_col).alias("doc_id"))
     return base.join(pruned, base["doc_id"] == F.col("pid"), "left").select(
         "doc_id", F.col("pid").isNotNull().alias("pruned")

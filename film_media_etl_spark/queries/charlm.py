@@ -75,16 +75,21 @@ def ext_charlm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     query path): the ascii-vs-unicode choice used to be a Python-level
     `if` on a driver-blocking max-code-point probe — a THIRD full
     corpus pass (scan + split + max) that ran eagerly inside the query
-    builder before any real work. Both paths now live in ONE plan: a
-    single aggregate over the bigram counts builds the dense 128x128
-    ascii array AND a fallback map of only the non-ascii bigrams
-    (collect_list drops the NULL arm of each CASE, so one pass fills
-    both), and the per-bigram fold picks dense-array vs map per
-    element. For an all-ascii corpus the map is empty and never
-    consulted; for a unicode corpus only the rare non-ascii bigrams
-    pay the map lookup, so the linear-map-scan trap stays confined to
-    the tail that needs it. 3 corpus passes -> 2 (count + score), no
-    driver round-trip, one code path to test."""
+    builder before any real work. Both paths now live in ONE plan; for
+    an all-ascii corpus the non-ascii leg is empty and (nearly) free,
+    and 3 corpus passes -> 2 (count + score) with no driver round-trip.
+
+    Optimization round 11 (verdict "What's wrong #3"): round 10 kept
+    the non-ascii fallback as a MapType column in a single broadcast
+    row, but Spark's map element_at is a LINEAR scan — O(|non-ascii
+    vocab|) per scored bigram on a CJK-heavy corpus, and the whole
+    unicode vocabulary had to fit one row. The fallback is now a
+    broadcast hash JOIN (O(1) lookups, spillable): the per-doc fold
+    sums the dense ascii lookups exactly as before, non-ascii pairs
+    collect into a per-doc array — EMPTY for ascii documents, so
+    explode_outer emits a single null row and the join leg costs one
+    narrow per-doc exchange, no fan-out — and the two partial decimal
+    sums recombine exactly (decimal addition is order-free)."""
     from ..functions.text import generate_barrier
 
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
@@ -101,8 +106,18 @@ def ext_charlm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "         slice(split(t, ''), 2, length(t) - 1),"
         " (a, b) -> concat(a, b))"
     )
-    cnt = d.select(F.explode(bgs).alias("bg")).groupBy("bg").agg(
-        F.count(F.lit(1)).alias("c")
+    # cnt is alphabet²-bounded (~1-10k rows) and referenced by THREE
+    # model consumers (tot, the dense array, the non-ascii table);
+    # localCheckpoint materializes the one corpus-sized bigram
+    # explode+aggregate so the consumers read the tiny type table
+    # instead of re-exploding the corpus each (the kn_model_parts
+    # idiom — runtime plans showed even round 10's two-consumer
+    # spelling re-scanned the corpus for `tot`: 3 parquet scans, now 2)
+    cnt = (
+        d.select(F.explode(bgs).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
     )
     tot = cnt.agg(F.sum("c").alias("n"))
     logp = F.round(
@@ -111,9 +126,9 @@ def ext_charlm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     a1 = F.ascii(F.substring("bg", 1, 1))
     a2 = F.ascii(F.substring("bg", 2, 1))
     both_ascii = (a1 < 128) & (a2 < 128)
-    # one aggregate fills both model structures from one cnt evaluation
-    # (two filtered aggregates would duplicate the corpus-count subtree)
-    model_row = (
+    # The DENSE ascii model: one 16384-slot array in a single broadcast
+    # row — O(1) element_at per scored bigram.
+    dense_row = (
         cnt.crossJoin(F.broadcast(tot))
         .agg(
             F.map_from_entries(
@@ -124,46 +139,86 @@ def ext_charlm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                 )
             ).alias("m"),
-            F.map_from_entries(
-                F.collect_list(
-                    F.when(
-                        ~both_ascii,
-                        F.struct(F.col("bg").alias("k"), logp.alias("logp")),
-                    )
-                )
-            ).alias("nmap"),
         )
-        .select(
-            F.expr("transform(sequence(0, 16383), i -> m[i])").alias("dense"),
-            "nmap",
-        )
+        .select(F.expr("transform(sequence(0, 16383), i -> m[i])").alias("dense"))
+    )
+    # The NON-ascii model as a broadcast-JOIN table, not a single-row
+    # MapType (optimization round 11, verdict "What's wrong #3"): a
+    # Spark map's element_at is a LINEAR scan of the entries, so the
+    # round-10 one-row nmap made every non-ascii bigram lookup
+    # O(|non-ascii vocab|) and required the whole unicode vocabulary to
+    # fit one row — fine on an ascii corpus, a scale trap on a CJK one.
+    # A broadcast hash join is the O(1), spillable spelling of the same
+    # lookup. Shares cnt's exchange with the dense/tot consumers (the
+    # grouping key can't be pruned, so all three subtrees stay
+    # canonically equal).
+    na_model = (
+        cnt.crossJoin(F.broadcast(tot))
+        .where(~both_ascii)
+        .select(F.col("bg").alias("na_bg"), logp.alias("na_logp"))
     )
     # Same O(len) spelling for scoring: chars then codes materialized
     # ONCE each behind Generate barriers (HOF CSE — README), pairwise
-    # O(1) dense lookups with the map fallback only on non-ascii pairs.
+    # O(1) dense lookups; non-ascii pairs collect into a per-doc array
+    # (EMPTY on ascii documents) that feeds the join leg below.
     b1 = generate_barrier(d, chars=F.expr("split(t, '')"))
     b2 = generate_barrier(
         b1.select("doc_id", "chars"),
         codes=F.expr("transform(chars, c -> ascii(c))"),
     )
-    doc_sum = F.aggregate(
+    dense_sum = F.aggregate(
         F.expr(
             "transform(sequence(1, size(chars) - 1), i ->"
             " CASE WHEN element_at(codes, i) < 128"
             "       AND element_at(codes, i + 1) < 128"
             "      THEN element_at(dense,"
             "           element_at(codes, i) * 128 + element_at(codes, i + 1) + 1)"
-            "      ELSE nmap[concat(element_at(chars, i),"
-            "                       element_at(chars, i + 1))] END)"
+            "      ELSE CAST(0 AS DECIMAL(12,6)) END)"
         ),
         F.lit(0).cast("decimal(38,6)"),
         lambda acc, v: acc + v,
     )
+    # exists() gate first: the common all-ascii document pays ONE int
+    # scan and allocates nothing — only documents that actually contain
+    # a non-ascii char build the (tiny) non-ascii bigram array
+    na_bgs = F.expr(
+        "CASE WHEN exists(codes, c -> c >= 128)"
+        " THEN filter(transform(sequence(1, size(chars) - 1), i ->"
+        "   CASE WHEN element_at(codes, i) >= 128"
+        "          OR element_at(codes, i + 1) >= 128"
+        "        THEN concat(element_at(chars, i), element_at(chars, i + 1))"
+        "        END), x -> x IS NOT NULL)"
+        " ELSE array() END"
+    )
     n_bigrams = (F.size("chars") - 1).cast("long")
-    return b2.crossJoin(F.broadcast(model_row)).select(
+    core = b2.crossJoin(F.broadcast(dense_row)).select(
         "doc_id",
         n_bigrams.alias("n_bigrams"),
-        (doc_sum.cast("double") / n_bigrams).alias("avg_logp"),
+        dense_sum.alias("_dsum"),
+        F.explode_outer(na_bgs).alias("na_bg"),
+    )
+    # Per-doc regroup after the (usually empty) non-ascii leg: the
+    # explode_outer emits exactly ONE null row for an all-ascii document
+    # (no fan-out), partial aggregation collapses each doc back to one
+    # row before the only exchange this query has — narrow rows of
+    # (doc_id, n_bigrams, decimal sums). Decimal adds are exact, so
+    # splitting the per-doc sum into dense + joined parts is
+    # bit-identical to the old single fold at any order or parallelism.
+    return (
+        core.join(F.broadcast(na_model), "na_bg", "left")
+        .groupBy("doc_id", "n_bigrams", "_dsum")
+        .agg(F.sum("na_logp").alias("_nsum"))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            (
+                (
+                    F.col("_dsum")
+                    + F.coalesce(F.col("_nsum"), F.lit(0).cast("decimal(38,6)"))
+                ).cast("double")
+                / F.col("n_bigrams")
+            ).alias("avg_logp"),
+        )
     )
 
 

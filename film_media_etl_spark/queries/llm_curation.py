@@ -577,16 +577,49 @@ def ext_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     text byte) — narrow-row sorting is orders cheaper than re-reading
     and re-splitting text at any scale. 3 tokenize passes -> 2 (the
     bin-stats aggregate is the irreducible second pass: the budget is
-    a global total, so it must be known before any per-doc decision)."""
+    a global total, so it must be known before any per-doc decision).
+
+    Optimization round 11 (guide §2.4, verdict next-round #4): 2 -> 1.
+    The bin-stats aggregate cannot be computed after the per-doc
+    decision, but it CAN share the decision pass's exchange: one
+    explicit repartition(source, bin) feeds BOTH the window and the
+    bin aggregate. Two things used to specialize the duplicated
+    exchange subtree and defeat AQE stage reuse (round-10 finding):
+    (a) column pruning — the aggregate branch demands only (source,
+    bin, nt), so its copy of the exchange dropped h/doc_id; a
+    value-neutral guard term in the aggregate (0 * min(xxhash64(h,
+    doc_id)) — Catalyst cannot fold 0 * x because 0 * NULL is NULL)
+    pins the aggregate's column set to the window branch's; (b) the
+    inner join's inferred IsNotNull(source/bin) filters pushed below
+    the probe side's repartition — the join now keys on eqNullSafe
+    (<=>), which infers no null-rejecting filter AND matches the
+    oracle's GROUP BY semantics on hypothetical NULL sources where a
+    plain `=` join would silently drop the group. Verified at runtime
+    (executed-plan explainString, the repo's method): documents is
+    scanned and tokenized ONCE, the second consumer reads a
+    ReusedExchange. Token counting itself also dropped the split():
+    len(split(text, ' ')) == count(' ') + 1 by definition of split
+    (empties kept), so nt is two length() calls and a replace — no
+    token-array allocation on either pass at any scale."""
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    nt = F.when(
+        F.col("text").isNotNull(),
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "))) + 1,
+    ).cast("long")
     tok = docs.select(
         "source",
         "doc_id",
         F.md5(F.col("doc_id").cast("string")).alias("h"),
-        F.size(F.split(F.col("text"), " ")).cast("long").alias("nt"),
+        nt.alias("nt"),
     ).withColumn("bin", F.substring("h", 1, 2))
+    shared = tok.repartition("source", "bin")
 
-    binagg = tok.groupBy("source", "bin").agg(F.sum("nt").alias("bin_sum"))
+    # value-neutral pruning guard: keeps (h, doc_id) in THIS branch's
+    # demand so both consumers' exchange subtrees stay canonically equal
+    guard = F.coalesce(F.min(F.xxhash64("h", "doc_id")) * F.lit(0), F.lit(0))
+    binagg = shared.groupBy("source", "bin").agg(
+        (F.sum("nt") + guard).alias("bin_sum")
+    )
     # ns via per-source re-aggregate, NOT count_distinct: a distinct
     # aggregate makes Spark plan a different partial-agg tree under tot
     # than under binmeta, so the two (source, bin) exchanges stop being
@@ -613,7 +646,17 @@ def ext_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("budget", F.expr("total div (2 * ns)"))
         .select("source", "bin", "bin_prior", "budget")
     )
-    t = tok.join(F.broadcast(binmeta), ["source", "bin"])
+    bm = binmeta.select(
+        F.col("source").alias("_bsource"),
+        F.col("bin").alias("_bbin"),
+        "bin_prior",
+        "budget",
+    )
+    t = shared.join(
+        F.broadcast(bm),
+        F.col("source").eqNullSafe(F.col("_bsource"))
+        & F.col("bin").eqNullSafe(F.col("_bbin")),
+    ).drop("_bsource", "_bbin")
 
     wdoc = (
         Window.partitionBy("source", "bin")

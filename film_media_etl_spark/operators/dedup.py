@@ -883,6 +883,26 @@ def exact_substring_dedup(
     t = ensure_parallelism(docs).select(
         F.col(id_col).alias("doc_id"), toks.alias("toks")
     )
+    # Shingle identity as a 128-bit hash pair (optimization round 11,
+    # guide §2.3 "shuffle keys instead of payloads"): the k-token
+    # shingle STRING was built per position (array_join copy) and then
+    # shuffled TWICE (the dup-detection aggregate and the join back).
+    # Two independent xxhash64 draws over the token-array slice replace
+    # it — no string is ever materialized, and the shuffled key is 16
+    # bytes regardless of k. Collision safety: two DIFFERENT shingles
+    # are only conflated if both 64-bit hashes collide — for a corpus
+    # of S shingle occurrences the union-bound probability of ANY such
+    # pair is ~S²/2^129 (< 1e-14 even at S = 10^12, i.e. 100 TB scale)
+    # — the same 128-bit-whp argument as the round-10 md5 attempt,
+    # which lost on MessageDigest CPU; xxhash64 over the slice is
+    # codegen'd and allocation-free. The DuckDB oracle still computes
+    # string-keyed groups, so any collision on real data would fail the
+    # hash check loudly. Hashing the ARRAY (not a joined string) keeps
+    # token boundaries significant: xxhash64 chains each element
+    # through the running hash, so ["a b","c"] and ["a","b c"] (whose
+    # space-joins coincide) land in different chains — boundary
+    # ambiguity is reduced to the same 128-bit collision bound instead
+    # of being a GUARANTEED merge as with join-then-hash.
     occ = t.where(F.size("toks") >= k).select(
         "doc_id",
         F.explode(F.sequence(F.lit(1), F.size("toks") - (k - 1))).alias("pos"),
@@ -890,7 +910,8 @@ def exact_substring_dedup(
     ).select(
         "doc_id",
         "pos",
-        F.array_join(F.slice(F.col("toks"), F.col("pos"), k), " ").alias("sh"),
+        F.xxhash64(F.slice(F.col("toks"), F.col("pos"), k)).alias("h1"),
+        F.xxhash64(F.slice(F.col("toks"), F.col("pos"), k), F.lit(1)).alias("h2"),
     )
     # radix-encoded (doc_id, pos) order, guarded: evaluating the
     # encoding for an out-of-radix position is a LOUD runtime error, not
@@ -912,13 +933,13 @@ def exact_substring_dedup(
         ).cast("long")
     )
     dup_keys = (
-        occ.groupBy("sh")
+        occ.groupBy("h1", "h2")
         .agg(F.count(F.lit(1)).alias("c"), F.min(enc).alias("first_enc"))
         .where(F.col("c") > 1)
-        .select("sh", "first_enc")
+        .select("h1", "h2", "first_enc")
     )
     removed = (
-        occ.join(dup_keys, "sh")
+        occ.join(dup_keys, ["h1", "h2"])
         .where(enc != F.col("first_enc"))
         .select(
             "doc_id",

@@ -234,7 +234,11 @@ def _rep_arrays(tk: Column) -> Column:
     """The 9 sorted gram arrays as one struct — the value the Generate
     barrier materializes ONCE per row (g2..g4: plain sorted gram
     strings for the top-gram folds; s5..s10: sorted struct<g,p> for the
-    dup-coverage folds)."""
+    dup-coverage folds) — plus the normalized total character count,
+    which all nine gram fractions divide by (round-11: as a plain
+    expression it was re-evaluated — one O(chars) array_join per
+    signal — because projection-defined columns inline into each
+    consumer)."""
     return F.struct(
         *[
             F.array_sort(
@@ -243,6 +247,7 @@ def _rep_arrays(tk: Column) -> Column:
             for n in (2, 3, 4)
         ],
         *[F.array_sort(_gram_structs(tk, n)).alias(f"s{n}") for n in (5, 6, 7, 8, 9, 10)],
+        F.length(F.array_join(tk, " ")).alias("total"),
     )
 
 
@@ -250,7 +255,7 @@ def _signal_cols(toks: Column, lines: Column, paras: Column, ga: Column) -> dict
     """All 13 signal expressions over the barrier-materialized columns
     (``ga`` is the _rep_arrays struct attribute produced by the
     caller's Generate)."""
-    total = F.length(F.array_join(toks, " "))
+    total = ga["total"]
     dl, dlc = _dup_seg_fracs(lines)
     dp, dpc = _dup_seg_fracs(paras)
     cols = {
@@ -279,6 +284,8 @@ def _passes(cols: dict[str, Column]) -> Column:
 
 def repetition_signals(docs: DataFrame) -> DataFrame:
     """The 13-signal vector + Gopher-threshold verdict per document."""
+    from ..functions.text import generate_barrier
+
     txt = F.coalesce(F.col("text"), F.lit(""))
     toks = F.split(F.lower(txt), " ")
     base = ensure_parallelism(docs).select(
@@ -294,10 +301,22 @@ def repetition_signals(docs: DataFrame) -> DataFrame:
     # genuinely materializes these before the fold columns consume them.
     b = base.withColumn("_ga", F.explode(F.array(_rep_arrays(F.col("toks")))))
     cols = _signal_cols(F.col("toks"), F.col("lines"), F.col("paras"), F.col("_ga"))
-    return b.select(
+    # SECOND barrier for the signal values themselves (optimization
+    # round 11): every signal expression is consumed TWICE — as an
+    # output column and inside the passes_repetition AND-chain — and
+    # CollapseProject inlines projection-defined columns into each
+    # consumer, so the report re-ran all 13 folds. Materializing the
+    # signal struct once halves the fold work (same trap, same cure as
+    # the gram arrays above; measured full-query min 4.63 -> 2.06s on
+    # one window at sf0.1).
+    sig = generate_barrier(
+        b, _sig=F.struct(*[c.alias(name) for name, c in cols.items()])
+    )
+    mat = {name: F.col(f"_sig.{name}") for name in cols}
+    return sig.select(
         "doc_id",
-        *[c.alias(name) for name, c in cols.items()],
-        _passes(cols).alias("passes_repetition"),
+        *[c.alias(name) for name, c in mat.items()],
+        _passes(mat).alias("passes_repetition"),
     )
 
 

@@ -416,67 +416,91 @@ def bm25_oracle_ctes() -> str:
     )"""
 
 
+def _bm25_per_doc(docs: DataFrame) -> DataFrame:
+    """The narrow per-document term-frequency frame feeding bm25_scores:
+    (doc_id, dl, tf_i per query term), all map-side from one split
+    behind a Generate barrier. Split out so the plan tests can pin the
+    pruned (doc_id, text) scan directly — bm25_scores checkpoints this
+    frame, which hides the scan from the outer plan."""
+    from ..functions.text import generate_barrier
+
+    return generate_barrier(
+        docs.where(F.col("text").isNotNull()).select("doc_id", "text"),
+        toks=F.split(F.lower("text"), " "),
+    ).select(
+        "doc_id",
+        F.size("toks").cast("long").alias("dl"),
+        *[
+            F.size(F.filter(F.col("toks"), lambda x: x == F.lit(t)))
+            .cast("long")
+            .alias(f"tf_{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ],
+    )
+
+
 def bm25_scores(docs: DataFrame) -> DataFrame:
     """Spark twin of :func:`bm25_oracle_ctes`'s `scored`: per-doc
     (doc_id, matched_terms, bm25) for the fixed query terms.
 
-    ONE corpus aggregate computes dl AND each query term's tf per doc,
-    so the doc length travels with the tf row — there is no
-    corpus-sized doc-length join at all (the r4 shared-builder refactor
-    had reintroduced one as a sort-merge join; the suite regression it
-    caused is what this shape removes). The length stats come from the
-    same aggregate (ReusedExchange, verified in the executed plan), df
-    and stats broadcast, and everything past the unpivot is |query| x
-    matching docs, never vocabulary- or corpus-sized. Measured (r5):
-    exchanges 11 -> 8, scans 4 -> 3 in the census; 1.39s -> 1.01s at
-    sf0.1 and sublinear upward (1.07s at 4x, 1.48s at 16x corpora) —
-    the r3 artifact's 0.64s predates matched-term/RRF sharing and sits
-    within two spreads of the recovered number."""
-    tok = docs.select(
-        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
-    )
-    per_doc = tok.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("dl"),
-        *[
-            F.count(F.when(F.col("term") == t, 1)).alias(f"tf_{i}")
-            for i, t in enumerate(_BM25_TERMS)
-        ],
-    )
+    Optimization round 11 (guide §4.1 prefer built-ins over per-row
+    machinery, §2.4 remove shuffles): tf and dl are PER-ROW facts for a
+    fixed 3-term query — the former explode-every-token +
+    groupBy(doc_id) aggregate paid a per-token hash-agg probe and a
+    corpus-keyed exchange to compute what three array `filter` counts
+    over one split see map-side. The narrow (doc_id, dl, tf_0..2) frame
+    is localCheckpointed (the kn_model_parts idiom) so BOTH consumers —
+    the 1-row stats/df aggregate and the scoring projection — read the
+    materialized ~30-byte rows instead of re-tokenizing the corpus:
+    ONE tokenize pass, ZERO corpus-keyed exchanges (the old shape's
+    ReusedExchange still shuffled every per-doc row; now nothing
+    corpus-sized moves at all). df folds into the same 1-row aggregate
+    as n_docs/avgdl (a per-term match count over per-doc tf, equal to
+    the old COUNT DISTINCT because per_doc carries one row per doc).
+    Scoring is a fixed three-term sum in term order — the same order
+    the old per-doc partial aggregate accumulated (filter preserves
+    struct order and a doc's exploded rows never crossed a partition),
+    and x + 0.0 is exact for the strictly-positive scores, so the
+    rounded doubles are bit-identical. Measured same-window solo A/B:
+    ext_bm25_search min 1.78 -> 1.05s, ext_rrf_fusion min 1.95 ->
+    1.18s at sf0.1."""
+    per_doc = _bm25_per_doc(docs).localCheckpoint(eager=False)
     stats = per_doc.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
-    )
-    term_structs = F.array(
         *[
-            F.struct(
-                F.lit(t).alias("term"), F.col(f"tf_{i}").alias("tf")
-            )
-            for i, t in enumerate(_BM25_TERMS)
-        ]
+            F.count(F.when(F.col(f"tf_{i}") > 0, 1)).alias(f"df_{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
     )
-    tf = per_doc.select(
-        "doc_id",
-        "dl",
-        F.explode(F.filter(term_structs, lambda s: s["tf"] > 0)).alias("m"),
-    ).select("doc_id", "dl", "m.term", "m.tf")
-    df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    idf = F.log(
-        (F.col("n_docs").cast("double") - F.col("df") + F.lit(0.5))
-        / (F.col("df") + F.lit(0.5))
-        + F.lit(1.0)
+
+    def term_score(i: int):
+        tf = F.col(f"tf_{i}")
+        idf = F.log(
+            (F.col("n_docs").cast("double") - F.col(f"df_{i}") + F.lit(0.5))
+            / (F.col(f"df_{i}") + F.lit(0.5))
+            + F.lit(1.0)
+        )
+        score = idf * (tf * F.lit(_BM25_K1 + 1.0)) / (
+            tf
+            + F.lit(_BM25_K1)
+            * (F.lit(1.0 - _BM25_B) + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl"))
+        )
+        return F.when(tf > 0, score).otherwise(F.lit(0.0))
+
+    matched = sum(
+        (F.col(f"tf_{i}") > 0).cast("int") for i in range(len(_BM25_TERMS))
     )
-    term_score = idf * (F.col("tf") * F.lit(_BM25_K1 + 1.0)) / (
-        F.col("tf")
-        + F.lit(_BM25_K1)
-        * (F.lit(1.0 - _BM25_B) + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl"))
-    )
+    total = None
+    for i in range(len(_BM25_TERMS)):
+        total = term_score(i) if total is None else total + term_score(i)
     return (
-        tf.join(F.broadcast(df), "term")
-        .crossJoin(F.broadcast(stats))
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("int").alias("matched_terms"),
-            F.round(F.sum(term_score), 4).alias("bm25"),
+        per_doc.crossJoin(F.broadcast(stats))
+        .where(matched > 0)
+        .select(
+            "doc_id",
+            matched.cast("int").alias("matched_terms"),
+            F.round(total, 4).alias("bm25"),
         )
     )
 

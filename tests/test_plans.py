@@ -416,12 +416,21 @@ def test_anomaly_mad_stats_broadcast(spark):
 
 def test_bm25_topk_and_pruned_scan(spark):
     """Top-20 must plan as TakeOrderedAndProject (distributed top-k, no
-    global sort) and the documents scan must read only (doc_id, text)."""
+    global sort). The documents scan lives in the checkpointed per-doc
+    frame's lineage (round-11 map-side rewrite), so its (doc_id, text)
+    pruning is pinned on that frame; the outer plan must show ZERO
+    corpus-keyed exchanges — scoring is map-side over the checkpoint
+    plus one 1-row broadcast."""
     from film_media_etl_spark.plans import physical_plan
+    from film_media_etl_spark.queries.retail_analytics import _bm25_per_doc
+    from film_media_etl_spark.sources import load_table
 
     df = _q("ext_bm25_search", spark)
-    assert "TakeOrderedAndProject" in physical_plan(df)
-    assert_read_schema_pruned(df, "documents", 2)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange hashpartitioning" not in plan
+    per_doc = _bm25_per_doc(load_table(spark, PARITY_SF_DIR, "documents"))
+    assert_read_schema_pruned(per_doc, "documents", 2)
 
 
 def test_decay_popularity_jvm_only_single_agg(spark):

@@ -63,8 +63,13 @@ def test_fact_build_is_parallel_and_broadcast(spark):
     # key-bounds aggregate and <=nbuckets-row offsets window (4 indexes
     # inline: fact, film, music, product). None of them grows with the
     # corpus; the corpus-sized fact rows themselves stay on nbuckets
-    # partitions (the bucketed window).
-    assert s["single_partition_exchanges"] <= 14
+    # partitions (the bucketed window). EXACT count (round-11 advice:
+    # a raised ceiling could hide one corpus-sized collapse inside the
+    # budget — the equality can't): 4 bounds aggregates + 4 offsets
+    # windows + location's dim window + dim_date's range aggregate +
+    # film-count aggregate + the MTD offsets frame's two tiny windows
+    # and total aggregate = 14, every one over a bounded frame.
+    assert s["single_partition_exchanges"] == 14
 
 
 def test_topk_is_takeordered_not_full_sort(spark):

@@ -63,11 +63,12 @@ spill_run() {  # $1=sf_dir $2=out
   python3 -c "import json,sys; r=json.load(open('$2')); print('$2: completed', r['completed'], 'failed', r['failed'])" >> "$LOG"
 }
 
-bench_run /root/testdata/sf0.1 BENCH_1x_r10.json
+# Round-11: ONE 16x sweep (verdict next-round #8 asks for one clean
+# sentinel-valid record; the round-10 run-to-run band evidence —
+# BENCH_16x_b/c.json — stays committed from round 10).
+bench_run /root/testdata/sf0.1 BENCH_1x_r11.json
 bench_run /tmp/scale_sf0.1_4x BENCH_4x.json
 bench_run /tmp/scale_sf0.1_16x BENCH_16x.json
-bench_run /tmp/scale_sf0.1_16x BENCH_16x_b.json
-bench_run /tmp/scale_sf0.1_16x BENCH_16x_c.json
 spill_run /tmp/scale_sf0.1_4x SPILL_4x.json
 spill_run /tmp/scale_sf0.1_16x SPILL_16x.json
 echo "ALL DONE failed=$FAILED $(date +%T)" >> "$LOG"
